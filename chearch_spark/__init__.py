@@ -1,0 +1,1 @@
+"""chearch_spark — PySpark-native inverted-index + BM25 engine."""

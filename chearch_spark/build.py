@@ -1,0 +1,444 @@
+"""Distributed index build: document-partitioned segments + global
+dictionary (SURVEY.md §3.1 Spark lifecycle, §7.1 P1/P2).
+
+Architecture (chearch parity, re-expressed Spark-first):
+
+* The reference hash-partitions documents across locales and builds one
+  in-memory ``MemorySegment`` per locale (`README.md:17`,
+  `searchindex.chpl:25-64`).  We hash-partition the corpus with
+  ``repartition(S, doc_id)`` and build one *immutable parquet segment*
+  per Spark partition inside a single Arrow kernel (``mapInArrow``) —
+  tokenize → explode → local group-by-term → sorted, delta+varint
+  compressed posting lists.  **No shuffle beyond the one repartition
+  exchange**: every posting list is completed locally because segments
+  are document-partitioned (exactly chearch's model — queries fan out
+  to all segments).
+* Global term statistics (df/cf) are merged with a second, tiny
+  shuffle over *per-segment pre-aggregated* rows.  Per-segment
+  pre-aggregation is the skew defuser: a hot term ("the" in 50% of
+  docs) contributes at most ``num_segments`` rows to the merge — the
+  same effect as salted two-phase aggregation with segment id as the
+  salt, but without a second pass over the data.  (`groupBy` partial
+  aggregation then reduces those rows map-side.)
+* Scale notes (100 TB / 10^12 files): segments are written *by the
+  kernel itself* (pyarrow, atomic tmp→rename), one file per partition,
+  so the build is resumable per-partition: a re-run skips partitions
+  whose final segment file already exists (checkpoint = file
+  presence; per-partition lineage rows land in the manifest).  On a
+  real cluster the rename targets an object store / Iceberg commit;
+  the layout (segment files + docmap + dictionary + manifest) is the
+  Iceberg table layout of the north rule.
+* Snapshot isolation falls out of immutability (the reference's
+  reader-snapshot counter, `memorysegment.chpl:294-306`, is free here).
+
+Segment file layout (one parquet per segment, rows sorted by term so
+parquet row-group min/max stats prune term lookups):
+
+  term=""  meta row: doc_ids = delta+varint of all external doc ids
+           (ascending = doc_index order), tfs = varint doc lengths.
+  term=t   posting row: df, cf, doc_ids (delta+varint of doc_index),
+           tfs (varint, uncapped), pos_counts/positions (varint,
+           positions ≤ 255 only — 8-bit textLocation parity,
+           `documentid.chpl:22`), blocks (varint triples
+           (last_doc, max_tf, min_len) per 128-doc block) for
+           block-max WAND pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from chearch_spark import spec
+from chearch_spark.operators import codec
+
+META_TERM = ""  # sorts before every real token ([a-z0-9_]+ is non-empty)
+
+SEGMENT_SCHEMA = (
+    "seg_id int, term string, df long, cf long, doc_ids binary, "
+    "tfs binary, pos_counts binary, positions binary, blocks binary"
+)
+SUMMARY_SCHEMA = (
+    "seg_id long, n_docs long, n_terms long, n_tokens long, "
+    "n_postings long, bytes_written long, skipped boolean, "
+    "wall_sec double, content_fp long"
+)
+
+
+@dataclass
+class BuildResult:
+    path: str
+    n_docs: int
+    n_terms: int
+    total_tokens: int
+    avgdl: float
+    num_segments: int
+    skipped_segments: int
+    wall_sec: float
+
+
+def _encode_groups(values: np.ndarray, group_starts: np.ndarray) -> list[bytes]:
+    """Varint-encode `values` once, then split the byte stream at group
+    boundaries — one encoder call for the whole segment (no per-term
+    python encode loop)."""
+    buf, lens = codec.encode_varints_with_lengths(values)
+    byte_offsets = np.zeros(len(group_starts) + 1, dtype=np.int64)
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    byte_offsets[:-1] = cum[group_starts]
+    byte_offsets[-1] = cum[-1] if len(lens) else 0
+    return [
+        buf[byte_offsets[i]: byte_offsets[i + 1]]
+        for i in range(len(group_starts))
+    ]
+
+
+def _build_segment_tables(pdf: pd.DataFrame, seg_id: int, store_positions: bool):
+    """Pure-pandas/numpy segment construction (runs inside the Arrow
+    kernel; also unit-testable without Spark).
+
+    Returns (segment_pdf, docmap_pdf, summary_dict)."""
+    pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    # doc_index = position in doc_id-ascending order (deterministic
+    # regardless of arrival order; replaces the reference's
+    # insertion-order documentCount counter, memorysegment.chpl:280)
+    ext_ids = pdf["doc_id"].to_numpy(np.int64)
+    texts = pdf["text"].fillna("")
+
+    token_lists = texts.str.lower().str.findall(r"[a-z0-9_]+")
+    doc_len = token_lists.str.len().to_numpy(np.int64)
+    n_docs = len(ext_ids)
+    n_tokens = int(doc_len.sum())
+
+    exploded = token_lists.explode().dropna()
+    doc_rows = exploded.index.to_numpy(np.int64)
+    # position within doc: global arange minus each doc's start offset
+    starts = np.concatenate(([0], np.cumsum(doc_len)))[:-1]
+    positions = np.arange(len(doc_rows), dtype=np.int64) - starts[doc_rows]
+    codes, uniques = pd.factorize(exploded.to_numpy(), sort=True)
+
+    # sort occurrences by (term, doc, pos)
+    order = np.lexsort((positions, doc_rows, codes))
+    t, d, p = codes[order], doc_rows[order], positions[order]
+
+    # (term, doc) groups -> tf
+    if len(t):
+        td_new = np.empty(len(t), dtype=bool)
+        td_new[0] = True
+        td_new[1:] = (t[1:] != t[:-1]) | (d[1:] != d[:-1])
+        gid = np.cumsum(td_new) - 1
+        tf = np.bincount(gid).astype(np.int64)
+        g_term = t[td_new]
+        g_doc = d[td_new]
+    else:
+        tf = np.empty(0, dtype=np.int64)
+        g_term = np.empty(0, dtype=np.int64)
+        g_doc = np.empty(0, dtype=np.int64)
+
+    # term groups over (term, doc) rows
+    if len(g_term):
+        term_new = np.empty(len(g_term), dtype=bool)
+        term_new[0] = True
+        term_new[1:] = g_term[1:] != g_term[:-1]
+        term_starts = np.flatnonzero(term_new)
+        term_ids = g_term[term_new]
+        df_per_term = np.diff(np.concatenate((term_starts, [len(g_term)])))
+    else:
+        term_starts = np.empty(0, dtype=np.int64)
+        term_ids = np.empty(0, dtype=np.int64)
+        df_per_term = np.empty(0, dtype=np.int64)
+
+    # doc_ids column: per-term deltas (first value absolute)
+    deltas = g_doc.copy()
+    if len(g_doc):
+        deltas[1:] = g_doc[1:] - g_doc[:-1]
+        deltas[term_starts] = g_doc[term_starts]
+    doc_ids_bins = _encode_groups(deltas.astype(np.uint64), term_starts)
+    tfs_bins = _encode_groups(tf.astype(np.uint64), term_starts)
+    cf_per_term = (
+        np.add.reduceat(tf, term_starts).astype(np.int64)
+        if len(term_starts)
+        else np.empty(0, dtype=np.int64)
+    )
+
+    # positions (<= MAX_POSITION only): per (term,doc) counts + values
+    if store_positions and len(t):
+        keep = p <= spec.MAX_POSITION
+        pos_counts = np.bincount(gid[keep], minlength=len(tf)).astype(np.int64)
+        pos_counts_bins = _encode_groups(pos_counts.astype(np.uint64), term_starts)
+        # positions per group, delta within group for compactness
+        kept_pos = p[keep]
+        kept_gid = gid[keep]
+        if len(kept_pos):
+            pd_new = np.empty(len(kept_gid), dtype=bool)
+            pd_new[0] = True
+            pd_new[1:] = kept_gid[1:] != kept_gid[:-1]
+            pdeltas = kept_pos.copy()
+            pdeltas[1:] = kept_pos[1:] - kept_pos[:-1]
+            pdeltas[pd_new] = kept_pos[pd_new]
+        else:
+            pdeltas = kept_pos
+        # split positions stream at TERM boundaries (first kept occ of
+        # each term): term of each kept occurrence
+        kept_term = t[keep]
+        if len(kept_term):
+            kt_new = np.empty(len(kept_term), dtype=bool)
+            kt_new[0] = True
+            kt_new[1:] = kept_term[1:] != kept_term[:-1]
+            kept_term_starts = np.flatnonzero(kt_new)
+            kept_terms = kept_term[kt_new]
+        else:
+            kept_term_starts = np.empty(0, dtype=np.int64)
+            kept_terms = np.empty(0, dtype=np.int64)
+        pos_bins_compact = _encode_groups(
+            pdeltas.astype(np.uint64), kept_term_starts
+        )
+        # scatter back to the full term list (terms may have no kept pos)
+        pos_map = dict(zip(kept_terms.tolist(), pos_bins_compact))
+        positions_bins = [pos_map.get(int(x), b"") for x in term_ids]
+    else:
+        pos_counts_bins = [b""] * len(term_ids)
+        positions_bins = [b""] * len(term_ids)
+
+    # block-max metadata: per POSTING_BLOCK docs (last_doc, max_tf, min_len)
+    blocks_bins = []
+    B = spec.POSTING_BLOCK
+    bounds = np.concatenate((term_starts, [len(g_doc)]))
+    for i in range(len(term_ids)):
+        s, e = bounds[i], bounds[i + 1]
+        docs_i = g_doc[s:e]
+        tf_i = tf[s:e]
+        len_i = doc_len[docs_i]
+        nb = (len(docs_i) + B - 1) // B
+        starts_b = np.arange(nb) * B
+        last_doc = docs_i[np.minimum(starts_b + B - 1, len(docs_i) - 1)]
+        max_tf = np.maximum.reduceat(tf_i, starts_b)
+        min_len = np.minimum.reduceat(len_i, starts_b)
+        tri = np.empty(nb * 3, dtype=np.uint64)
+        tri[0::3] = last_doc
+        tri[1::3] = max_tf
+        tri[2::3] = min_len
+        blocks_bins.append(codec.encode_varints(tri))
+
+    terms = [str(uniques[i]) for i in term_ids]
+    seg_pdf = pd.DataFrame(
+        {
+            "seg_id": np.full(len(terms) + 1, seg_id, dtype=np.int32),
+            "term": [META_TERM] + terms,
+            "df": np.concatenate(([n_docs], df_per_term)).astype(np.int64),
+            "cf": np.concatenate(([n_tokens], cf_per_term)).astype(np.int64),
+            "doc_ids": [codec.encode_postings(ext_ids.astype(np.uint64))]
+            + doc_ids_bins,
+            "tfs": [codec.encode_varints(doc_len.astype(np.uint64))] + tfs_bins,
+            "pos_counts": [b""] + pos_counts_bins,
+            "positions": [b""] + positions_bins,
+            "blocks": [b""] + blocks_bins,
+        }
+    )
+
+    shas = [spec.content_sha256(x) for x in texts]
+    docmap_pdf = pd.DataFrame(
+        {
+            "doc_id": ext_ids,
+            "seg_id": np.full(n_docs, seg_id, dtype=np.int32),
+            "doc_index": np.arange(n_docs, dtype=np.int32),
+            "doc_len": doc_len.astype(np.int32),
+            "sha256": shas,
+        }
+    )
+    # content fingerprint: sum of sha256 prefixes (order-independent)
+    fp = int(
+        sum(int(s[:16], 16) for s in shas) % (2**63)
+    )
+    summary = {
+        "n_docs": n_docs,
+        "n_terms": len(terms),
+        "n_tokens": n_tokens,
+        "n_postings": int(len(g_doc)),
+        "content_fp": fp,
+    }
+    return seg_pdf, docmap_pdf, summary
+
+
+def _atomic_write_parquet(pdf: pd.DataFrame, final_path: str) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = final_path + ".tmp"
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(table, tmp, row_group_size=4096, compression="zstd")
+    size = os.path.getsize(tmp)
+    os.replace(tmp, final_path)  # atomic checkpoint: presence = done
+    return size
+
+
+def build_index(
+    spark,
+    corpus_df,
+    out_dir: str,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    num_segments: int | None = None,
+    store_positions: bool = True,
+    resume: bool = True,
+) -> BuildResult:
+    """Build (or resume) the inverted index at `out_dir`.
+
+    One repartition exchange, then one Arrow kernel per partition that
+    writes its segment + docmap files directly (resumable), then a tiny
+    dictionary merge shuffle over per-segment term stats.
+    """
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    seg_dir = os.path.join(out_dir, "segments")
+    map_dir = os.path.join(out_dir, "docmap")
+    os.makedirs(seg_dir, exist_ok=True)
+    os.makedirs(map_dir, exist_ok=True)
+
+    corpus = corpus_df.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        F.col(text_col).cast("string").alias("text"),
+    )
+    S = int(num_segments or spark.sparkContext.defaultParallelism)
+    # document-hash partitioning (chearch README.md:17): one segment per
+    # Spark partition; the ONLY full-data shuffle in the build
+    parted = corpus.repartition(S, "doc_id")
+
+    def _kernel(batches):
+        import pyarrow as pa
+
+        ctx = TaskContext.get()
+        seg_id = ctx.partitionId()
+        seg_path = os.path.join(seg_dir, f"segment-{seg_id:05d}.parquet")
+        map_path = os.path.join(map_dir, f"docmap-{seg_id:05d}.parquet")
+        k0 = time.time()
+        if resume and os.path.exists(seg_path) and os.path.exists(map_path):
+            # checkpoint hit: per-partition resume (north rule)
+            import pyarrow.parquet as pq
+
+            mf = pq.read_table(map_path, columns=["doc_len", "sha256"])
+            sf = pq.read_metadata(seg_path)
+            dl = mf.column("doc_len").to_numpy()
+            fp = int(
+                sum(int(s[:16], 16) for s in mf.column("sha256").to_pylist())
+                % (2**63)
+            )
+            summary = pd.DataFrame(
+                [
+                    {
+                        "seg_id": seg_id,
+                        "n_docs": len(dl),
+                        "n_terms": max(sf.num_rows - 1, 0),
+                        "n_tokens": int(dl.sum()),
+                        "n_postings": 0,
+                        "bytes_written": 0,
+                        "skipped": True,
+                        "wall_sec": time.time() - k0,
+                        "content_fp": fp,
+                    }
+                ]
+            )
+            yield pa.RecordBatch.from_pandas(summary)
+            return
+
+        pdfs = [b.to_pandas() for b in batches]
+        pdf = (
+            pd.concat(pdfs, ignore_index=True)
+            if pdfs
+            else pd.DataFrame({"doc_id": [], "text": []})
+        )
+        seg_pdf, docmap_pdf, s = _build_segment_tables(
+            pdf, seg_id, store_positions
+        )
+        nbytes = _atomic_write_parquet(seg_pdf, seg_path)
+        nbytes += _atomic_write_parquet(docmap_pdf, map_path)
+        summary = pd.DataFrame(
+            [
+                {
+                    "seg_id": seg_id,
+                    "n_docs": s["n_docs"],
+                    "n_terms": s["n_terms"],
+                    "n_tokens": s["n_tokens"],
+                    "n_postings": s["n_postings"],
+                    "bytes_written": nbytes,
+                    "skipped": False,
+                    "wall_sec": time.time() - k0,
+                    "content_fp": s["content_fp"],
+                }
+            ]
+        )
+        yield pa.RecordBatch.from_pandas(summary)
+
+    summaries = parted.mapInArrow(_kernel, SUMMARY_SCHEMA).collect()
+
+    # ---- global dictionary merge (tiny shuffle over pre-aggregated
+    # per-segment rows; segment id is the implicit salt — hot terms are
+    # bounded at S input rows) ------------------------------------------
+    seg_scan = spark.read.parquet(seg_dir).filter(F.col("term") != META_TERM)
+    dictionary = (
+        seg_scan.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .repartitionByRange(max(S // 4, 1), "term")
+        .sortWithinPartitions("term")
+    )
+    dict_dir = os.path.join(out_dir, "dictionary")
+    dictionary.write.mode("overwrite").parquet(dict_dir)
+
+    n_docs = int(sum(r.n_docs for r in summaries))
+    total_tokens = int(sum(r.n_tokens for r in summaries))
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    content_fp = int(sum(r.content_fp for r in summaries) % (2**63))
+
+    stats = {
+        "spec_version": spec.SPEC_VERSION,
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": avgdl,
+        "num_segments": S,
+        "store_positions": store_positions,
+        "content_fp": content_fp,
+    }
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+
+    manifest = {
+        "spec_version": spec.SPEC_VERSION,
+        "num_segments": S,
+        "content_fp": content_fp,
+        "segments": [
+            {
+                "seg_id": int(r.seg_id),
+                "file": f"segments/segment-{int(r.seg_id):05d}.parquet",
+                "docmap": f"docmap/docmap-{int(r.seg_id):05d}.parquet",
+                "n_docs": int(r.n_docs),
+                "n_terms": int(r.n_terms),
+                "n_tokens": int(r.n_tokens),
+                "n_postings": int(r.n_postings),
+                "bytes_written": int(r.bytes_written),
+                "resumed_from_checkpoint": bool(r.skipped),
+                "wall_sec": float(r.wall_sec),
+                "content_fp": int(r.content_fp),
+            }
+            for r in sorted(summaries, key=lambda r: r.seg_id)
+        ],
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+    return BuildResult(
+        path=out_dir,
+        n_docs=n_docs,
+        n_terms=-1,  # vocab size available via dictionary count when needed
+        total_tokens=total_tokens,
+        avgdl=avgdl,
+        num_segments=S,
+        skipped_segments=sum(1 for r in summaries if r.skipped),
+        wall_sec=time.time() - t0,
+    )

@@ -1,0 +1,154 @@
+"""Query AST + postfix (CHASM-parity) compiler.
+
+The reference compiles queries to a 4-opcode stack bytecode
+(``HALT/PUSH/AND/OR``, `chasm.chpl:8-13`) interpreted into an operand
+tree (`chasm.chpl:150-186`).  We keep a declarative AST with the same
+expressive power and a postfix round-trip so reference query programs
+(`PUSH a, PUSH b, AND`) map 1:1 onto ASTs.
+
+Stack parity detail (`chasm.chpl:180-181`): a binary opcode pops the
+TOP of the stack first, so ``PUSH 2, PUSH 3, AND`` builds
+``And(a=<term 3>, b=<term 2>)`` where *a* (the second-pushed term) is
+the reference's ``opA`` — its occurrence is emitted first on a doc
+match (`operands.chpl:120-131`, README.md:122-124).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# Opcode values kept numerically identical to `chasm.chpl:8-13` for
+# wire-parity tests.
+OP_HALT = 0
+OP_PUSH = 1
+OP_AND = 2
+OP_OR = 3
+
+
+class Node:
+    """Base query node; supports `&` / `|` builder sugar."""
+
+    def __and__(self, other: "Node") -> "And":
+        return And(other, self)  # postfix `a b AND` pops b first -> a=other
+
+    def __or__(self, other: "Node") -> "Or":
+        return Or(other, self)
+
+    def terms(self) -> list[str]:
+        """Distinct terms, first-occurrence order."""
+        out: list[str] = []
+        seen = set()
+        for t in self._terms():
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+        return out
+
+    def _terms(self):  # pragma: no cover - overridden
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class Term(Node):
+    term: str
+
+    def _terms(self):
+        yield self.term
+
+
+@dataclass(frozen=True)
+class And(Node):
+    a: Node  # reference opA = popped first = SECOND-pushed operand
+    b: Node
+
+    def _terms(self):
+        yield from self.b._terms()
+        yield from self.a._terms()
+
+
+@dataclass(frozen=True)
+class Or(Node):
+    a: Node
+    b: Node
+
+    def _terms(self):
+        yield from self.b._terms()
+        yield from self.a._terms()
+
+
+def to_postfix(node: Node) -> list[tuple]:
+    """AST -> postfix program, e.g. [("PUSH","x"),("PUSH","y"),("AND",)].
+
+    Inverse of :func:`from_postfix`: operand *b* (popped second) is
+    emitted first, matching CHASM write order.
+    """
+    out: list[tuple] = []
+
+    def walk(n: Node) -> None:
+        if isinstance(n, Term):
+            out.append(("PUSH", n.term))
+        elif isinstance(n, (And, Or)):
+            walk(n.b)
+            walk(n.a)
+            out.append(("AND",) if isinstance(n, And) else ("OR",))
+        else:
+            raise TypeError(f"unknown node {n!r}")
+
+    walk(node)
+    return out
+
+
+def from_postfix(program: list[tuple]) -> Node:
+    """Postfix program -> AST (the chasm_interpret dispatch,
+    `chasm.chpl:175-183`): AND/OR build Node(pop(), pop())."""
+    stack: list[Node] = []
+    for op in program:
+        kind = op[0]
+        if kind == "PUSH":
+            stack.append(Term(op[1]))
+        elif kind == "AND":
+            stack.append(And(stack.pop(), stack.pop()))
+        elif kind == "OR":
+            stack.append(Or(stack.pop(), stack.pop()))
+        elif kind == "HALT":
+            break
+        else:
+            raise ValueError(f"unknown opcode {kind!r}")
+    if len(stack) != 1:
+        raise ValueError(f"malformed program, stack depth {len(stack)}")
+    return stack[0]
+
+
+def conjunctive_terms(node: Node) -> list[str] | None:
+    """If `node` is a pure AND tree, its distinct terms; else None.
+    (n-ary folding for the WAND conjunctive kernel, SURVEY §7.1 P3)."""
+    if isinstance(node, Term):
+        return [node.term]
+    if isinstance(node, And):
+        a = conjunctive_terms(node.a)
+        b = conjunctive_terms(node.b)
+        if a is None or b is None:
+            return None
+        seen: list[str] = []
+        for t in b + a:
+            if t not in seen:
+                seen.append(t)
+        return seen
+    return None
+
+
+def disjunctive_terms(node: Node) -> list[str] | None:
+    """If `node` is a pure OR tree, its distinct terms; else None."""
+    if isinstance(node, Term):
+        return [node.term]
+    if isinstance(node, Or):
+        a = disjunctive_terms(node.a)
+        b = disjunctive_terms(node.b)
+        if a is None or b is None:
+            return None
+        seen: list[str] = []
+        for t in b + a:
+            if t not in seen:
+                seen.append(t)
+        return seen
+    return None

@@ -1,0 +1,289 @@
+"""Distributed query engine: scatter-gather BM25 top-k over parquet
+segments (SURVEY.md §3.2 Spark lifecycle).
+
+Communication shape matches the reference's scatter-gather
+(`searchindex.chpl:149-168`): the query fans out to every
+document-partitioned segment (one Arrow kernel per segment computes a
+*local* top-k — the scored analogue of the reference's
+``partitionLimit`` truncation, `search.chpl:17`), then a single global
+``orderBy(score desc, doc_id asc).limit(k)`` gathers — Spark compiles
+that to ``TakeOrderedAndProject``, the one exchange in the plan.
+
+Efficiency levers (100 TB design):
+
+* term dictionary lookups and the segment scan both push ``term IN
+  (...)`` into the parquet reader — segment files are written sorted by
+  term, so row-group min/max stats skip everything but the query terms
+  (+ the per-segment meta row).  A query touches O(|terms| × segments)
+  rows, never the corpus.
+* scores are computed from *global* stats (N, avgdl, df broadcast in
+  the task closure) with one float expression per (doc, term) inside a
+  single kernel — no cross-partition float accumulation, so ranks are
+  identical at any parallelism (SURVEY §7.3.1).
+* block-max WAND pruning (`wand.py`) skips posting blocks whose upper
+  bound cannot reach the running top-k threshold.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from chearch_spark import spec
+from chearch_spark.build import META_TERM
+from chearch_spark.operators import codec
+from chearch_spark.operators.wand import local_topk_scores
+from chearch_spark.plans.query import And, Node, Or, Term
+
+
+def _normalize(node: Node) -> Node:
+    """Normalize every query term through the tokenizer so raw user
+    strings ('MERGE') match the lowercased index."""
+    if isinstance(node, Term):
+        return Term(spec.normalize_term(node.term))
+    if isinstance(node, And):
+        return And(_normalize(node.a), _normalize(node.b))
+    if isinstance(node, Or):
+        return Or(_normalize(node.a), _normalize(node.b))
+    raise TypeError(node)
+
+
+class Index:
+    """Handle to a built index directory (segments/docmap/dictionary/
+    stats/manifest)."""
+
+    def __init__(self, spark, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.n_docs = int(self.stats["n_docs"])
+        self.avgdl = float(self.stats["avgdl"])
+        self.seg_dir = os.path.join(path, "segments")
+        self.dict_dir = os.path.join(path, "dictionary")
+        self.map_dir = os.path.join(path, "docmap")
+
+    # -- dictionary -----------------------------------------------------
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """{term: (df, cf)} via predicate-pushdown dictionary probe
+        (the reference's hash-table probe, `memorysegment.chpl:254-265`,
+        becomes a pruned parquet lookup)."""
+        from pyspark.sql import functions as F
+
+        if not terms:
+            return {}
+        rows = (
+            self.spark.read.parquet(self.dict_dir)
+            .filter(F.col("term").isin(list(terms)))
+            .collect()
+        )
+        return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+
+    def dictionary(self):
+        """Full dictionary DataFrame (term, df, cf)."""
+        return self.spark.read.parquet(self.dict_dir)
+
+    def docmap(self):
+        """(doc_id, seg_id, doc_index, doc_len, sha256)."""
+        return self.spark.read.parquet(self.map_dir)
+
+    # -- scan -----------------------------------------------------------
+    def _segment_scan(self, terms: list[str], columns: list[str]):
+        from pyspark.sql import functions as F
+
+        return (
+            self.spark.read.parquet(self.seg_dir)
+            .filter(F.col("term").isin(list(terms) + [META_TERM]))
+            .select(*columns)
+        )
+
+    # -- BM25 top-k -----------------------------------------------------
+    def search(self, query: Node | str, k: int = spec.DEFAULT_K):
+        """Top-k DataFrame (doc_id long, score double), rank-identical
+        across parallelism levels; ties (score desc, doc_id asc)."""
+        node = _normalize(Term(query) if isinstance(query, str) else query)
+        terms = node.terms()
+        stats = self.term_stats(terms)
+        idfs = {
+            t: spec.idf(self.n_docs, stats[t][0]) for t in terms if t in stats
+        }
+        n_docs, avgdl = self.n_docs, self.avgdl
+        scan = self._segment_scan(
+            terms, ["seg_id", "term", "df", "doc_ids", "tfs", "blocks"]
+        )
+
+        def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            ext_ids, scores = _score_segment(pdf, node, idfs, avgdl, k)
+            return pd.DataFrame({"doc_id": ext_ids, "score": scores})
+
+        local = scan.groupBy("seg_id").applyInPandas(
+            _kernel, "doc_id long, score double"
+        )
+        from pyspark.sql import functions as F
+
+        # global gather: TakeOrderedAndProject (single exchange)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # -- boolean retrieval (doc sets, no scores) -------------------------
+    def match_docs(self, query: Node | str):
+        """All matching external doc ids (AND=intersection, OR=union)."""
+        node = _normalize(Term(query) if isinstance(query, str) else query)
+        terms = node.terms()
+        scan = self._segment_scan(terms, ["seg_id", "term", "doc_ids"])
+
+        def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            postings, meta_ids, _, _ = _decode_segment(pdf)
+            cand = _eval_docset(node, postings)
+            return pd.DataFrame({"doc_id": meta_ids[cand].astype(np.int64)})
+
+        return scan.groupBy("seg_id").applyInPandas(_kernel, "doc_id long")
+
+    # -- reference-parity occurrence mode --------------------------------
+    def parity_search(self, query: Node | str) -> list[tuple[str, int, int]]:
+        """Occurrence rows (term, textLocation, externalDocId) with exact
+        reference pull-protocol semantics (small result sets; collects
+        per-segment postings to the driver and replays the operand
+        protocol — parity/debug tool, not the scale path)."""
+        from chearch_spark.oracle import (
+            _evaluate,
+            _IntersectionOperand,
+            _Operand,
+            _TermOperand,
+            _UnionOperand,
+        )
+
+        node = _normalize(Term(query) if isinstance(query, str) else query)
+        terms = node.terms()
+        scan = self._segment_scan(
+            terms,
+            ["seg_id", "term", "doc_ids", "tfs", "pos_counts", "positions"],
+        ).toPandas()
+        out: list[tuple[str, int, int]] = []
+        for _, seg in scan.groupby("seg_id", sort=True):
+            occ: dict[str, list[tuple[int, int]]] = {}
+            meta = seg[seg["term"] == META_TERM]
+            ext_ids = codec.decode_postings(meta["doc_ids"].iloc[0]).astype(
+                np.int64
+            )
+            for _, row in seg[seg["term"] != META_TERM].iterrows():
+                docs = codec.decode_postings(row["doc_ids"]).astype(np.int64)
+                counts = codec.decode_varints(row["pos_counts"]).astype(np.int64)
+                pos = codec.decode_varints(row["positions"]).astype(np.int64)
+                # un-delta within (term,doc) groups (parity tool — the
+                # per-group loop is fine off the scale path)
+                starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+                abs_pos = np.empty(len(pos), dtype=np.int64)
+                for gi in range(len(docs)):
+                    s, e = starts[gi], starts[gi] + counts[gi]
+                    abs_pos[s:e] = np.cumsum(pos[s:e])
+                occ[row["term"]] = [
+                    (int(docs[gi]), int(p))
+                    for gi in range(len(docs))
+                    for p in abs_pos[starts[gi]: starts[gi] + counts[gi]]
+                ]
+
+            def build(n: Node) -> _Operand:
+                if isinstance(n, Term):
+                    o = occ.get(n.term)
+                    if not o:
+                        return _Operand()
+                    # newest-first: (doc_index desc, position desc)
+                    vals = [
+                        (n.term, p, d)
+                        for (d, p) in sorted(o, key=lambda x: (-x[0], -x[1]))
+                    ]
+                    return _TermOperand(vals)
+                if isinstance(n, And):
+                    return _IntersectionOperand(build(n.a), build(n.b))
+                if isinstance(n, Or):
+                    return _UnionOperand(build(n.a), build(n.b))
+                raise TypeError(n)
+
+            out.extend(
+                (term, pos, int(ext_ids[d]))
+                for (term, pos, d) in _evaluate(build(node))
+            )
+        return out
+
+
+# ---------------------------------------------------------------------
+# kernel helpers (numpy; also unit-testable without Spark)
+
+
+def _decode_segment(pdf: pd.DataFrame):
+    """Split a per-segment frame into postings {term: (docs, tfs, blocks)}
+    + meta arrays (ext doc ids by doc_index, doc lengths)."""
+    meta = pdf[pdf["term"] == META_TERM]
+    if len(meta) == 0:
+        return {}, np.empty(0, np.int64), np.empty(0, np.int64), {}
+    meta_ids = codec.decode_postings(meta["doc_ids"].iloc[0]).astype(np.int64)
+    has_tfs = "tfs" in pdf.columns
+    doc_lens = (
+        codec.decode_varints(meta["tfs"].iloc[0]).astype(np.int64)
+        if has_tfs
+        else np.empty(0, np.int64)
+    )
+    postings = {}
+    blocks = {}
+    for _, row in pdf[pdf["term"] != META_TERM].iterrows():
+        docs = codec.decode_postings(row["doc_ids"]).astype(np.int64)
+        tfs = (
+            codec.decode_varints(row["tfs"]).astype(np.int64)
+            if has_tfs
+            else np.empty(0, np.int64)
+        )
+        postings[row["term"]] = (docs, tfs)
+        if "blocks" in pdf.columns and row["blocks"]:
+            tri = codec.decode_varints(row["blocks"]).astype(np.int64)
+            blocks[row["term"]] = (tri[0::3], tri[1::3], tri[2::3])
+    return postings, meta_ids, doc_lens, blocks
+
+
+def _eval_docset(node: Node, postings: dict) -> np.ndarray:
+    """AST -> sorted doc_index array (vectorized sorted-set algebra —
+    the reference's merge operands, `operands.chpl:52-160`, minus the
+    occurrence bookkeeping)."""
+    if isinstance(node, Term):
+        p = postings.get(node.term)
+        return p[0] if p is not None else np.empty(0, np.int64)
+    if isinstance(node, And):
+        return np.intersect1d(
+            _eval_docset(node.a, postings),
+            _eval_docset(node.b, postings),
+            assume_unique=True,
+        )
+    if isinstance(node, Or):
+        return np.union1d(
+            _eval_docset(node.a, postings), _eval_docset(node.b, postings)
+        )
+    raise TypeError(node)
+
+
+def _score_segment(pdf: pd.DataFrame, node: Node, idfs, avgdl, k):
+    """Per-segment candidates + BM25 scores + local top-k."""
+    postings, meta_ids, doc_lens, blocks = _decode_segment(pdf)
+    cand = _eval_docset(node, postings)
+    if len(cand) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    scores = np.zeros(len(cand), dtype=np.float64)
+    dl = doc_lens[cand].astype(np.float64)
+    denom_norm = spec.BM25_K1 * (1.0 - spec.BM25_B + spec.BM25_B * dl / avgdl)
+    for term in node.terms():
+        p = postings.get(term)
+        if p is None or term not in idfs:
+            continue
+        docs, tfs = p
+        ix = np.searchsorted(docs, cand)
+        ix_c = np.minimum(ix, len(docs) - 1)
+        hit = docs[ix_c] == cand
+        tf = np.where(hit, tfs[ix_c], 0).astype(np.float64)
+        scores += np.where(
+            hit,
+            idfs[term] * tf * (spec.BM25_K1 + 1.0) / (tf + denom_norm),
+            0.0,
+        )
+    ext = meta_ids[cand]
+    return local_topk_scores(ext, scores, k)

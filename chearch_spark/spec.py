@@ -1,0 +1,80 @@
+"""Pinned engine specification (SURVEY.md §7.0, FIXTURES.md F4).
+
+Single source of truth shared by the distributed engine
+(:mod:`chearch_spark.build` / :mod:`chearch_spark.search`) and the
+single-node oracle (:mod:`chearch_spark.oracle`).  The reference
+(briangu/chearch) is string-free and score-free, so everything here is a
+*pinned extension spec*: tokenizer, BM25 constants, tie-break, and the
+parity-mode semantics transcribed from the reference
+(`operands.chpl:52-160`, `documentid.chpl:22`, `README.md:109-124`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+# --- Tokenizer ---------------------------------------------------------
+# lowercase; split on runs of anything outside [a-z0-9_]; drop empties.
+# Code-friendly (keeps identifiers like `foo_bar2` whole).
+TOKEN_SPLIT_RE = r"[^a-z0-9_]+"
+_TOKEN_SPLIT = re.compile(TOKEN_SPLIT_RE)
+
+# 8-bit textLocation in the reference (`documentid.chpl:22`, README.md:36):
+# only positions 0..MAX_POSITION are recorded.  BM25 tf counts ALL
+# occurrences (uncapped); parity mode sees only recorded positions.
+MAX_POSITION = 255
+
+# --- BM25 (Robertson) --------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# --- Top-k -------------------------------------------------------------
+# Deterministic total order so ranks are identical across parallelism
+# levels: (score desc, doc_id asc).
+DEFAULT_K = 10
+
+# --- Posting-list layout -----------------------------------------------
+# docIDs sorted ascending -> delta -> LEB128 varint; tfs -> varint.
+# Postings are split into fixed blocks carrying block-max metadata for
+# WAND pruning (the geometric-block idea from `memorysegment.chpl:152-155`
+# reborn as scoring blocks, SURVEY §4.2).
+POSTING_BLOCK = 128
+
+SPEC_VERSION = "1"
+
+
+def tokenize(text: str) -> list[str]:
+    """Reference tokenizer: lowercase, split, drop empties."""
+    if not text:
+        return []
+    return [t for t in _TOKEN_SPLIT.split(text.lower()) if t]
+
+
+def normalize_term(term: str) -> str:
+    """Normalize a user-supplied query term through the tokenizer.
+    Raises ValueError when the string is not exactly one token."""
+    toks = tokenize(term)
+    if len(toks) != 1:
+        raise ValueError(
+            f"query term {term!r} tokenizes to {len(toks)} tokens; "
+            "each Term() must be a single token"
+        )
+    return toks[0]
+
+
+def idf(n_docs: int, df: int) -> float:
+    """Pinned idf: ln(1 + (N - df + 0.5)/(df + 0.5)), float64."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_term_score(tf: float, doc_len: float, avgdl: float, idf_t: float) -> float:
+    """Per-(term, doc) BM25 contribution with the pinned constants."""
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * doc_len / avgdl)
+    return idf_t * tf * (BM25_K1 + 1.0) / denom
+
+
+def content_sha256(text: str) -> str:
+    """Per-row invariant recorded in the docmap (north rule)."""
+    return hashlib.sha256((text or "").encode("utf-8")).hexdigest()

@@ -1,0 +1,169 @@
+"""End-to-end: distributed build + query vs the single-node oracle
+(SURVEY.md §5 d/e: rank-identical top-k, sha256 invariant, parallelism
+invariance, resumable build)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from chearch_spark import spec
+from chearch_spark.build import build_index
+from chearch_spark.oracle import OracleIndex
+from chearch_spark.plans.query import And, Or, Term
+from chearch_spark.search import Index
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+# F2-style reference query set over the documents table vocabulary
+QUERIES = {
+    "q_common": Term("batch"),
+    "q_common2": Term("join"),
+    "q_hot": Term("the"),
+    "q_rare": Term("dup"),
+    "q_missing": Term("zz_missing_zz"),
+    "q_and_cc": Term("merge") & Term("sort"),
+    "q_and_cr": Term("batch") & Term("dup"),
+    "q_and_miss": Term("batch") & Term("zz_missing_zz"),
+    "q_or_cc": Term("merge") | Term("sort"),
+    "q_or_cr": Term("batch") | Term("dup"),
+    "q_nested1": (Term("merge") & Term("sort")) | Term("dup"),
+    "q_nested2": (Term("merge") | Term("sort")) & Term("dup"),
+}
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_pdf):
+    return OracleIndex.from_rows(corpus_pdf.itertuples(index=False))
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus_pdf, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ix"))
+    df = spark.createDataFrame(corpus_pdf)
+    res = build_index(spark, df, out, num_segments=4)
+    assert res.n_docs == len(corpus_pdf)
+    return Index(spark, out)
+
+
+def _collect(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize("qname", sorted(QUERIES))
+def test_topk_rank_identical(index, oracle, qname):
+    node = QUERIES[qname]
+    got = _collect(index.search(node, k=10))
+    want = oracle.search(node, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want], qname
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_match_docs_sets(index, oracle):
+    for node in [Term("batch"), Term("merge") & Term("sort"),
+                 Term("merge") | Term("dup")]:
+        got = sorted(r["doc_id"] for r in index.match_docs(node).collect())
+        want = sorted(oracle.doc_ids[d] for d in oracle.doc_set(node))
+        assert got == want
+
+
+def test_stats_match_oracle(index, oracle):
+    assert index.n_docs == oracle.n_docs
+    assert index.avgdl == pytest.approx(oracle.avgdl, rel=1e-12)
+    st = index.term_stats(["batch", "dup", "zz_missing_zz"])
+    assert st["batch"][0] == oracle.df("batch")
+    assert st["dup"][0] == oracle.df("dup")
+    assert "zz_missing_zz" not in st
+
+
+def test_sha256_invariant(index, corpus_pdf):
+    """Per-row content sha256 equality vs the source table (north rule)."""
+    dm = index.docmap().select("doc_id", "sha256").toPandas()
+    src = corpus_pdf.assign(
+        expect=corpus_pdf["text"].map(spec.content_sha256)
+    )
+    merged = dm.merge(src, on="doc_id")
+    assert len(merged) == len(corpus_pdf)
+    assert (merged["sha256"] == merged["expect"]).all()
+
+
+def test_parallelism_invariance(spark, corpus_pdf, oracle, tmp_path_factory):
+    """Identical ranks at 2 vs 8 segments (SURVEY §7.3.1)."""
+    node = Term("merge") | Term("sort") | Term("dup")
+    results = []
+    for s in (2, 8):
+        out = str(tmp_path_factory.mktemp(f"ix{s}"))
+        df = spark.createDataFrame(corpus_pdf)
+        build_index(spark, df, out, num_segments=s)
+        results.append(_collect(Index(spark, out).search(node, k=10)))
+    assert results[0] == results[1]
+    assert [d for d, _ in results[0]] == [d for d, _ in oracle.search(node, 10)]
+
+
+def test_resumable_build(spark, corpus_pdf, tmp_path_factory):
+    """Delete 2 of 4 segment files; rebuild resumes only those and the
+    result is identical (north rule: checkpoint + lineage)."""
+    out = str(tmp_path_factory.mktemp("ixr"))
+    df = spark.createDataFrame(corpus_pdf)
+    r1 = build_index(spark, df, out, num_segments=4)
+    assert r1.skipped_segments == 0
+    ix1 = Index(spark, out)
+    before = _collect(ix1.search(Term("merge") & Term("sort"), k=10))
+    os.remove(os.path.join(out, "segments", "segment-00001.parquet"))
+    os.remove(os.path.join(out, "segments", "segment-00003.parquet"))
+    r2 = build_index(spark, df, out, num_segments=4)
+    assert r2.skipped_segments == 2
+    import json
+
+    with open(os.path.join(out, "manifest.json")) as f:
+        manifest = json.load(f)
+    resumed = [s["seg_id"] for s in manifest["segments"]
+               if s["resumed_from_checkpoint"]]
+    assert resumed == [0, 2]
+    assert isinstance(manifest["content_fp"], int)
+    after = _collect(Index(spark, out).search(Term("merge") & Term("sort"), k=10))
+    assert before == after
+
+
+def test_parity_mode_spark_matches_oracle(spark, tmp_path_factory):
+    """Helloworld golden via the DISTRIBUTED engine (1 segment)."""
+    out = str(tmp_path_factory.mktemp("ixp"))
+    pdf = pd.DataFrame(
+        {
+            # doc 10 = "x .. t2 .. t3", doc 15 = "x .. t2" with t2@6, t3@15
+            "doc_id": [10, 15],
+            "text": [
+                "f0 f1 f2 f3 f4 f5 t2 f7 f8 f9 f10 f11 f12 f13 f14 t3",
+                "g0 g1 g2 g3 g4 g5 t2",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    build_index(spark, df, out, num_segments=1)
+    ix = Index(spark, out)
+    # doc_index order is doc_id asc (10 then 15); reference emission is
+    # newest-first = doc 15 first
+    assert ix.parity_search(Term("t2")) == [("t2", 6, 15), ("t2", 6, 10)]
+    assert ix.parity_search(Term("t3")) == [("t3", 15, 10)]
+    assert ix.parity_search(Or(Term("t3"), Term("t2"))) == [
+        ("t2", 6, 15), ("t3", 15, 10), ("t2", 6, 10),
+    ]
+    assert ix.parity_search(And(Term("t3"), Term("t2"))) == [
+        ("t3", 15, 10), ("t2", 6, 10),
+    ]
+
+
+def test_query_term_normalization(index, oracle):
+    """Raw user strings normalize through the tokenizer (probe finding:
+    Term('MERGE') must match the lowercased index)."""
+    up = _collect(index.search(Term("MERGE"), k=5))
+    lo = _collect(index.search(Term("merge"), k=5))
+    assert up == lo and len(lo) == 5
+    with pytest.raises(ValueError):
+        index.search(Term("two words"), k=5).collect()
