@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): build + query the inverted
+index over $SPARK_GRAFT_SF_DIR documents on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., ...extras}
+
+Extras include build throughput (docs/sec, tokens/sec) so rounds are
+comparable to BASELINE.md targets.  Scaling-efficiency evidence
+(local[8] vs local[32]) lives in scripts/bench_scaling.py -> BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    k = 10
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("chearch_bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from chearch_spark.build import build_index
+    from chearch_spark.plans.query import Term
+    from chearch_spark.search import Index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select("doc_id", "text")
+    # JVM/codegen warmup so the timed numbers measure the engine
+    corpus.count()
+
+    out = tempfile.mkdtemp(prefix="chearch_bench_ix_")
+    timings: dict[str, float] = {}
+    try:
+        t0 = time.time()
+        res = build_index(
+            spark, corpus, out, num_segments=cpus, resume=False
+        )
+        timings["build"] = time.time() - t0
+
+        ix = Index(spark, out)
+        queries = {
+            "q_term_common": Term("batch"),
+            "q_term_rare": Term("dup"),
+            "q_term_missing": Term("zz_missing_zz"),
+            "q_and": Term("merge") & Term("sort"),
+            "q_or": Term("merge") | Term("sort") | Term("dup"),
+            "q_nested": (Term("merge") & Term("sort")) | Term("dup"),
+        }
+        # warm the segment-scan path once (file listing, codegen)
+        ix.search(Term("batch"), k=k).collect()
+        for name, node in queries.items():
+            t0 = time.time()
+            ix.search(node, k=k).collect()
+            timings[name] = time.time() - t0
+
+        total = sum(timings.values())
+        print(
+            json.dumps(
+                {
+                    "metric": "index build + BM25 top-10 query wall time",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": {n: round(s, 3) for n, s in timings.items()},
+                    "sf": sf_dir.rstrip("/").split("/")[-1],
+                    "n_docs": res.n_docs,
+                    "total_tokens": res.total_tokens,
+                    "build_docs_per_sec": round(res.n_docs / timings["build"], 1),
+                    "build_tokens_per_sec": round(
+                        res.total_tokens / timings["build"], 1
+                    ),
+                    "cpus": cpus,
+                    "num_segments": res.num_segments,
+                }
+            )
+        )
+        sys.stdout.flush()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -382,10 +382,14 @@ def build_index(
     # per-segment rows; segment id is the implicit salt — hot terms are
     # bounded at S input rows) ------------------------------------------
     seg_scan = spark.read.parquet(seg_dir).filter(F.col("term") != META_TERM)
+    # the groupBy shuffle already hash-partitions by term; keep that
+    # partitioning (no repartitionByRange — its sampling pass costs a
+    # full extra read) and sort within partitions so parquet row-group
+    # min/max stats prune query-term probes inside every file
     dictionary = (
         seg_scan.groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-        .repartitionByRange(max(S // 4, 1), "term")
+        .coalesce(max(S // 8, 1))
         .sortWithinPartitions("term")
     )
     dict_dir = os.path.join(out_dir, "dictionary")

@@ -68,19 +68,26 @@ class Index:
 
     # -- dictionary -----------------------------------------------------
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """{term: (df, cf)} via predicate-pushdown dictionary probe
-        (the reference's hash-table probe, `memorysegment.chpl:254-265`,
-        becomes a pruned parquet lookup)."""
-        from pyspark.sql import functions as F
+        """{term: (df, cf)} dictionary probe (the reference's hash-table
+        probe, `memorysegment.chpl:254-265`).
+
+        Reads the pruned dictionary parquet directly on the driver
+        (pyarrow predicate pushdown over row-group stats) instead of
+        launching a Spark job — query terms are few, the probe result
+        is tiny, and skipping the job roughly halves per-query latency.
+        """
+        import pyarrow.dataset as ds
 
         if not terms:
             return {}
-        rows = (
-            self.spark.read.parquet(self.dict_dir)
-            .filter(F.col("term").isin(list(terms)))
-            .collect()
+        table = ds.dataset(self.dict_dir, format="parquet").to_table(
+            filter=ds.field("term").isin(list(terms))
         )
-        return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+        out: dict[str, tuple[int, int]] = {}
+        for t, df, cf in zip(*(table.column(c).to_pylist()
+                               for c in ("term", "df", "cf"))):
+            out[t] = (int(df), int(cf))
+        return out
 
     def dictionary(self):
         """Full dictionary DataFrame (term, df, cf)."""
