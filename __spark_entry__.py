@@ -134,10 +134,25 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pyspark.sql import functions as F
 
+    from chearch_spark.functions import text as T
+    from chearch_spark.operators import ann as A
+    from chearch_spark.operators import dedup as D
     from chearch_spark.plans.query import Term
+    from chearch_spark.sources import multimodal as M
 
     def term_lookup(spark, sf):
         return _match(spark, sf, Term("merge"))
@@ -197,11 +212,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_or": bm25_topk_or,
         "bm25_topk_nested": bm25_topk_nested,
         "bm25_missing": bm25_missing,
+        # --- text analysis (training-data pipeline ops) -------------
+        "token_counts": lambda s, sf: T.token_counts(_docs(s, sf)),
+        "quality_scores": lambda s, sf: T.quality_scores(_docs(s, sf)),
+        "lang_id": lambda s, sf: T.lang_id(_docs(s, sf)),
+        "fingerprints": lambda s, sf: T.fingerprints(_docs(s, sf)),
+        # --- deduplication -------------------------------------------
+        "exact_dups": lambda s, sf: D.exact_duplicates(_docs(s, sf)),
+        "minhash_signatures": lambda s, sf: D.minhash_signatures(
+            _docs(s, sf)
+        ),
+        "minhash_neardup": lambda s, sf: D.minhash_lsh_pairs(
+            _docs(s, sf), tau=0.5
+        ),
+        "ngram_jaccard": lambda s, sf: D.ngram_jaccard_pairs(
+            _docs(s, sf), tau=0.5
+        ),
+        "simhash_signatures": lambda s, sf: D.simhash_signatures(
+            _docs(s, sf)
+        ),
+        "simhash_neardup": lambda s, sf: D.simhash_pairs(
+            _docs(s, sf), max_hamming=3
+        ),
+        "embedding_neardup": lambda s, sf: D.embedding_topk_pairs(
+            _emb(s, sf), k=50
+        ),
+        # --- similarity search ---------------------------------------
+        "ann_topk": lambda s, sf: A.cosine_topk(
+            _emb(s, sf), _ANN_QUERY_IDS, k=10
+        ),
+        # rows-only (approximate by design; no SQL oracle)
+        "ann_lsh_topk": lambda s, sf: A.lsh_ann_topk(
+            _emb(s, sf), _ANN_QUERY_IDS, k=10
+        ),
+        # --- multimodal plumbing --------------------------------------
+        "media_metadata": lambda s, sf: M.media_metadata(
+            M.attach_media(_docs(s, sf))
+        ),
+        # rows-only (Arrow-kernel outputs of the stubbed decoder)
+        "media_features": lambda s, sf: M.extract_features(
+            M.attach_media(_docs(s, sf))
+        ),
+        "media_frames": lambda s, sf: M.frame_sample(
+            M.attach_media(_docs(s, sf))
+        ),
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from chearch_spark.functions import text as T
+    from chearch_spark.operators import ann as A
+    from chearch_spark.operators import dedup as D
+    from chearch_spark.sources import multimodal as M
+
     return {
+        # --- training-data pipeline ops --------------------------------
+        "token_counts": T.token_counts_sql(),
+        "quality_scores": T.quality_scores_sql(),
+        "lang_id": T.lang_id_sql(),
+        "fingerprints": T.fingerprints_sql(),
+        "exact_dups": D.exact_duplicates_sql(),
+        "minhash_signatures": D.minhash_signatures_sql(),
+        "minhash_neardup": D.minhash_lsh_pairs_sql(tau=0.5),
+        "ngram_jaccard": D.ngram_jaccard_pairs_sql(tau=0.5),
+        "simhash_signatures": D.simhash_signatures_sql(),
+        "simhash_neardup": D.simhash_pairs_sql(max_hamming=3),
+        "embedding_neardup": D.embedding_topk_pairs_sql(k=50),
+        "ann_topk": A.cosine_topk_sql(_ANN_QUERY_IDS, k=10),
+        "media_metadata": M.media_metadata_sql(),
+        # ann_lsh_topk / media_features / media_frames: rows-only by
+        # design (approximate ANN; stubbed-decoder Arrow kernels).
+        # --- inverted index / BM25 -------------------------------------
         "term_lookup": _docset_sql(["merge"], "has_merge = 1"),
         "term_lookup_missing": _docset_sql(
             ["zz_missing_zz"], "has_zz_missing_zz = 1"

@@ -1,0 +1,271 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+token counting, quality scoring, language-ID, and document
+fingerprinting — all JVM-side Spark expressions (no Python in the hot
+path; whole-stage codegen end to end) with DuckDB-SQL mirrors so every
+operator passes the driver's value-hash gate.
+
+These extend the reference's capability surface (briangu/chearch is
+string-free — it has *no* tokenizer, `README.md:15,41-67`) with the
+operations a 100 TB document pipeline needs before indexing: filter by
+quality, route by language, count tokens for budgeting, fingerprint
+for provenance.  Scale notes: every function here is a per-row
+projection — no shuffle, no UDF, fully pushdown/pruning-friendly; a
+quality filter composed onto a parquet scan keeps predicate pushdown
+intact because it is a plain Catalyst expression tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chearch_spark import spec
+from chearch_spark.functions.hashing import P_FP, md5_long, md5_long_sql
+
+# --- pinned constants (shared by Spark exprs and SQL mirrors) -----------
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space
+# symbols (ASCII classes only — identical semantics in Java regex and
+# DuckDB's RE2).
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]"
+WS_RE = "[ \t\n\r]+"
+
+# Tiny pinned stopword lists for the language-ID heuristic (argmax of
+# stopword hits; ties -> alphabetically first language; zero hits ->
+# 'unknown').  Deliberately small: the heuristic is the pinned spec,
+# not a model.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+           "eine", "von", "den", "sich"],
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that",
+           "for", "on", "with"],
+    "es": ["el", "los", "las", "y", "es", "en", "un", "una", "por",
+           "con", "para", "se"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que", "qui",
+           "pour", "pas", "sur"],
+}
+LANGS = sorted(LANG_STOPWORDS)  # check order == tie-break order
+
+# Quality score: pinned linear combination of bounded ratios in [0, 1].
+QUALITY_WEIGHTS = {"alpha_ratio": 0.4, "stopword_ratio": 0.3,
+                   "len_score": 0.3}
+QUALITY_LEN_CAP = 200  # tokens: len_score = min(n_tokens, cap) / cap
+
+
+def tokens_col(text: Column) -> Column:
+    """Pinned tokenizer as a JVM expression: lowercase, split on runs
+    outside [a-z0-9_], drop empties (same spec as ``spec.tokenize``)."""
+    return F.filter(
+        F.split(F.lower(text), spec.TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+
+
+TOKENS_SQL = (
+    "list_filter(regexp_split_to_array(lower({t}), '[^a-z0-9_]+'),"
+    " x -> x <> '')"
+)
+
+
+# --- token counting ------------------------------------------------------
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, ws_tokens, bpe_tokens) per document."""
+    text = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.size(tokens_col(text)).cast("long").alias("n_tokens"),
+        F.size(F.filter(F.split(text, WS_RE), lambda t: t != ""))
+        .cast("long")
+        .alias("ws_tokens"),
+        F.regexp_count(F.lower(text), F.lit(BPE_RE))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def token_counts_sql(table: str = "documents", text_col: str = "text") -> str:
+    toks = TOKENS_SQL.format(t=text_col)
+    return f"""
+SELECT doc_id,
+       CAST(len({toks}) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(regexp_split_to_array({text_col}, '{WS_RE}'),
+                            x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower({text_col}), '{BPE_RE}'))
+            AS BIGINT) AS bpe_tokens
+FROM {table}
+"""
+
+
+# --- quality scoring -----------------------------------------------------
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len, alpha_ratio,
+    stopword_ratio, quality) — all ratios double, rounded to 6."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z]", ""))
+    stop = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    sum_tok_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    d = F.lit(1.0)  # force double arithmetic
+    alpha_ratio = F.when(n_chars > 0, d * alpha_chars / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, d * n_stop / n_tokens).otherwise(0.0)
+    avg_len = F.when(n_tokens > 0, d * sum_tok_len / n_tokens).otherwise(0.0)
+    len_score = F.least(n_tokens, F.lit(QUALITY_LEN_CAP)) * d / QUALITY_LEN_CAP
+    w = QUALITY_WEIGHTS
+    quality = (
+        w["alpha_ratio"] * alpha_ratio
+        + w["stopword_ratio"] * stop_ratio
+        + w["len_score"] * len_score
+    )
+    return df.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def quality_scores_sql(table: str = "documents", text_col: str = "text") -> str:
+    toks = TOKENS_SQL.format(t=text_col)
+    stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    w = QUALITY_WEIGHTS
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(length({text_col}) AS BIGINT) AS n_chars,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(lower({text_col}), '[^a-z]', '', 'g'))
+              AS BIGINT) AS alpha_chars,
+         CAST(len(list_filter({toks}, t -> list_contains([{stop}], t)))
+              AS BIGINT) AS n_stop,
+         CAST(coalesce(list_sum(list_transform({toks}, t -> length(t))), 0)
+              AS BIGINT) AS sum_tok_len
+  FROM {table}
+), r AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CASE WHEN n_tokens > 0
+              THEN CAST(sum_tok_len AS DOUBLE) / n_tokens ELSE 0.0 END
+           AS avg_token_len,
+         CASE WHEN n_chars > 0
+              THEN CAST(alpha_chars AS DOUBLE) / n_chars ELSE 0.0 END
+           AS alpha_ratio,
+         CASE WHEN n_tokens > 0
+              THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END
+           AS stopword_ratio,
+         CAST(least(n_tokens, {QUALITY_LEN_CAP}) AS DOUBLE)
+           / {QUALITY_LEN_CAP} AS len_score
+  FROM q
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(avg_token_len, 6) AS avg_token_len,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round({w["alpha_ratio"]} * alpha_ratio
+             + {w["stopword_ratio"]} * stopword_ratio
+             + {w["len_score"]} * len_score, 6) AS quality
+FROM r
+"""
+
+
+# --- language identification ---------------------------------------------
+
+def _langid_case_sql(counts: dict[str, str]) -> str:
+    """Shared CASE expression: argmax of per-language stopword hits,
+    alphabetical tie-break, 'unknown' on zero hits.  Plain SQL that
+    parses identically in Spark SQL and DuckDB."""
+    all_counts = ", ".join(counts[lang] for lang in LANGS)
+    branches = "\n       ".join(
+        f"WHEN {counts[lang]} >= greatest({all_counts}) THEN '{lang}'"
+        for lang in LANGS
+    )
+    return (
+        f"CASE WHEN greatest({all_counts}) = 0 THEN 'unknown'\n"
+        f"       {branches} END"
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang) via the pinned stopword-hit heuristic."""
+    text = F.col(text_col)
+    out = df.select("doc_id", tokens_col(text).alias("toks"))
+    counts = {}
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array([F.lit(w) for w in words])
+        out = out.withColumn(
+            f"c_{lang}",
+            F.size(F.filter(F.col("toks"), lambda t: F.array_contains(arr, t))),
+        )
+        counts[lang] = f"c_{lang}"
+    return out.select(
+        "doc_id", F.expr(_langid_case_sql(counts)).alias("pred_lang")
+    )
+
+
+def lang_id_sql(table: str = "documents", text_col: str = "text") -> str:
+    toks = TOKENS_SQL.format(t=text_col)
+    count_exprs = []
+    counts = {}
+    for lang in LANGS:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        count_exprs.append(
+            f"len(list_filter({toks}, t -> list_contains([{words}], t)))"
+            f" AS c_{lang}"
+        )
+        counts[lang] = f"c_{lang}"
+    cols = ",\n         ".join(count_exprs)
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         {cols}
+  FROM {table}
+)
+SELECT doc_id, {_langid_case_sql(counts)} AS pred_lang
+FROM c
+"""
+
+
+# --- document fingerprinting ---------------------------------------------
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp): order-sensitive positional fingerprint
+    ``sum_i (i+1) * (md5_long(tok_i) % P) mod P`` — a polynomial-style
+    rolling hash with linear position weights so it stays exact-integer
+    and O(1)-reducible on both engines (every per-element product is
+    pre-reduced mod P, so the running fold never overflows int64 even
+    for billion-token documents)."""
+    toks = tokens_col(F.col(text_col))
+    elems = F.transform(
+        toks,
+        lambda t, i: ((i.cast("long") + 1) % P_FP) * (md5_long(t) % P_FP) % P_FP,
+    )
+    fp = F.aggregate(
+        elems, F.lit(0).cast("long"), lambda acc, e: (acc + e) % F.lit(P_FP)
+    )
+    return df.select("doc_id", fp.alias("fp"))
+
+
+def fingerprints_sql(table: str = "documents", text_col: str = "text") -> str:
+    toks = TOKENS_SQL.format(t=text_col)
+    h = md5_long_sql("tok")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS tok,
+         generate_subscripts({toks}, 1) AS pos
+  FROM {table}
+), agg AS (
+  SELECT doc_id,
+         sum((CAST(pos AS BIGINT) % {P_FP}) * ({h} % {P_FP}) % {P_FP})
+           % {P_FP} AS fp
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(a.fp, 0) AS BIGINT) AS fp
+FROM {table} d LEFT JOIN agg a USING (doc_id)
+"""

@@ -1,0 +1,196 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(``array<float>``).
+
+Two paths, per the scale playbook:
+
+* :func:`cosine_topk` — exact brute-force top-k.  The *right* plan for
+  a small query set against a huge corpus: the query vectors are
+  broadcast (hash-join build side), the corpus stays partitioned and is
+  scanned once, each task computes dot products JVM-side
+  (``zip_with`` + sequential ``aggregate`` fold in double — the fold
+  order is pinned, so scores are bit-identical at any parallelism),
+  local top-k per partition, global ``TakeOrderedAndProject``.  No
+  shuffle of the corpus, one gather of k rows per query.
+* :func:`lsh_ann_topk` — random-hyperplane (SimHash-style) LSH with
+  banded candidate generation, for when the query set itself is large:
+  corpus and queries are bucketed by band signature and joined on the
+  bucket key, so the join touches candidates only.  Hyperplanes are
+  pinned constants derived from md5 (deterministic across runs and
+  engines — no RNG state to ship).  Approximate: recall < 1 by design;
+  verified in tests against the exact baseline, and exposed to the
+  driver as a rows-only query (no SQL oracle, per contract).
+
+The reference engine has no vector path at all (SURVEY.md §2.5); this
+module is part of the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from chearch_spark.functions.hashing import py_md5_long
+from chearch_spark.operators.dedup import _dot, with_norm
+
+# Pinned hyperplane grid for LSH: PLANES x DIM values in [-1, 1),
+# derived from md5 so Spark, tests, and any re-implementation agree.
+LSH_PLANES = 16
+LSH_BANDS = 4
+LSH_ROWS = LSH_PLANES // LSH_BANDS
+
+
+def _plane_value(p: int, d: int) -> float:
+    return (py_md5_long(f"chearch-ann-plane-{p}-{d}") % 2001 - 1000) / 1000.0
+
+
+def _plane_lit(p: int, dim: int) -> Column:
+    return F.array(*[F.lit(_plane_value(p, d)) for d in range(dim)])
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query id:
+    (query_id, vec_id, cos, rank) — rank 1..k, ties (cos desc, vec_id
+    asc), self-matches excluded."""
+    e = with_norm(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), vec_col
+    )
+    q = (
+        e.filter(F.col("vec_id").isin(list(query_ids)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col("norm").alias("qn"),
+        )
+    )
+    cos = _dot(F.col("qv"), F.col(vec_col)) / (F.col("qn") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def cosine_topk_sql(
+    query_ids: list[int], k: int = 10, table: str = "embeddings"
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qn
+  FROM n WHERE vec_id IN ({ids})
+), scored AS (
+  SELECT q.query_id, n.vec_id,
+         list_dot_product(q.qv, n.v) / (q.qn * n.norm) AS cos
+  FROM n JOIN q ON n.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def lsh_signature(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Adds per-band bucket columns ``band0..band{B-1}``: each band is
+    the sign-bit pattern of ROWS hyperplane projections.  JVM-side
+    (zip_with/aggregate) — no Python, no shuffle."""
+    out = emb
+    v = F.col(vec_col)
+    for b in range(LSH_BANDS):
+        bits = []
+        for r in range(LSH_ROWS):
+            p = b * LSH_ROWS + r
+            proj = _dot(v, _plane_lit(p, dim))
+            bits.append(
+                F.when(proj >= 0, F.lit(1 << r)).otherwise(F.lit(0))
+            )
+        band = bits[0]
+        for x in bits[1:]:
+            band = band + x
+        out = out.withColumn(f"band{b}", band.cast("int"))
+    return out
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing ≥ 1 LSH band
+    bucket with the query, ranked by exact cosine.  May return < k
+    rows per query (recall < 1 by design)."""
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    sig = with_norm(lsh_signature(base, vec_col, dim), vec_col)
+    bands = sig.select(
+        "vec_id",
+        vec_col,
+        "norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band{b}").alias("bv")
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", vec_col, "norm", "bb.band", "bb.bv")
+    q = bands.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("norm").alias("qn"),
+        F.col("band").alias("qband"),
+        F.col("bv").alias("qbv"),
+    )
+    cand = (
+        bands.join(
+            F.broadcast(q),
+            (F.col("band") == F.col("qband"))
+            & (F.col("bv") == F.col("qbv"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", vec_col, "norm", "qv", "qn")
+        .distinct()
+    )
+    cos = _dot(F.col("qv"), F.col(vec_col)) / (F.col("qn") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

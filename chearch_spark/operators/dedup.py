@@ -1,0 +1,548 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+All content hashing goes through the engine-portable ``md5_long``
+primitive (:mod:`chearch_spark.functions.hashing`), so every operator
+here has a DuckDB-SQL mirror and passes the driver's value-hash gate —
+the *same* bits from Spark's JVM expressions and an independent engine.
+
+Scale design (100 TB / 10^12 docs):
+
+* **exact**: ``groupBy(md5(text))`` — one shuffle on a 128-bit key,
+  uniformly distributed by construction (no skew possible), map-side
+  partial aggregation halves the shuffle.
+* **MinHash+LSH**: shingle → 16 universal hashes → 4 bands × 4 rows →
+  self-join on (band, band_hash).  The join key is a hash bucket, so
+  only near-duplicate *clusters* co-locate; candidate verification
+  (exact Jaccard) touches candidate pairs only — never O(n²).  Skew:
+  a cluster of c identical docs makes c² candidate pairs in one
+  bucket; that is inherent to the problem (those pairs ARE the
+  output), and AQE skew-join splitting handles the bucket fan-out.
+* **SimHash**: 48-bit signature, 4 × 12-bit bands.  Banding is
+  pigeonhole-EXACT for hamming ≤ 3 (any pair within distance 3 agrees
+  on ≥ 1 band), so the banded join returns exactly the same pairs as
+  the O(n²) scan the oracle runs — an exact algorithm with a
+  sub-quadratic plan.
+* **n-gram Jaccard**: join on shared shingle (complete for any
+  threshold > 0 because J ≥ τ > 0 implies ≥ 1 shared shingle).  Hot
+  shingles (boilerplate) explode this join — that is precisely why
+  the MinHash path exists; this operator is the exact verifier /
+  small-scale tool.
+* **embedding cosine**: all-pairs is the exact baseline (test scale);
+  the scale path is the LSH-bucketed ANN in
+  :mod:`chearch_spark.operators.ann`.
+
+No Python runs per row anywhere — tokenize/shingle/hash/band are all
+Catalyst expressions inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chearch_spark.functions.hashing import (
+    MINHASH_BANDS,
+    MINHASH_ROWS,
+    NUM_MINHASH,
+    PM,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    md5_long,
+    md5_long_sql,
+    minhash_col,
+    minhash_sql,
+)
+from chearch_spark.functions.text import TOKENS_SQL, tokens_col
+
+SHINGLE_N = 3  # token 3-grams
+
+
+# ======================================================================
+# exact dedup
+# ======================================================================
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (content_md5, n_dups, min_doc_id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_duplicates_sql(table: str = "documents", text_col: str = "text") -> str:
+    return f"""
+SELECT md5({text_col}) AS content_md5,
+       count(*) AS n_dups,
+       min(doc_id) AS min_doc_id
+FROM {table}
+GROUP BY md5({text_col})
+HAVING count(*) > 1
+"""
+
+
+# ======================================================================
+# shingles (shared by MinHash and Jaccard)
+# ======================================================================
+
+def shingles_col(toks: Column) -> Column:
+    """Token 3-gram shingles as a JVM array expression (guarded so
+    short docs yield an empty array, never a descending sequence)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (SHINGLE_N - 1))
+    return F.when(
+        F.size(toks) >= SHINGLE_N,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(SHINGLE_N)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, sh) shingle rows."""
+    return (
+        df.select(
+            "doc_id",
+            F.explode(shingles_col(tokens_col(F.col(text_col)))).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_CTE = """
+WITH tk AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+), sh0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= {n}
+                THEN list_transform(generate_series(1, len(toks) - {n1}),
+                     i -> concat_ws(' ', {parts}))
+                ELSE [] END) AS sh
+  FROM tk
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM sh0
+)"""
+
+
+def _shingles_cte(table: str, text_col: str) -> str:
+    parts = ", ".join(f"toks[i + {j}]" for j in range(SHINGLE_N))
+    return _SHINGLES_CTE.format(
+        toks=TOKENS_SQL.format(t=text_col),
+        table=table,
+        n=SHINGLE_N,
+        n1=SHINGLE_N - 1,
+        parts=parts,
+    )
+
+
+# ======================================================================
+# MinHash signatures + LSH near-dup pairs
+# ======================================================================
+
+def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, m0..m15) MinHash signature per doc (docs with ≥ 1
+    shingle).  One explode + one groupBy(doc_id) shuffle."""
+    return minhash_signatures_from_shingles(doc_shingles(df, text_col))
+
+
+def minhash_signatures_sql(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    mins = ",\n         ".join(
+        f"min({minhash_sql('xm', i)}) AS m{i}" for i in range(NUM_MINHASH)
+    )
+    return f"""{_shingles_cte(table, text_col)}
+, x AS (
+  SELECT doc_id, {md5_long_sql('sh')} % {PM} AS xm FROM sh
+)
+SELECT doc_id,
+       {mins}
+FROM x GROUP BY doc_id
+"""
+
+
+def _band_struct(sig_cols: list[str]) -> Column:
+    """Array of (band, band_hash) structs from signature columns."""
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cols = sig_cols[b * MINHASH_ROWS:(b + 1) * MINHASH_ROWS]
+        bh = F.md5(F.concat_ws(",", *[F.col(c) for c in cols]))
+        bands.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
+    return F.array(*bands)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, tau: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """LSH candidate pairs verified by exact Jaccard ≥ tau:
+    (doc_a, doc_b, jaccard).  Semantics are pinned as
+    "band-collision AND J ≥ tau" (deterministic, oracle-mirrorable);
+    the probabilistic part is recall of the banding scheme only."""
+    sh = doc_shingles(df, text_col).cache()
+    sig = minhash_signatures_from_shingles(sh)
+    sig_cols = [f"m{i}" for i in range(NUM_MINHASH)]
+    bands = sig.select(
+        "doc_id", F.explode(_band_struct(sig_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, tau)
+
+
+def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    xm = (md5_long(F.col("sh")) % PM).alias("xm")
+    return (
+        sh.select("doc_id", xm)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(minhash_col(F.col("xm"), i)).alias(f"m{i}")
+                for i in range(NUM_MINHASH)
+            ]
+        )
+    )
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, tau: float) -> DataFrame:
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("db"))
+            & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    ca = sizes.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    j = F.col("i").cast("double") / (F.col("ca") + F.col("cb") - F.col("i"))
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"i": 0})
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs_sql(
+    tau: float = 0.5, table: str = "documents", text_col: str = "text"
+) -> str:
+    mins = ",\n         ".join(
+        f"min({minhash_sql('xm', i)}) AS m{i}" for i in range(NUM_MINHASH)
+    )
+    band_rows = []
+    for b in range(MINHASH_BANDS):
+        cols = ", ".join(
+            f"m{i}"
+            for i in range(b * MINHASH_ROWS, (b + 1) * MINHASH_ROWS)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bh"
+            " FROM sig"
+        )
+    bands = "\n  UNION ALL\n  ".join(band_rows)
+    return f"""{_shingles_cte(table, text_col)}
+, x AS (
+  SELECT doc_id, {md5_long_sql('sh')} % {PM} AS xm FROM sh
+), sig AS (
+  SELECT doc_id, {mins} FROM x GROUP BY doc_id
+), bands AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
+), scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(coalesce(i.i, 0) AS DOUBLE)
+           / (ca.c + cb.c - coalesce(i.i, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes ca ON ca.doc_id = c.doc_a
+  JOIN sizes cb ON cb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+FROM scored WHERE jaccard >= {tau}
+"""
+
+
+# ======================================================================
+# exact n-gram Jaccard pairs (the verifier as a standalone operator)
+# ======================================================================
+
+def ngram_jaccard_pairs(
+    df: DataFrame, tau: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """All pairs with shingle-Jaccard ≥ tau (tau > 0): joins on shared
+    shingles, so it is complete without an n² scan."""
+    assert tau > 0.0, "tau must be > 0 for the shared-shingle join to be complete"
+    sh = doc_shingles(df, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh"))
+    inter = (
+        sa.join(sb, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    ca = sizes.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    j = F.col("i").cast("double") / (F.col("ca") + F.col("cb") - F.col("i"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    tau: float = 0.5, table: str = "documents", text_col: str = "text"
+) -> str:
+    return f"""{_shingles_cte(table, text_col)}
+, sizes AS (
+  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS i
+  FROM sh sa JOIN sh sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
+), scored AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) AS jaccard
+  FROM inter i
+  JOIN sizes ca ON ca.doc_id = i.doc_a
+  JOIN sizes cb ON cb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+FROM scored WHERE jaccard >= {tau}
+"""
+
+
+# ======================================================================
+# SimHash
+# ======================================================================
+
+def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 48-bit tf-weighted SimHash (docs with ≥ 1
+    token).  One explode + one groupBy(doc_id) shuffle; the 48
+    bit-sums are codegen'd aggregate expressions."""
+    tf = (
+        df.select(
+            "doc_id", F.explode(tokens_col(F.col(text_col))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", md5_long(F.col("term")))
+    )
+    aggs = [
+        F.sum(
+            F.when((F.shiftright(F.col("h"), b) % 2) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sig = tf.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return sig.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_signatures_sql(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    toks = TOKENS_SQL.format(t=text_col)
+    h = md5_long_sql("term")
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) % 2 = 1 THEN tf ELSE -tf END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bits = "\n       + ".join(
+        f"CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM {table}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, {h} AS h
+  FROM tok GROUP BY doc_id, term
+), sig AS (
+  SELECT doc_id,
+         {sums}
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({bits} AS BIGINT) AS simhash
+FROM sig
+"""
+
+
+def simhash_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with hamming(simhash) ≤ max_hamming
+    via a banded join.  With 4 bands and max_hamming ≤ 3 the band join
+    is pigeonhole-EXACT — identical output to the O(n²) scan, at
+    O(candidates) cost."""
+    assert max_hamming < SIMHASH_BANDS, (
+        "banded join is only exact for max_hamming < number of bands"
+    )
+    sig = simhash_signatures(df, text_col)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                            % F.lit(mask + 1)
+                        ).alias("bv"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_pairs_sql(
+    max_hamming: int = 3, table: str = "documents", text_col: str = "text"
+) -> str:
+    """Oracle: exact O(n²) hamming scan over the same signatures (the
+    banded Spark plan must return exactly this set)."""
+    sig = simhash_signatures_sql(table, text_col).strip()
+    return f"""
+WITH s AS ({sig})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+# ======================================================================
+# embedding-cosine near-dup (exact baseline; scale path = operators.ann)
+# ======================================================================
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_col(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    return _dot(a, b) / (na * nb)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = F.col(vec_col)
+    return df.withColumn("norm", F.sqrt(_dot(v, v)))
+
+
+def embedding_topk_pairs(
+    emb: DataFrame, k: int = 50, vec_col: str = "embedding"
+) -> DataFrame:
+    """Global top-k most-similar pairs by cosine: (vec_a, vec_b, cos).
+    Exact all-pairs baseline — O(n²), for verification scale; use
+    ann.lsh_ann for the bucketed scale path."""
+    e = with_norm(emb.select("vec_id", vec_col), vec_col)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    cos = cosine_col(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(k)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embedding_topk_pairs_sql(k: int = 50, table: str = "embeddings") -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e
+), p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cos
+FROM p ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT {k}
+"""

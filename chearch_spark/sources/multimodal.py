@@ -1,0 +1,161 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched kernels over ``mapInPandas``.
+
+The image/audio libraries are not available in this environment, so
+the *decode* step is stubbed (deterministic fake or
+``NotImplementedError``), but everything Spark-side is real and
+tested: schema (binary + struct metadata), partitioning behavior,
+Pandas-UDF signatures, and Arrow batch shapes.  Swapping the stub for
+Pillow/ffmpeg changes one function body, not the plan.
+
+Scale notes: binary payloads ride ordinary parquet columns; the
+kernels are per-row projections inside ``mapInPandas`` (Arrow
+batches, no shuffle), so the operators scale linearly with input
+splits.  Keep ``spark.sql.files.maxPartitionBytes`` sized so one
+batch of payloads fits executor memory (e.g. 64 MB splits for ~1 MB
+media blobs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KINDS = ["image", "audio", "video"]
+
+MEDIA_SCHEMA = (
+    "doc_id long, kind string, payload binary, width int, height int, "
+    "sample_rate int"
+)
+FEATURE_SCHEMA = (
+    "doc_id long, kind string, n_bytes long, byte_sum long, "
+    "byte_min int, byte_max int"
+)
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic fake media table derived from the documents table:
+    payload = utf-8 bytes of the text (an opaque blob as far as the
+    pipeline is concerned), kind/width/height/sample_rate derived from
+    doc_id.  Stands in for a real (repo, path, blob) media source."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.element_at(F.array(*[F.lit(k) for k in KINDS]), (d % 3 + 1).cast("int"))
+        .alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        (d % 64 + 16).cast("int").alias("width"),
+        (d % 48 + 16).cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """(doc_id, kind, n_bytes, sha256) — pure JVM projection over the
+    binary column (no decode)."""
+    return media.select(
+        "doc_id",
+        "kind",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha256"),
+    )
+
+
+def media_metadata_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB mirror over the same derivation (encode = utf-8 blob)."""
+    kinds = ", ".join(f"'{k}'" for k in KINDS)
+    return f"""
+SELECT doc_id,
+       [{kinds}][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+       CAST(octet_length(encode({text_col})) AS BIGINT) AS n_bytes,
+       sha256({text_col}) AS sha256
+FROM {table}
+"""
+
+
+def decode_media(payload: bytes, kind: str) -> np.ndarray:
+    """Decode stub.  A real deployment plugs Pillow / soundfile /
+    ffmpeg here; this environment has none of them, so we use the
+    deterministic fake: the raw bytes as a uint8 array.  Raises
+    ``NotImplementedError`` for unknown kinds, as a real decoder
+    would for unsupported codecs."""
+    if kind not in KINDS:
+        raise NotImplementedError(f"no decoder for media kind {kind!r}")
+    return np.frombuffer(payload or b"", dtype=np.uint8)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the decoded payload:
+    exact-integer byte statistics (stable across engines, unlike
+    float image stats).  mapInPandas: one pandas batch in, one out."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [
+                decode_media(p, k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(a) for a in arrs],
+                    "byte_sum": [int(a.sum()) for a in arrs],
+                    "byte_min": [int(a.min()) if len(a) else 0 for a in arrs],
+                    "byte_max": [int(a.max()) if len(a) else 0 for a in arrs],
+                }
+            )
+
+    return media.select("doc_id", "kind", "payload").mapInPandas(
+        _kernel, FEATURE_SCHEMA
+    )
+
+
+def frame_sample(
+    media: DataFrame, frame_bytes: int = 64, stride: int = 4
+) -> DataFrame:
+    """Frame sampler: splits each payload into fixed-size "frames" and
+    keeps every ``stride``-th one — the plumbing shape of video frame
+    sampling (real frames would come from the decoder)."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_frame = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload or b"")
+                n_frames = len(buf) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    out_doc.append(int(doc_id))
+                    out_idx.append(i)
+                    out_frame.append(
+                        buf[i * frame_bytes:(i + 1) * frame_bytes]
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame": pd.Series(out_frame, dtype=object),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _kernel, FRAME_SCHEMA
+    )
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: real implementation needs an image library —
+    the kernel raises ``NotImplementedError`` eagerly at *plan build*
+    so the missing dependency is a clear, immediate error rather than
+    a mid-job executor failure."""
+    raise NotImplementedError(
+        "resize requires an image library (Pillow) not present in this "
+        "environment; plug the decoder into decode_media() and implement "
+        "the kernel like extract_features()"
+    )

@@ -1,0 +1,202 @@
+"""Semantic tests for the training-data pipeline operators (dedup,
+similarity search, text analysis, multimodal plumbing) on corpora with
+planted duplicates / neighbors.  Engine-vs-oracle parity for every
+contract query is covered separately by test_entry_contract.py."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chearch_spark import spec
+from chearch_spark.functions import text as T
+from chearch_spark.functions.hashing import P_FP, py_md5_long
+from chearch_spark.operators import ann as A
+from chearch_spark.operators import dedup as D
+from chearch_spark.sources import multimodal as M
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank"
+NEAR = "the quick brown fox jumps over the lazy cat near the river bank"
+OTHER = "completely different content about spark shuffles and parquet"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),        # exact dup of 0
+        (2, NEAR),        # near dup of 0 (1 token changed)
+        (3, OTHER),
+        (4, OTHER + " with an extra tail of tokens"),
+        (5, ""),          # empty doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(corpus):
+    dups = D.exact_duplicates(corpus).collect()
+    assert len(dups) == 1
+    assert dups[0].n_dups == 2 and dups[0].min_doc_id == 0
+
+
+def test_ngram_jaccard_planted(corpus):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(corpus, tau=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs
+    # 1 token changed in a 13-token doc: 11 shingles, 3 containing the
+    # changed token differ -> J = 8/14
+    assert pairs[(0, 2)] == pytest.approx(8 / 14, abs=1e-6)
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_planted_neardups(corpus):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_lsh_pairs(corpus, tau=0.3).collect()
+    }
+    # identical docs always collide in every band
+    assert pairs[(0, 1)] == 1.0
+    # near-dup J=0.571: 16 minhashes agree w.p. ~J each; with 4x4
+    # banding the planted pair collides for this pinned hash family
+    assert (0, 2) in pairs
+
+
+def test_minhash_signature_identical_for_identical_docs(corpus):
+    sigs = {r.doc_id: r for r in D.minhash_signatures(corpus).collect()}
+    assert all(
+        sigs[0][f"m{i}"] == sigs[1][f"m{i}"] for i in range(16)
+    )
+    assert 5 not in sigs  # empty doc has no shingles
+
+
+def test_simhash_banded_equals_bruteforce(spark, corpus):
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_pairs(corpus, max_hamming=3).collect()
+    }
+    sig = {r.doc_id: r.simhash for r in D.simhash_signatures(corpus).collect()}
+    brute = {
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    assert banded == brute
+    assert (0, 1, 0) in banded  # identical docs: distance 0
+
+
+def test_fingerprint_matches_python_spec(spark, corpus):
+    got = {r.doc_id: r.fp for r in T.fingerprints(corpus).collect()}
+
+    def py_fp(text):
+        toks = spec.tokenize(text)
+        return sum(
+            (i + 1) * (py_md5_long(t) % P_FP) % P_FP
+            for i, t in enumerate(toks)
+        ) % P_FP
+
+    for doc_id, text in [(0, BASE), (2, NEAR), (3, OTHER), (5, "")]:
+        assert got[doc_id] == py_fp(text), doc_id
+    assert got[0] == got[1] and got[0] != got[2]
+
+
+def test_token_counts(spark, corpus):
+    got = {r.doc_id: r for r in T.token_counts(corpus).collect()}
+    assert got[0].n_tokens == len(spec.tokenize(BASE)) == 13
+    assert got[0].ws_tokens == 13
+    assert got[5].n_tokens == got[5].ws_tokens == got[5].bpe_tokens == 0
+
+
+def test_lang_id_heuristic(spark):
+    rows = [
+        (0, "the cat is on the mat and it is happy"),
+        (1, "der Hund ist nicht mit der Katze und das ist gut"),
+        (2, "le chat est dans la maison et les oiseaux sont pour lui"),
+        (3, "el perro es un animal y los gatos son para la casa"),
+        (4, "zzz qqq xxx"),
+    ]
+    df = rows_df = None
+    import pyspark.sql
+
+    spark_s = pyspark.sql.SparkSession.getActiveSession()
+    df = spark_s.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.pred_lang for r in T.lang_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "unknown"}
+
+
+def test_quality_scores_bounds(corpus):
+    rows = T.quality_scores(corpus).collect()
+    for r in rows:
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.alpha_ratio <= 1.0
+    empty = next(r for r in rows if r.doc_id == 5)
+    assert empty.quality == 0.0 and empty.n_tokens == 0
+
+
+# --- similarity search ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 8)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.normal(size=8).astype(np.float32)  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vectors):
+    got = A.cosine_topk(vectors, [0], k=3).collect()
+    assert [r.rank for r in got] == [1, 2, 3]
+    assert got[0].vec_id == 1 and got[0].cos > 0.99  # planted neighbor
+    # verify against numpy
+    pdf = vectors.toPandas().sort_values("vec_id")
+    m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    cos = m @ m[0] / (np.linalg.norm(m, axis=1) * np.linalg.norm(m[0]))
+    cos[0] = -np.inf
+    order = np.lexsort((np.arange(len(cos)), -cos))[:3]
+    assert [r.vec_id for r in got] == order.tolist()
+
+
+def test_lsh_ann_finds_near_identical(vectors):
+    got = A.lsh_ann_topk(vectors, [0], k=3, dim=8).collect()
+    # a near-identical vector agrees on (almost) every hyperplane sign,
+    # so it must appear in some band bucket and rank first
+    assert got and got[0].vec_id == 1 and got[0].rank == 1
+
+
+def test_embedding_topk_pairs(vectors):
+    top = D.embedding_topk_pairs(vectors, k=1).collect()
+    assert (top[0].vec_a, top[0].vec_b) == (0, 1)
+
+
+# --- multimodal plumbing -------------------------------------------------
+
+
+def test_media_plumbing(corpus):
+    media = M.attach_media(corpus)
+    meta = {r.doc_id: r for r in M.media_metadata(media).collect()}
+    assert meta[0].n_bytes == len(BASE.encode())
+    assert meta[0].kind == "image" and meta[1].kind == "audio"
+    assert meta[0].sha256 == meta[1].sha256  # same payload bytes
+
+    feats = {r.doc_id: r for r in M.extract_features(media).collect()}
+    raw = BASE.encode()
+    assert feats[0].byte_sum == sum(raw)
+    assert feats[0].byte_min == min(raw) and feats[0].byte_max == max(raw)
+    assert feats[5].n_bytes == 0 and feats[5].byte_sum == 0
+
+    frames = M.frame_sample(media, frame_bytes=16, stride=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_frames_doc0 = len(BASE.encode()) // 16
+    assert len(by_doc[0]) == (n_frames_doc0 + 1) // 2
+    assert all(len(r.frame) == 16 for r in by_doc[0])
+    assert 5 not in by_doc  # empty payload -> no frames
+
+
+def test_resize_stub_raises(corpus):
+    with pytest.raises(NotImplementedError):
+        M.resize_stub(M.attach_media(corpus), 32, 32)
