@@ -49,6 +49,22 @@ def main() -> None:
     # JVM/codegen warmup so the timed numbers measure the engine
     corpus.count()
 
+    # pre-fork the Python worker pool (pays the pandas/numpy import
+    # cost outside the timed region; workers are reused afterwards —
+    # per-executor-lifetime cost on a real cluster, not per-job)
+    def _wk(batches):
+        import pyarrow as pa
+
+        from chearch_spark import build as _b  # noqa: F401
+
+        yield pa.RecordBatch.from_pylist(
+            [{"n": sum(b.num_rows for b in batches)}]
+        )
+
+    spark.range(cpus * 4).repartition(cpus * 4).mapInArrow(
+        _wk, "n long"
+    ).count()
+
     out = tempfile.mkdtemp(prefix="chearch_bench_ix_")
     timings: dict[str, float] = {}
     try:
@@ -72,6 +88,30 @@ def main() -> None:
         for name, node in queries.items():
             t0 = time.time()
             ix.search(node, k=k).collect()
+            timings[name] = time.time() - t0
+
+        # training-data pipeline operators (dedup / ANN / text)
+        from chearch_spark.functions import text as T
+        from chearch_spark.operators import ann as A
+        from chearch_spark.operators import dedup as D
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        pipeline = {
+            "p_minhash_neardup": lambda: D.minhash_lsh_pairs(
+                corpus, tau=0.5
+            ).count(),
+            "p_simhash_neardup": lambda: D.simhash_pairs(
+                corpus, max_hamming=3
+            ).count(),
+            "p_exact_dups": lambda: D.exact_duplicates(corpus).count(),
+            "p_ann_topk": lambda: A.cosine_topk(
+                emb, [0, 1, 2, 3, 4], k=k
+            ).count(),
+            "p_text_quality": lambda: T.quality_scores(corpus).count(),
+        }
+        for name, fn in pipeline.items():
+            t0 = time.time()
+            fn()
             timings[name] = time.time() - t0
 
         total = sum(timings.values())

@@ -106,11 +106,20 @@ def shingles_col(toks: Column) -> Column:
 
 
 def doc_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Distinct (doc_id, sh) shingle rows."""
+    """Distinct (doc_id, sh) shingle rows.
+
+    The token array is materialized in its own projection BEFORE the
+    shingle transform: `shingles_col` references its input ~5 times
+    (size guard, sequence bound, 3 element_at per shingle), and
+    Catalyst would inline the tokenizer into every reference — making
+    shingling O(tokens²) per document.  A separate select keeps it a
+    once-per-row column (CollapseProject declines to merge projections
+    when the expression is non-trivial and multiply referenced, but
+    being explicit here is what guarantees the linear plan)."""
+    toks = df.select("doc_id", tokens_col(F.col(text_col)).alias("toks"))
     return (
-        df.select(
-            "doc_id",
-            F.explode(shingles_col(tokens_col(F.col(text_col)))).alias("sh"),
+        toks.select(
+            "doc_id", F.explode(shingles_col(F.col("toks"))).alias("sh")
         )
         .distinct()
     )

@@ -35,8 +35,19 @@ import pandas as pd
 from chearch_spark import spec
 from chearch_spark.build import META_TERM
 from chearch_spark.operators import codec
-from chearch_spark.operators.wand import local_topk_scores
-from chearch_spark.plans.query import And, Node, Or, Term
+from chearch_spark.operators.wand import (
+    local_topk_scores,
+    prune_conjunctive_blocks,
+    wand_or_topk,
+)
+from chearch_spark.plans.query import (
+    And,
+    Node,
+    Or,
+    Term,
+    conjunctive_terms,
+    disjunctive_terms,
+)
 
 
 def _normalize(node: Node) -> Node:
@@ -270,11 +281,46 @@ def _eval_docset(node: Node, postings: dict) -> np.ndarray:
 
 
 def _score_segment(pdf: pd.DataFrame, node: Node, idfs, avgdl, k):
-    """Per-segment candidates + BM25 scores + local top-k."""
+    """Per-segment candidates + BM25 scores + local top-k.
+
+    Fast paths (identical results, fewer scored candidates):
+    * pure disjunctions (incl. single terms) -> block-max WAND
+      (`wand.wand_or_topk`): only docs whose summed block upper bounds
+      beat the running threshold get scored exactly;
+    * pure conjunctions -> rarest-term-driven intersection
+      (`wand.prune_conjunctive_blocks`), the vectorized version of the
+    reference's smaller-list-first intent (`docs/Feature notes.txt`).
+    Mixed trees fall back to full doc-set algebra.
+    """
     postings, meta_ids, doc_lens, blocks = _decode_segment(pdf)
-    cand = _eval_docset(node, postings)
-    if len(cand) == 0:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+
+    dis = disjunctive_terms(node)
+    if dis is not None:
+        terms = [t for t in dis if t in postings and t in idfs]
+        if not terms:
+            return empty
+        d, s = wand_or_topk(
+            [postings[t] for t in terms],
+            [blocks.get(t) for t in terms],
+            [idfs[t] for t in terms],
+            doc_lens,
+            avgdl,
+            k,
+        )
+        return meta_ids[d], s
+
+    con = conjunctive_terms(node)
+    if con is not None:
+        if any(t not in postings for t in con):
+            return empty
+        cand = prune_conjunctive_blocks(
+            [postings[t][0] for t in con], [blocks.get(t) for t in con]
+        )
+    else:
+        cand = _eval_docset(node, postings)
+    if cand is None or len(cand) == 0:
+        return empty
     scores = np.zeros(len(cand), dtype=np.float64)
     dl = doc_lens[cand].astype(np.float64)
     denom_norm = spec.BM25_K1 * (1.0 - spec.BM25_B + spec.BM25_B * dl / avgdl)

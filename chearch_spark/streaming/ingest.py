@@ -1,0 +1,236 @@
+"""Streaming ingest: incremental index build via Structured Streaming.
+
+The reference's online path is an async producer/consumer indexer and a
+TCP server, both explicitly in-progress (`queuedindexer.chpl:13-81`,
+`chearch_srv.chpl:20-72`, `README.md:18-21`).  The Spark-native
+re-expression is Structured Streaming + ``foreachBatch``: each
+micro-batch is hash-partitioned by doc_id and built into *new immutable
+segment files* (same layout as the batch build — the batch kernel is
+reused verbatim), so the index grows by whole segments and readers are
+snapshot-isolated for free, exactly the reference's
+publish-by-counter semantics (`memorysegment.chpl:289-306`) at file
+granularity.
+
+Scale notes: per micro-batch the work is one repartition exchange +
+coordination-free Arrow kernels, identical to the batch build;
+checkpointLocation gives exactly-once batch replay, and segment writes
+are atomic (tmp -> rename) + keyed by (batch_id, partition), so batch
+retries are idempotent — the streaming analogue of the resumable batch
+build.  The global dictionary is deliberately NOT updated per batch
+(a hot-path global shuffle per micro-batch would serialize ingest);
+:func:`finalize_index` merges per-segment stats into the dictionary
+when a queryable snapshot is needed — call it per N batches or on
+demand.  Queries before finalize see the previous snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pandas as pd
+
+from chearch_spark import spec
+from chearch_spark.build import (
+    SUMMARY_SCHEMA,
+    _atomic_write_parquet,
+    _build_segment_tables,
+)
+
+# Segment ids must be unique across (batch, partition): seg_id =
+# batch_id * BATCH_SEG_STRIDE + partition_id.
+BATCH_SEG_STRIDE = 100_000
+
+
+def ingest_batch(
+    batch_df,
+    out_dir: str,
+    batch_id: int,
+    *,
+    num_segments: int = 8,
+    store_positions: bool = True,
+) -> list:
+    """Build the micro-batch into new segment files (idempotent:
+    a replayed batch finds its files and skips).  Returns the
+    per-partition summary rows."""
+    from pyspark import TaskContext
+
+    seg_dir = os.path.join(out_dir, "segments")
+    map_dir = os.path.join(out_dir, "docmap")
+    os.makedirs(seg_dir, exist_ok=True)
+    os.makedirs(map_dir, exist_ok=True)
+    base = batch_id * BATCH_SEG_STRIDE
+
+    def _kernel(batches):
+        import pyarrow as pa
+
+        ctx = TaskContext.get()
+        seg_id = base + ctx.partitionId()
+        seg_path = os.path.join(seg_dir, f"segment-{seg_id:09d}.parquet")
+        map_path = os.path.join(map_dir, f"docmap-{seg_id:09d}.parquet")
+        k0 = time.time()
+        if os.path.exists(seg_path) and os.path.exists(map_path):
+            # replayed micro-batch (exactly-once via idempotent writes)
+            yield pa.RecordBatch.from_pylist(
+                [
+                    {
+                        "seg_id": seg_id,
+                        "n_docs": 0,
+                        "n_terms": 0,
+                        "n_tokens": 0,
+                        "n_postings": 0,
+                        "bytes_written": 0,
+                        "skipped": True,
+                        "wall_sec": time.time() - k0,
+                        "content_fp": 0,
+                    }
+                ]
+            )
+            return
+        pdfs = [b.to_pandas() for b in batches]
+        pdf = (
+            pd.concat(pdfs, ignore_index=True)
+            if pdfs
+            else pd.DataFrame({"doc_id": [], "text": []})
+        )
+        seg_pdf, docmap_pdf, s = _build_segment_tables(
+            pdf, seg_id, store_positions
+        )
+        nbytes = _atomic_write_parquet(seg_pdf, seg_path)
+        nbytes += _atomic_write_parquet(docmap_pdf, map_path)
+        yield pa.RecordBatch.from_pylist(
+            [
+                {
+                    "seg_id": seg_id,
+                    "n_docs": s["n_docs"],
+                    "n_terms": s["n_terms"],
+                    "n_tokens": s["n_tokens"],
+                    "n_postings": s["n_postings"],
+                    "bytes_written": nbytes,
+                    "skipped": False,
+                    "wall_sec": time.time() - k0,
+                    "content_fp": s["content_fp"],
+                }
+            ]
+        )
+
+    from pyspark.sql import functions as F
+
+    summaries = (
+        batch_df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("text").cast("string").alias("text"),
+        )
+        .repartition(num_segments, "doc_id")
+        .mapInArrow(_kernel, SUMMARY_SCHEMA)
+        .collect()
+    )
+    lineage = {
+        "batch_id": batch_id,
+        "segments": [
+            {
+                "seg_id": int(r.seg_id),
+                "n_docs": int(r.n_docs),
+                "n_tokens": int(r.n_tokens),
+                "replayed": bool(r.skipped),
+                "wall_sec": float(r.wall_sec),
+                "content_fp": int(r.content_fp),
+            }
+            for r in summaries
+        ],
+    }
+    path = os.path.join(out_dir, f"manifest-batch-{batch_id:06d}.json")
+    with open(path + ".tmp", "w") as f:
+        json.dump(lineage, f, indent=1)
+    os.replace(path + ".tmp", path)
+    return summaries
+
+
+def finalize_index(spark, out_dir: str) -> dict:
+    """Merge all segments (batch- or stream-written) into a queryable
+    snapshot: rebuild the global dictionary and stats.json.  Same
+    merge shape as the batch build: a tiny shuffle over per-segment
+    pre-aggregated term rows."""
+    from pyspark.sql import functions as F
+
+    from chearch_spark.build import META_TERM
+
+    seg_dir = os.path.join(out_dir, "segments")
+    seg = spark.read.parquet(seg_dir)
+    dictionary = (
+        seg.filter(F.col("term") != META_TERM)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .coalesce(max(spark.sparkContext.defaultParallelism // 8, 1))
+        .sortWithinPartitions("term")
+    )
+    dictionary.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "dictionary")
+    )
+    meta = (
+        seg.filter(F.col("term") == META_TERM)
+        .agg(
+            F.sum("df").alias("n_docs"),
+            F.sum("cf").alias("n_tokens"),
+            F.count("*").alias("n_segments"),
+        )
+        .collect()[0]
+    )
+    n_docs = int(meta.n_docs or 0)
+    total_tokens = int(meta.n_tokens or 0)
+    stats = {
+        "spec_version": spec.SPEC_VERSION,
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        "num_segments": int(meta.n_segments),
+        "store_positions": True,
+        "content_fp": 0,
+    }
+    tmp = os.path.join(out_dir, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "stats.json"))
+    return stats
+
+
+def stream_build(
+    spark,
+    input_path: str,
+    out_dir: str,
+    *,
+    schema: str = "doc_id long, text string",
+    num_segments: int = 8,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """readStream(parquet dir) -> foreachBatch(ingest_batch) ->
+    finalize.  With ``available_now`` the stream drains everything
+    currently in ``input_path`` and stops (used by tests/bench); a
+    real deployment runs continuously and calls finalize_index on a
+    schedule."""
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt = checkpoint or os.path.join(out_dir, "_checkpoint")
+
+    def _each(batch_df, batch_id: int) -> None:
+        ingest_batch(
+            batch_df, out_dir, int(batch_id), num_segments=num_segments
+        )
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_path)
+    )
+    writer = (
+        reader.writeStream.foreachBatch(_each)
+        .option("checkpointLocation", ckpt)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.start()
+        return q
+    return finalize_index(spark, out_dir)

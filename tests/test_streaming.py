@@ -1,0 +1,84 @@
+"""Streaming ingest: an index built incrementally from micro-batches
+must answer queries identically to a batch build over the same corpus
+(scores use global stats, so segmentation cannot affect ranks)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from chearch_spark.build import build_index
+from chearch_spark.plans.query import Term
+from chearch_spark.search import Index
+from chearch_spark.streaming.ingest import (
+    finalize_index,
+    ingest_batch,
+    stream_build,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def dirs():
+    d = tempfile.mkdtemp(prefix="chearch_stream_")
+    yield {
+        "input": os.path.join(d, "in"),
+        "stream_ix": os.path.join(d, "six"),
+        "batch_ix": os.path.join(d, "bix"),
+    }
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_build_matches_batch_build(spark, dirs):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # two "arriving" parquet files -> two micro-batches
+    os.makedirs(dirs["input"])
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(
+        dirs["input"] + "/part=0"
+    )
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(
+        dirs["input"] + "/part=1"
+    )
+
+    stats = stream_build(
+        spark,
+        dirs["input"] + "/part=*",
+        dirs["stream_ix"],
+        num_segments=4,
+    )
+    build_index(
+        spark, docs, dirs["batch_ix"], num_segments=4, resume=False
+    )
+
+    six = Index(spark, dirs["stream_ix"])
+    bix = Index(spark, dirs["batch_ix"])
+    assert six.n_docs == bix.n_docs == stats["n_docs"]
+    assert six.stats["total_tokens"] == bix.stats["total_tokens"]
+
+    for q in (
+        Term("merge"),
+        Term("merge") & Term("sort"),
+        (Term("merge") & Term("sort")) | Term("dup"),
+    ):
+        got = [(r.doc_id, round(r.score, 9)) for r in six.search(q, k=10).collect()]
+        want = [(r.doc_id, round(r.score, 9)) for r in bix.search(q, k=10).collect()]
+        assert got == want, q
+
+
+def test_ingest_batch_replay_is_idempotent(spark, dirs):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(50)
+    out = dirs["stream_ix"]
+    s1 = ingest_batch(docs, out, batch_id=0, num_segments=2)
+    assert sum(r.n_docs for r in s1) == 50
+    assert not any(r.skipped for r in s1)
+    # replay (as after a foreachBatch failure/restart): skipped, no rewrite
+    s2 = ingest_batch(docs, out, batch_id=0, num_segments=2)
+    assert all(r.skipped for r in s2)
+    finalize_index(spark, out)
+    assert Index(spark, out).n_docs == 50
