@@ -90,6 +90,15 @@ def main() -> None:
             ix.search(node, k=k).collect()
             timings[name] = time.time() - t0
 
+        # driver-local query path (reference localQuery parity —
+        # milliseconds, no Spark job); report mean over 20 reps
+        ix.local_search(Term("batch"), k=k)  # warm page cache
+        for name, node in queries.items():
+            t0 = time.time()
+            for _ in range(20):
+                ix.local_search(node, k=k)
+            timings["local_" + name] = (time.time() - t0) / 20
+
         # training-data pipeline operators (dedup / ANN / text)
         from chearch_spark.functions import text as T
         from chearch_spark.operators import ann as A

@@ -76,6 +76,15 @@ class Index:
         self.seg_dir = os.path.join(path, "segments")
         self.dict_dir = os.path.join(path, "dictionary")
         self.map_dir = os.path.join(path, "docmap")
+        # driver-local DECODED posting cache — the RAM analogue of the
+        # reference's MemorySegment residency (`memorysegment.chpl:
+        # 76-118`): local_search fills it lazily per term, so repeated
+        # terms never touch parquet (or the varint decoder) again.
+        # _posting_cache: term -> {seg_id: (docs, tfs, blocks|None)}
+        # _meta_cache:    seg_id -> (ext_ids, doc_lens)
+        self._posting_cache: dict[str, dict] = {}
+        self._meta_cache: dict[int, tuple] | None = None
+        self._stats_cache: dict[str, tuple[int, int] | None] = {}
 
     # -- dictionary -----------------------------------------------------
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
@@ -144,6 +153,119 @@ class Index:
 
         # global gather: TakeOrderedAndProject (single exchange)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # -- driver-local low-latency path ------------------------------------
+    def _cached_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        miss = [t for t in terms if t not in self._stats_cache]
+        if miss:
+            got = self.term_stats(miss)
+            for t in miss:
+                self._stats_cache[t] = got.get(t)
+        return {
+            t: self._stats_cache[t] for t in terms if self._stats_cache[t]
+        }
+
+    def _load_meta(self) -> dict:
+        """seg_id -> (ext_ids, doc_lens), decoded once."""
+        if self._meta_cache is None:
+            import pyarrow.dataset as ds
+
+            table = ds.dataset(self.seg_dir, format="parquet").to_table(
+                filter=ds.field("term") == META_TERM,
+                columns=["seg_id", "doc_ids", "tfs"],
+            )
+            meta = {}
+            for seg_id, doc_ids, tfs in zip(
+                table.column("seg_id").to_pylist(),
+                table.column("doc_ids").to_pylist(),
+                table.column("tfs").to_pylist(),
+            ):
+                meta[int(seg_id)] = (
+                    codec.decode_postings(doc_ids).astype(np.int64),
+                    codec.decode_varints(tfs).astype(np.int64),
+                )
+            self._meta_cache = meta
+        return self._meta_cache
+
+    def _load_postings(self, terms: list[str]) -> None:
+        """Fill the decoded posting cache for missing terms (one pruned
+        parquet read; absent terms cache as empty dicts)."""
+        missing = [t for t in set(terms) if t not in self._posting_cache]
+        if not missing:
+            return
+        import pyarrow.dataset as ds
+
+        table = ds.dataset(self.seg_dir, format="parquet").to_table(
+            filter=ds.field("term").isin(missing),
+            columns=["seg_id", "term", "doc_ids", "tfs", "blocks"],
+        )
+        for t in missing:
+            self._posting_cache[t] = {}
+        for seg_id, term, doc_ids, tfs, blk in zip(
+            table.column("seg_id").to_pylist(),
+            table.column("term").to_pylist(),
+            table.column("doc_ids").to_pylist(),
+            table.column("tfs").to_pylist(),
+            table.column("blocks").to_pylist(),
+        ):
+            blocks = None
+            if blk:
+                tri = codec.decode_varints(blk).astype(np.int64)
+                blocks = (tri[0::3], tri[1::3], tri[2::3])
+            self._posting_cache[term][int(seg_id)] = (
+                codec.decode_postings(doc_ids).astype(np.int64),
+                codec.decode_varints(tfs).astype(np.int64),
+                blocks,
+            )
+
+    def local_search(
+        self, query: Node | str, k: int = spec.DEFAULT_K
+    ) -> list[tuple[int, float]]:
+        """Query WITHOUT launching a Spark job — the reference's
+        ``localQuery`` (`searchindex.chpl:71-83`) generalized over all
+        segments, with decoded postings held in driver RAM (the
+        MemorySegment-residency analogue, `memorysegment.chpl:76-118`):
+        first touch of a term does one pruned parquet read + varint
+        decode; afterwards a query is pure numpy per segment plus a
+        top-k merge.  Results are identical to :meth:`search` (same
+        kernel, same global stats, same tie-break); warm latency is
+        sub-millisecond-per-segment vs. the distributed path's per-job
+        overhead — chearch's local/scatter-gather latency split
+        (`README.md:30-31`).  Use for interactive / index-fits-in-RAM
+        serving; the distributed path is for indexes that do not."""
+        node = _normalize(Term(query) if isinstance(query, str) else query)
+        terms = node.terms()
+        idfs = {
+            t: spec.idf(self.n_docs, df_cf[0])
+            for t, df_cf in self._cached_stats(terms).items()
+        }
+        meta = self._load_meta()
+        self._load_postings(terms)
+        all_ids, all_scores = [], []
+        for seg_id in meta:
+            postings = {}
+            blocks = {}
+            for t in terms:
+                entry = self._posting_cache[t].get(seg_id)
+                if entry is not None:
+                    postings[t] = (entry[0], entry[1])
+                    if entry[2] is not None:
+                        blocks[t] = entry[2]
+            if not postings:
+                continue
+            ext_ids, doc_lens = meta[seg_id]
+            ids, scores = _score_decoded(
+                node, postings, ext_ids, doc_lens, blocks, idfs,
+                self.avgdl, k,
+            )
+            all_ids.append(ids)
+            all_scores.append(scores)
+        if not all_ids:
+            return []
+        ids, scores = local_topk_scores(
+            np.concatenate(all_ids), np.concatenate(all_scores), k
+        )
+        return [(int(d), float(s)) for d, s in zip(ids, scores)]
 
     # -- boolean retrieval (doc sets, no scores) -------------------------
     def match_docs(self, query: Node | str):
@@ -293,6 +415,14 @@ def _score_segment(pdf: pd.DataFrame, node: Node, idfs, avgdl, k):
     Mixed trees fall back to full doc-set algebra.
     """
     postings, meta_ids, doc_lens, blocks = _decode_segment(pdf)
+    return _score_decoded(
+        node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k
+    )
+
+
+def _score_decoded(node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k):
+    """Score pre-decoded postings (shared by the distributed kernel and
+    the driver-local cache path)."""
     empty = (np.empty(0, np.int64), np.empty(0, np.float64))
 
     dis = disjunctive_terms(node)

@@ -167,3 +167,49 @@ def test_query_term_normalization(index, oracle):
     assert up == lo and len(lo) == 5
     with pytest.raises(ValueError):
         index.search(Term("two words"), k=5).collect()
+
+
+@pytest.mark.parametrize("qname", sorted(QUERIES))
+def test_local_search_matches_distributed(index, qname):
+    """Driver-local path (reference localQuery, searchindex.chpl:71-83)
+    must return byte-identical top-k to the distributed path."""
+    node = QUERIES[qname]
+    dist = [
+        (r["doc_id"], round(r["score"], 12))
+        for r in index.search(node, k=10).collect()
+    ]
+    local = [(d, round(s, 12)) for d, s in index.local_search(node, k=10)]
+    assert local == dist, qname
+
+
+def test_hot_term_skew_build(spark, tmp_path_factory):
+    """Skew fixture (SURVEY.md §5 f): one term in ~60% of docs.  The
+    per-segment pre-aggregation bounds the hot term's dictionary merge
+    to num_segments rows; df/cf and top-k must stay exact."""
+    rows = [
+        (
+            i,
+            ("hotterm filler%d " % (i % 7)) * 3
+            if i % 5 != 0
+            else "cold filler%d only" % (i % 7),
+        )
+        for i in range(500)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = str(tmp_path_factory.mktemp("skew_ix"))
+    df = spark.createDataFrame(pdf)
+    build_index(spark, df, out, num_segments=8, resume=False)
+    ix = Index(spark, out)
+    oracle = OracleIndex.from_rows(pdf.itertuples(index=False))
+
+    df_stats = ix.term_stats(["hotterm"])["hotterm"]
+    assert df_stats == (400, 1200)  # df = docs containing, cf = 3 per doc
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in ix.search(Term("hotterm") | Term("cold"), k=10).collect()
+    ]
+    want = [
+        (d, round(s, 9))
+        for d, s in oracle.search(Term("hotterm") | Term("cold"), k=10)
+    ]
+    assert got == want
