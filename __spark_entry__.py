@@ -199,6 +199,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_missing(spark, sf):
         return _search(spark, sf, Term("zz_missing_zz"))
 
+    def bm25_batch(spark, sf):
+        """Three queries answered in ONE Spark job (search_many)."""
+        ix = _get_index(spark, sf)
+        qs = {
+            "b_and": Term("merge") & Term("sort"),
+            "b_or": Term("merge") | Term("sort") | Term("dup"),
+            "b_single": Term("dup"),
+        }
+        return ix.search_many(qs, k=10).select(
+            "query", "doc_id", F.round("score", 6).alias("score")
+        )
+
     return {
         "term_lookup": term_lookup,
         "term_lookup_missing": term_lookup_missing,
@@ -212,6 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_or": bm25_topk_or,
         "bm25_topk_nested": bm25_topk_nested,
         "bm25_missing": bm25_missing,
+        "bm25_batch": bm25_batch,
         # --- text analysis (training-data pipeline ops) -------------
         "token_counts": lambda s, sf: T.token_counts(_docs(s, sf)),
         "quality_scores": lambda s, sf: T.quality_scores(_docs(s, sf)),
@@ -322,4 +335,23 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
             "(has_merge = 1 AND has_sort = 1) OR has_dup = 1",
         ),
         "bm25_missing": _bm25_sql(["zz_missing_zz"], "has_zz_missing_zz = 1"),
+        "bm25_batch": "\nUNION ALL\n".join(
+            f"SELECT '{name}' AS query, * FROM ({sql})"
+            for name, sql in [
+                (
+                    "b_and",
+                    _bm25_sql(
+                        ["merge", "sort"], "has_merge = 1 AND has_sort = 1"
+                    ),
+                ),
+                (
+                    "b_or",
+                    _bm25_sql(
+                        ["merge", "sort", "dup"],
+                        "has_merge = 1 OR has_sort = 1 OR has_dup = 1",
+                    ),
+                ),
+                ("b_single", _bm25_sql(["dup"], "has_dup = 1")),
+            ]
+        ),
     }

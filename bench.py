@@ -90,6 +90,11 @@ def main() -> None:
             ix.search(node, k=k).collect()
             timings[name] = time.time() - t0
 
+        # all six queries in ONE job (amortized scan/schedule/gather)
+        t0 = time.time()
+        ix.search_many(queries, k=k).collect()
+        timings["q_batch6"] = time.time() - t0
+
         # driver-local query path (reference localQuery parity —
         # milliseconds, no Spark job); report mean over 20 reps
         ix.local_search(Term("batch"), k=k)  # warm page cache

@@ -276,6 +276,15 @@ def _atomic_write_parquet(pdf: pd.DataFrame, final_path: str) -> int:
     return size
 
 
+# Default per-segment document cap when num_segments is not given: the
+# kernel materializes one partition in executor memory, so segments are
+# sized like the reference's 2^24-doc MemorySegment (`documentid.chpl:24`,
+# README.md:36) — but 2^21 by default, since our docs (source files) are
+# ~100x a tweet.  At 10^12 files this yields ~500k segments; Spark
+# schedules that fine, and every segment stays well inside one task's RAM.
+DEFAULT_DOCS_PER_SEGMENT = 2 ** 21
+
+
 def build_index(
     spark,
     corpus_df,
@@ -284,6 +293,7 @@ def build_index(
     doc_id_col: str = "doc_id",
     text_col: str = "text",
     num_segments: int | None = None,
+    docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
     store_positions: bool = True,
     resume: bool = True,
 ) -> BuildResult:
@@ -292,6 +302,12 @@ def build_index(
     One repartition exchange, then one Arrow kernel per partition that
     writes its segment + docmap files directly (resumable), then a tiny
     dictionary merge shuffle over per-segment term stats.
+
+    Segment count: explicit ``num_segments`` wins; otherwise it is
+    sized so no segment exceeds ``docs_per_segment`` documents (kernel
+    memory bound — the reference's segment-capacity rule,
+    `documentid.chpl:24`) and no fewer than the default parallelism
+    (so every core gets work).
     """
     from pyspark import TaskContext
     from pyspark.sql import functions as F
@@ -306,7 +322,14 @@ def build_index(
         F.col(doc_id_col).cast("long").alias("doc_id"),
         F.col(text_col).cast("string").alias("text"),
     )
-    S = int(num_segments or spark.sparkContext.defaultParallelism)
+    if num_segments is not None:
+        S = int(num_segments)
+    else:
+        n_input = corpus.count()  # cheap: count pushed to the scan
+        S = max(
+            spark.sparkContext.defaultParallelism,
+            -(-n_input // docs_per_segment),  # ceil
+        )
     # document-hash partitioning (chearch README.md:17): one segment per
     # Spark partition; the ONLY full-data shuffle in the build
     parted = corpus.repartition(S, "doc_id")

@@ -154,6 +154,74 @@ class Index:
         # global gather: TakeOrderedAndProject (single exchange)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    # -- multi-query batch execution --------------------------------------
+    def search_many(
+        self, queries: dict[str, Node | str], k: int = spec.DEFAULT_K
+    ):
+        """Answer MANY queries in ONE Spark job: the segment scan is
+        pruned to the union of all query terms, each kernel scores
+        every query against its segment, and one window takes the
+        per-query top-k.  Per-query results are identical to
+        :meth:`search`; job overhead (scan listing, scheduling, the
+        gather) is paid once instead of per query — the batch analogue
+        of the reference TCP server funneling many CHASM programs
+        through one scatter-gather engine (`chearch_srv.chpl:20-72`).
+
+        Returns (query string, doc_id long, score double, rank int).
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        nodes = {
+            name: _normalize(Term(q) if isinstance(q, str) else q)
+            for name, q in queries.items()
+        }
+        union_terms = sorted({t for n in nodes.values() for t in n.terms()})
+        stats = self.term_stats(union_terms)
+        idfs = {
+            t: spec.idf(self.n_docs, stats[t][0])
+            for t in union_terms
+            if t in stats
+        }
+        avgdl = self.avgdl
+        scan = self._segment_scan(
+            union_terms, ["seg_id", "term", "df", "doc_ids", "tfs", "blocks"]
+        )
+
+        def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            postings, meta_ids, doc_lens, blocks = _decode_segment(pdf)
+            out = {"query": [], "doc_id": [], "score": []}
+            for name, node in nodes.items():
+                ids, scores = _score_decoded(
+                    node, postings, meta_ids, doc_lens, blocks, idfs,
+                    avgdl, k,
+                )
+                out["query"].extend([name] * len(ids))
+                out["doc_id"].extend(ids.tolist())
+                out["score"].extend(scores.tolist())
+            return pd.DataFrame(
+                {
+                    "query": pd.Series(out["query"], dtype=object),
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "score": pd.Series(out["score"], dtype="float64"),
+                }
+            )
+
+        local = scan.groupBy("seg_id").applyInPandas(
+            _kernel, "query string, doc_id long, score double"
+        )
+        w = Window.partitionBy("query").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query", "doc_id", "score", F.col("rank").cast("int")
+            )
+            .orderBy("query", "rank")
+        )
+
     # -- driver-local low-latency path ------------------------------------
     def _cached_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         miss = [t for t in terms if t not in self._stats_cache]

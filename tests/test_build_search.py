@@ -213,3 +213,19 @@ def test_hot_term_skew_build(spark, tmp_path_factory):
         for d, s in oracle.search(Term("hotterm") | Term("cold"), k=10)
     ]
     assert got == want
+
+
+def test_search_many_matches_individual(index):
+    """One-job batch execution must equal per-query search exactly."""
+    batch = index.search_many(QUERIES, k=10).collect()
+    by_query = {}
+    for r in batch:
+        by_query.setdefault(r["query"], []).append(
+            (r["doc_id"], round(r["score"], 12), r["rank"])
+        )
+    for name, node in QUERIES.items():
+        want = [
+            (r["doc_id"], round(r["score"], 12), i + 1)
+            for i, r in enumerate(index.search(node, k=10).collect())
+        ]
+        assert by_query.get(name, []) == want, name
