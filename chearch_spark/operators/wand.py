@@ -121,9 +121,13 @@ def wand_or_topk(
 
     # union of docs with summed upper bounds
     all_docs = np.unique(np.concatenate([p[0] for p in postings]))
+    if len(all_docs) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
     ub_sum = np.zeros(len(all_docs), dtype=np.float64)
     for i in range(nt):
         docs = postings[i][0]
+        if len(docs) == 0:
+            continue
         pos = np.searchsorted(all_docs, docs)
         ub_sum[pos] += term_doc_ubs(i)
 
@@ -136,6 +140,8 @@ def wand_or_topk(
         )
         for i in range(nt):
             docs, tfs = postings[i]
+            if len(docs) == 0:
+                continue
             ix = np.searchsorted(docs, cand)
             ix_c = np.minimum(ix, max(len(docs) - 1, 0))
             hit = docs[ix_c] == cand

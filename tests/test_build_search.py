@@ -229,3 +229,56 @@ def test_search_many_matches_individual(index):
             for i, r in enumerate(index.search(node, k=10).collect())
         ]
         assert by_query.get(name, []) == want, name
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_random_corpus_engine_vs_oracle(spark, tmp_path_factory, seed):
+    """Randomized corpora (seeded): distributed engine must be
+    rank-identical to the single-node oracle on every query shape."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(50)] + ["hot"] * 10
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(0, 40))))
+        for i in range(300)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = str(tmp_path_factory.mktemp(f"rnd_ix_{seed}"))
+    build_index(
+        spark, spark.createDataFrame(pdf), out, num_segments=5, resume=False
+    )
+    ix = Index(spark, out)
+    oracle = OracleIndex.from_rows(pdf.itertuples(index=False))
+    queries = [
+        Term("hot"),
+        Term("w1"),
+        Term("w1") & Term("w2"),
+        Term("w1") | Term("w2"),
+        (Term("w1") & Term("hot")) | Term("w3"),
+        (Term("w1") | Term("w2")) & (Term("w3") | Term("hot")),
+    ]
+    for q in queries:
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ix.search(q, k=15).collect()
+        ]
+        want = [(d, round(s, 9)) for d, s in oracle.search(q, k=15)]
+        assert got == want, q
+        local = [(d, round(s, 9)) for d, s in ix.local_search(q, k=15)]
+        assert local == want, q
+
+
+def test_hot_term_merge_is_bounded_by_segments(spark, tmp_path_factory):
+    """Salting evidence (north rule): per-segment pre-aggregation bounds
+    ANY term — however hot — to at most num_segments rows entering the
+    dictionary merge shuffle."""
+    rows = [(i, "hotterm common filler") for i in range(400)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = str(tmp_path_factory.mktemp("salt_ix"))
+    build_index(
+        spark, spark.createDataFrame(pdf), out, num_segments=8, resume=False
+    )
+    seg = pd.read_parquet(os.path.join(out, "segments"))
+    per_term = seg[seg["term"] == "hotterm"].groupby("term").size()
+    assert int(per_term.iloc[0]) <= 8  # merge input rows, not 400
