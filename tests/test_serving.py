@@ -1,0 +1,107 @@
+"""Wire-protocol parity: the TCP server must be queryable with raw
+bytes exactly as the reference's util/query_client.py sends them
+(request `[count:u8][PUSH t:u32be][PUSH t:u32be][AND]`, response
+13-byte big-endian records)."""
+
+import socket
+import struct
+
+import pytest
+
+from chearch_spark.build import build_index
+from chearch_spark.plans import chasm_wire
+from chearch_spark.plans.query import And, Or, Term, from_postfix, to_postfix
+from chearch_spark.search import Index
+from chearch_spark.serving import ChearchTCPServer
+
+
+def test_wire_roundtrip():
+    node = (Term("a") & Term("b")) | Term("c")
+    ids = {"a": 7, "b": 9, "c": 300000}
+    rev = {v: k for k, v in ids.items()}
+    wire = chasm_wire.ast_to_wire(node, ids.__getitem__)
+    assert wire[0] == len(wire) - 1  # leading count byte
+    back = chasm_wire.wire_to_ast(wire, rev.__getitem__)
+    assert to_postfix(back) == to_postfix(node)
+
+
+def test_wire_matches_reference_client_example():
+    """The reference client sends bytearray([5, 1, 0,0,0,2]) for
+    `PUSH term=2` (util/query_client.py:11-12) — byte-for-byte."""
+    wire = chasm_wire.encode_program([("PUSH", 2)])
+    assert wire == bytes([5, 1, 0, 0, 0, 2])
+    assert chasm_wire.decode_program(wire) == [("PUSH", 2)]
+
+
+def test_record_codec():
+    rows = [(2, 7, 10), (3, 255, 2**40)]
+    data = chasm_wire.encode_records(rows)
+    assert len(data) == 26
+    assert chasm_wire.decode_records(data) == rows
+    # truncation at 8 records (chearch_srv.chpl:40)
+    data = chasm_wire.encode_records([(1, 1, 1)] * 20)
+    assert len(data) == 8 * 13
+
+
+@pytest.fixture(scope="module")
+def served_index(spark, tmp_path_factory):
+    rows = [
+        (10, "alpha beta gamma"),
+        (15, "beta delta"),
+        (20, "alpha beta alpha"),
+    ]
+    out = str(tmp_path_factory.mktemp("srv_ix"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    build_index(spark, df, out, num_segments=2, resume=False)
+    srv = ChearchTCPServer(Index(spark, out))
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _ask(port: int, wire: bytes) -> list[tuple[int, int, int]]:
+    with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+        s.sendall(wire)
+        s.shutdown(socket.SHUT_WR)
+        data = b""
+        while True:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            data += chunk
+    return chasm_wire.decode_records(data)
+
+
+def test_tcp_server_term_query(served_index):
+    srv = served_index
+    tid = srv.term_ids.id_of("alpha")
+    wire = bytes([5, 1]) + struct.pack(">I", tid)  # raw client bytes
+    recs = _ask(srv.port, wire)
+    # alpha occurs at positions 0,2 in doc 20 and 0 in doc 10
+    assert {(r[1], r[2]) for r in recs} == {(0, 20), (2, 20), (0, 10)}
+    assert all(r[0] == tid for r in recs)
+
+
+def test_tcp_server_and_dual_emit(served_index):
+    """AND emits BOTH operands' occurrences per matching doc
+    (reference semantics, README.md:122-124)."""
+    srv = served_index
+    a, b = srv.term_ids.id_of("alpha"), srv.term_ids.id_of("delta")
+    node = from_postfix([("PUSH", "alpha"), ("PUSH", "beta"), ("AND",)])
+    wire = chasm_wire.ast_to_wire(node, srv.term_ids.id_of)
+    recs = _ask(srv.port, wire)
+    docs = {r[2] for r in recs}
+    assert docs == {10, 20}  # docs containing both
+    terms = {r[0] for r in recs}
+    assert terms == {srv.term_ids.id_of("alpha"), srv.term_ids.id_of("beta")}
+    # missing term -> empty
+    assert _ask(srv.port, bytes([5, 1]) + struct.pack(">I", 0xFFFFFFF0)) == []
+    assert a != b
+
+
+def test_tcp_server_truncates_at_8(served_index):
+    srv = served_index
+    wire = bytes([5, 1]) + struct.pack(">I", srv.term_ids.id_of("beta"))
+    node_rows = srv.index.parity_search(Term("beta"))
+    recs = _ask(srv.port, wire)
+    assert len(recs) == min(len(node_rows), 8)
