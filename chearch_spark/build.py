@@ -55,6 +55,7 @@ import numpy as np
 import pandas as pd
 
 from chearch_spark import spec
+from chearch_spark.operators import bloom as bloom_mod
 from chearch_spark.operators import codec
 
 META_TERM = ""  # sorts before every real token ([a-z0-9_]+ is non-empty)
@@ -66,7 +67,7 @@ SEGMENT_SCHEMA = (
 SUMMARY_SCHEMA = (
     "seg_id long, n_docs long, n_terms long, n_tokens long, "
     "n_postings long, bytes_written long, skipped boolean, "
-    "wall_sec double, content_fp long"
+    "wall_sec double, content_fp long, bloom_m long, bloom binary"
 )
 
 
@@ -240,6 +241,8 @@ def _build_segment_tables(pdf: pd.DataFrame, seg_id: int, store_positions: bool)
         }
     )
 
+    bloom_m, bloom = bloom_mod.make_bloom(terms)
+
     shas = [spec.content_sha256(x) for x in texts]
     docmap_pdf = pd.DataFrame(
         {
@@ -260,6 +263,8 @@ def _build_segment_tables(pdf: pd.DataFrame, seg_id: int, store_positions: bool)
         "n_tokens": n_tokens,
         "n_postings": int(len(g_doc)),
         "content_fp": fp,
+        "bloom_m": bloom_m,
+        "bloom": bloom,
     }
     return seg_pdf, docmap_pdf, summary
 
@@ -347,24 +352,28 @@ def build_index(
             import pyarrow.parquet as pq
 
             mf = pq.read_table(map_path, columns=["doc_len", "sha256"])
-            sf = pq.read_metadata(seg_path)
+            sf = pq.read_table(seg_path, columns=["term"])
             dl = mf.column("doc_len").to_numpy()
             fp = int(
                 sum(int(s[:16], 16) for s in mf.column("sha256").to_pylist())
                 % (2**63)
             )
+            terms = [t for t in sf.column("term").to_pylist() if t != META_TERM]
+            bm, bl = bloom_mod.make_bloom(terms)
             summary = pd.DataFrame(
                 [
                     {
                         "seg_id": seg_id,
                         "n_docs": len(dl),
-                        "n_terms": max(sf.num_rows - 1, 0),
+                        "n_terms": len(terms),
                         "n_tokens": int(dl.sum()),
                         "n_postings": 0,
                         "bytes_written": 0,
                         "skipped": True,
                         "wall_sec": time.time() - k0,
                         "content_fp": fp,
+                        "bloom_m": bm,
+                        "bloom": bl,
                     }
                 ]
             )
@@ -394,12 +403,29 @@ def build_index(
                     "skipped": False,
                     "wall_sec": time.time() - k0,
                     "content_fp": s["content_fp"],
+                    "bloom_m": s["bloom_m"],
+                    "bloom": s["bloom"],
                 }
             ]
         )
         yield pa.RecordBatch.from_pandas(summary)
 
     summaries = parted.mapInArrow(_kernel, SUMMARY_SCHEMA).collect()
+
+    # per-segment term Bloom filters -> segment pruning at query time
+    # (operators/bloom.py); tiny next to the segments themselves
+    bloom_dir = os.path.join(out_dir, "blooms")
+    os.makedirs(bloom_dir, exist_ok=True)
+    _atomic_write_parquet(
+        pd.DataFrame(
+            {
+                "seg_id": [int(r.seg_id) for r in summaries],
+                "bloom_m": [int(r.bloom_m) for r in summaries],
+                "bloom": [bytes(r.bloom) for r in summaries],
+            }
+        ),
+        os.path.join(bloom_dir, "blooms-build.parquet"),
+    )
 
     # ---- global dictionary merge (tiny shuffle over pre-aggregated
     # per-segment rows; segment id is the implicit salt — hot terms are

@@ -1,0 +1,71 @@
+"""Per-segment term Bloom filters for segment pruning.
+
+Document-hash partitioning means every query fans out to every segment
+(chearch's model, `README.md:17` — and its cost).  At 10^12 files /
+~500k segments, even with parquet row-group stats skipping the posting
+rows, the scan still opens every segment file's footer.  A small Bloom
+filter over each segment's term set (built inside the same kernel that
+writes the segment, stored next to the manifest) lets the planner drop
+segments that cannot contain the query's terms:
+
+* pure-AND queries prune any segment missing ANY required term — for
+  rare-term conjunctions this eliminates almost the whole fan-out;
+* all other queries prune segments containing NO query term.
+
+False positives only cost a wasted file open (safe); false negatives
+are impossible.  Sizing: ``BITS_PER_TERM = 10`` with ``K = 7`` hashes
+gives ~0.9% FP — ~1.25 bytes/term, i.e. a few MB per million-term
+segment, read once and cached driver-side (or joined distributively
+for very large manifests).
+
+Hashing derives all K positions from one md5 per term (deterministic
+everywhere, same pin as :mod:`chearch_spark.functions.hashing`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+BITS_PER_TERM = 10
+K = 7
+
+
+def _positions(term: str, m: int) -> list[int]:
+    """K bit positions from one md5 digest (7 x 4-byte words mod m)."""
+    d = hashlib.md5(term.encode("utf-8")).digest()
+    return [
+        int.from_bytes(d[i * 4:(i + 1) * 4], "big") % m for i in range(K)
+    ]
+
+
+def make_bloom(terms, bits_per_term: int = BITS_PER_TERM) -> tuple[int, bytes]:
+    """(m, filter bytes) over an iterable of term strings."""
+    n = max(len(terms), 1)
+    m = max(n * bits_per_term, 64)
+    bits = np.zeros(m, dtype=bool)
+    for t in terms:
+        bits[_positions(t, m)] = True
+    return m, np.packbits(bits).tobytes()
+
+
+def bloom_contains(bloom: bytes, m: int, term: str) -> bool:
+    bits = np.unpackbits(np.frombuffer(bloom, dtype=np.uint8))
+    return all(bits[p] for p in _positions(term, m))
+
+
+def candidate_segments(
+    blooms: dict[int, tuple[int, bytes]],
+    terms: list[str],
+    require_all: bool,
+) -> list[int]:
+    """Segment ids that may contain the query: all terms present
+    (require_all, pure-AND) or any term present (everything else)."""
+    out = []
+    for seg_id, (m, bloom) in blooms.items():
+        bits = np.unpackbits(np.frombuffer(bloom, dtype=np.uint8))
+        has = [all(bits[p] for p in _positions(t, m)) for t in terms]
+        if (all(has) if require_all else any(has)):
+            out.append(seg_id)
+    return sorted(out)

@@ -85,6 +85,7 @@ class Index:
         self._posting_cache: dict[str, dict] = {}
         self._meta_cache: dict[int, tuple] | None = None
         self._stats_cache: dict[str, tuple[int, int] | None] = {}
+        self._blooms: dict[int, tuple[int, bytes]] | None = None
 
     # -- dictionary -----------------------------------------------------
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
@@ -117,15 +118,53 @@ class Index:
         """(doc_id, seg_id, doc_index, doc_len, sha256)."""
         return self.spark.read.parquet(self.map_dir)
 
+    # -- segment pruning (per-segment term Blooms) ------------------------
+    def _load_blooms(self) -> dict[int, tuple[int, bytes]]:
+        if self._blooms is None:
+            bloom_dir = os.path.join(self.path, "blooms")
+            blooms: dict[int, tuple[int, bytes]] = {}
+            if os.path.isdir(bloom_dir) and os.listdir(bloom_dir):
+                import pyarrow.dataset as ds
+
+                t = ds.dataset(bloom_dir, format="parquet").to_table()
+                for seg_id, m, b in zip(
+                    t.column("seg_id").to_pylist(),
+                    t.column("bloom_m").to_pylist(),
+                    t.column("bloom").to_pylist(),
+                ):
+                    blooms[int(seg_id)] = (int(m), bytes(b))
+            self._blooms = blooms
+        return self._blooms
+
+    def candidate_segments(self, node: Node) -> list[int] | None:
+        """Segments that may answer `node`, via the per-segment term
+        Blooms (operators/bloom.py): pure-AND requires every term,
+        everything else requires ≥ 1 term.  None = no bloom data
+        (older index) — scan everything."""
+        from chearch_spark.operators.bloom import candidate_segments
+        from chearch_spark.plans.query import conjunctive_terms
+
+        blooms = self._load_blooms()
+        if not blooms:
+            return None
+        terms = node.terms()
+        require_all = conjunctive_terms(node) is not None
+        return candidate_segments(blooms, terms, require_all)
+
     # -- scan -----------------------------------------------------------
-    def _segment_scan(self, terms: list[str], columns: list[str]):
+    def _segment_scan(
+        self, terms: list[str], columns: list[str], segs: list[int] | None = None
+    ):
         from pyspark.sql import functions as F
 
-        return (
-            self.spark.read.parquet(self.seg_dir)
-            .filter(F.col("term").isin(list(terms) + [META_TERM]))
-            .select(*columns)
+        scan = self.spark.read.parquet(self.seg_dir).filter(
+            F.col("term").isin(list(terms) + [META_TERM])
         )
+        if segs is not None:
+            # seg_id is constant per file, so this prunes whole segment
+            # files via row-group stats before any posting row is read
+            scan = scan.filter(F.col("seg_id").isin([int(s) for s in segs]))
+        return scan.select(*columns)
 
     # -- BM25 top-k -----------------------------------------------------
     def search(self, query: Node | str, k: int = spec.DEFAULT_K):
@@ -139,7 +178,9 @@ class Index:
         }
         n_docs, avgdl = self.n_docs, self.avgdl
         scan = self._segment_scan(
-            terms, ["seg_id", "term", "df", "doc_ids", "tfs", "blocks"]
+            terms,
+            ["seg_id", "term", "df", "doc_ids", "tfs", "blocks"],
+            segs=self.candidate_segments(node),
         )
 
         def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -184,8 +225,17 @@ class Index:
             if t in stats
         }
         avgdl = self.avgdl
+        # prune to segments some query may touch (union of per-query
+        # candidates; None from a bloom-less index disables pruning)
+        seg_sets = [self.candidate_segments(n) for n in nodes.values()]
+        if any(s is None for s in seg_sets):
+            segs = None
+        else:
+            segs = sorted({s for ss in seg_sets for s in ss})
         scan = self._segment_scan(
-            union_terms, ["seg_id", "term", "df", "doc_ids", "tfs", "blocks"]
+            union_terms,
+            ["seg_id", "term", "df", "doc_ids", "tfs", "blocks"],
+            segs=segs,
         )
 
         def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -309,8 +359,12 @@ class Index:
         }
         meta = self._load_meta()
         self._load_postings(terms)
+        cand = self.candidate_segments(node)
+        cand_set = set(cand) if cand is not None else None
         all_ids, all_scores = [], []
         for seg_id in meta:
+            if cand_set is not None and seg_id not in cand_set:
+                continue
             postings = {}
             blocks = {}
             for t in terms:
@@ -340,7 +394,11 @@ class Index:
         """All matching external doc ids (AND=intersection, OR=union)."""
         node = _normalize(Term(query) if isinstance(query, str) else query)
         terms = node.terms()
-        scan = self._segment_scan(terms, ["seg_id", "term", "doc_ids"])
+        scan = self._segment_scan(
+            terms,
+            ["seg_id", "term", "doc_ids"],
+            segs=self.candidate_segments(node),
+        )
 
         def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             postings, meta_ids, _, _ = _decode_segment(pdf)

@@ -71,19 +71,36 @@ def ingest_batch(
         map_path = os.path.join(map_dir, f"docmap-{seg_id:09d}.parquet")
         k0 = time.time()
         if os.path.exists(seg_path) and os.path.exists(map_path):
-            # replayed micro-batch (exactly-once via idempotent writes)
+            # replayed micro-batch (exactly-once via idempotent writes);
+            # bloom recomputed from the existing file — an empty bloom
+            # would wrongly prune this segment at query time
+            import pyarrow.parquet as pq
+
+            from chearch_spark.build import META_TERM
+            from chearch_spark.operators import bloom as bloom_mod
+
+            terms = [
+                t
+                for t in pq.read_table(seg_path, columns=["term"])
+                .column("term")
+                .to_pylist()
+                if t != META_TERM
+            ]
+            bm, bl = bloom_mod.make_bloom(terms)
             yield pa.RecordBatch.from_pylist(
                 [
                     {
                         "seg_id": seg_id,
                         "n_docs": 0,
-                        "n_terms": 0,
+                        "n_terms": len(terms),
                         "n_tokens": 0,
                         "n_postings": 0,
                         "bytes_written": 0,
                         "skipped": True,
                         "wall_sec": time.time() - k0,
                         "content_fp": 0,
+                        "bloom_m": bm,
+                        "bloom": bl,
                     }
                 ]
             )
@@ -111,6 +128,8 @@ def ingest_batch(
                     "skipped": False,
                     "wall_sec": time.time() - k0,
                     "content_fp": s["content_fp"],
+                    "bloom_m": s["bloom_m"],
+                    "bloom": s["bloom"],
                 }
             ]
         )
@@ -125,6 +144,18 @@ def ingest_batch(
         .repartition(num_segments, "doc_id")
         .mapInArrow(_kernel, SUMMARY_SCHEMA)
         .collect()
+    )
+    bloom_dir = os.path.join(out_dir, "blooms")
+    os.makedirs(bloom_dir, exist_ok=True)
+    _atomic_write_parquet(
+        pd.DataFrame(
+            {
+                "seg_id": [int(r.seg_id) for r in summaries],
+                "bloom_m": [int(r.bloom_m) for r in summaries],
+                "bloom": [bytes(r.bloom) for r in summaries],
+            }
+        ),
+        os.path.join(bloom_dir, f"blooms-batch-{batch_id:06d}.parquet"),
     )
     lineage = {
         "batch_id": batch_id,
