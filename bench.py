@@ -74,6 +74,16 @@ def main() -> None:
         )
         timings["build"] = time.time() - t0
 
+        # compressed index footprint vs raw text (delta+varint + zstd)
+        index_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dn, fns in os.walk(os.path.join(out, "segments"))
+            for f in fns
+        )
+        corpus_bytes = int(
+            docs.selectExpr("sum(octet_length(text))").collect()[0][0] or 0
+        )
+
         ix = Index(spark, out)
         queries = {
             "q_term_common": Term("batch"),
@@ -149,6 +159,11 @@ def main() -> None:
                     ),
                     "cpus": cpus,
                     "num_segments": res.num_segments,
+                    "index_bytes": index_bytes,
+                    "corpus_text_bytes": corpus_bytes,
+                    "index_to_text_ratio": round(
+                        index_bytes / max(corpus_bytes, 1), 4
+                    ),
                 }
             )
         )
