@@ -199,6 +199,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_missing(spark, sf):
         return _search(spark, sf, Term("zz_missing_zz"))
 
+    def bm25_topk_meta(spark, sf):
+        """Top-k + forward-map projection (doc_len, sha256) — the
+        reference's E5 docIndex->metadata join."""
+        ix = _get_index(spark, sf)
+        return ix.search_with_meta(Term("merge") & Term("sort"), k=10).select(
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            F.col("doc_len").cast("int").alias("doc_len"),
+            "sha256",
+        )
+
     def bm25_batch(spark, sf):
         """Three queries answered in ONE Spark job (search_many)."""
         ix = _get_index(spark, sf)
@@ -225,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_nested": bm25_topk_nested,
         "bm25_missing": bm25_missing,
         "bm25_batch": bm25_batch,
+        "bm25_topk_meta": bm25_topk_meta,
         # --- text analysis (training-data pipeline ops) -------------
         "token_counts": lambda s, sf: T.token_counts(_docs(s, sf)),
         "quality_scores": lambda s, sf: T.quality_scores(_docs(s, sf)),
@@ -293,8 +305,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": D.embedding_topk_pairs_sql(k=50),
         "ann_topk": A.cosine_topk_sql(_ANN_QUERY_IDS, k=10),
         "media_metadata": M.media_metadata_sql(),
-        # ann_lsh_topk / media_features / media_frames: rows-only by
-        # design (approximate ANN; stubbed-decoder Arrow kernels).
+        "media_features": M.media_features_sql(),
+        # ann_lsh_topk / media_frames: rows-only by design
+        # (approximate ANN; frame blobs are not SQL-expressible).
         # --- inverted index / BM25 -------------------------------------
         "term_lookup": _docset_sql(["merge"], "has_merge = 1"),
         "term_lookup_missing": _docset_sql(
@@ -335,6 +348,21 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
             "(has_merge = 1 AND has_sort = 1) OR has_dup = 1",
         ),
         "bm25_missing": _bm25_sql(["zz_missing_zz"], "has_zz_missing_zz = 1"),
+        "bm25_topk_meta": (
+            "WITH top AS ("
+            + _bm25_sql(["merge", "sort"], "has_merge = 1 AND has_sort = 1")
+            + """)
+, dl2 AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+              '[^a-z0-9_]+'), x -> x <> '')) AS INTEGER) AS doc_len,
+         sha256(text) AS sha256
+  FROM documents
+)
+SELECT t.doc_id, t.score, d.doc_len, d.sha256
+FROM top t JOIN dl2 d ON d.doc_id = t.doc_id
+"""
+        ),
         "bm25_batch": "\nUNION ALL\n".join(
             f"SELECT '{name}' AS query, * FROM ({sql})"
             for name, sql in [

@@ -195,6 +195,24 @@ class Index:
         # global gather: TakeOrderedAndProject (single exchange)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    # -- top-k with document metadata (E5 projection) ----------------------
+    def search_with_meta(self, query: Node | str, k: int = spec.DEFAULT_K):
+        """Top-k joined with the forward map — the reference's final
+        projection step (docIndex -> externalDocId + metadata,
+        `memorysegment.chpl:294-312`): returns (doc_id, score, doc_len,
+        sha256).  The k-row top-k side is broadcast; the docmap scan
+        prunes on doc_id via pushed row-group stats, so the join never
+        shuffles the (corpus-sized) docmap."""
+        from pyspark.sql import functions as F
+
+        top = self.search(query, k)
+        dm = self.docmap().select("doc_id", "doc_len", "sha256")
+        return (
+            dm.join(F.broadcast(top), "doc_id")
+            .select("doc_id", "score", "doc_len", "sha256")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
     # -- multi-query batch execution --------------------------------------
     def search_many(
         self, queries: dict[str, Node | str], k: int = spec.DEFAULT_K

@@ -79,6 +79,27 @@ FROM {table}
 """
 
 
+def media_features_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`extract_features` over the derived fake
+    payloads.  Uses codepoints as bytes — exact for the ASCII testdata
+    (the payload is the text's utf-8 bytes); a non-ASCII corpus would
+    need a blob-level byte iterator instead."""
+    kinds = ", ".join(f"'{k}'" for k in KINDS)
+    codes = f"list_transform(string_split({text_col}, ''), c -> ascii(c))"
+    return f"""
+SELECT doc_id,
+       [{kinds}][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+       CAST(octet_length(encode({text_col})) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN length({text_col}) > 0
+            THEN list_sum({codes}) ELSE 0 END AS BIGINT) AS byte_sum,
+       CAST(CASE WHEN length({text_col}) > 0
+            THEN list_min({codes}) ELSE 0 END AS INTEGER) AS byte_min,
+       CAST(CASE WHEN length({text_col}) > 0
+            THEN list_max({codes}) ELSE 0 END AS INTEGER) AS byte_max
+FROM {table}
+"""
+
+
 def decode_media(payload: bytes, kind: str) -> np.ndarray:
     """Decode stub.  A real deployment plugs Pillow / soundfile /
     ffmpeg here; this environment has none of them, so we use the
