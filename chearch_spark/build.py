@@ -384,7 +384,12 @@ def build_index(
         pdf = (
             pd.concat(pdfs, ignore_index=True)
             if pdfs
-            else pd.DataFrame({"doc_id": [], "text": []})
+            else pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "text": pd.Series(dtype="object"),
+                }
+            )
         )
         seg_pdf, docmap_pdf, s = _build_segment_tables(
             pdf, seg_id, store_positions

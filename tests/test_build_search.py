@@ -282,3 +282,15 @@ def test_hot_term_merge_is_bounded_by_segments(spark, tmp_path_factory):
     seg = pd.read_parquet(os.path.join(out, "segments"))
     per_term = seg[seg["term"] == "hotterm"].groupby("term").size()
     assert int(per_term.iloc[0]) <= 8  # merge input rows, not 400
+
+
+def test_empty_corpus_build_and_query(spark, tmp_path_factory):
+    """Zero-doc corpus: build succeeds, all query paths return empty."""
+    out = str(tmp_path_factory.mktemp("empty_ix"))
+    df = spark.createDataFrame([], "doc_id long, text string")
+    res = build_index(spark, df, out, num_segments=2, resume=False)
+    assert res.n_docs == 0
+    ix = Index(spark, out)
+    assert ix.search(Term("anything"), k=5).count() == 0
+    assert ix.local_search(Term("anything"), k=5) == []
+    assert ix.match_docs(Term("anything")).count() == 0
