@@ -270,6 +270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": lambda s, sf: A.lsh_ann_topk(
             _emb(s, sf), _ANN_QUERY_IDS, k=10
         ),
+        "ann_ivf_topk": lambda s, sf: A.ivf_ann_topk(
+            _emb(s, sf), _ANN_QUERY_IDS, k=10
+        ),
         # --- multimodal plumbing --------------------------------------
         "media_metadata": lambda s, sf: M.media_metadata(
             M.attach_media(_docs(s, sf))

@@ -113,6 +113,142 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 512,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Deterministic coarse quantizer for IVF: k-means on a driver-side
+    sample (lowest vec_ids — deterministic, no RNG), fixed iteration
+    count, init = first k sampled vectors.  The sample is tiny by
+    design; at 100 TB you sample O(100k) vectors, not the corpus."""
+    import numpy as np
+
+    pdf = (
+        emb.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .toPandas()
+    )
+    x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = x[:n_centroids].copy()
+    for _ in range(iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return c
+
+
+def ivf_assign(
+    emb: DataFrame, centroids, vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds a ``cell`` column: nearest centroid by cosine.  Arrow-batched
+    numpy matmul (one pass over the corpus; in a real deployment the
+    assignment is persisted with the index, not recomputed per query)."""
+    import numpy as np
+    import pandas as pd
+
+    c = centroids
+
+    def _kernel(batches):
+        for pdf in batches:
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(x):
+                x = x / np.maximum(
+                    np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+                )
+                cell = (x @ c.T).argmax(axis=1).astype("int32")
+            else:
+                cell = np.empty(0, dtype="int32")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    vec_col: pdf[vec_col],
+                    "cell": cell,
+                }
+            )
+
+    return emb.select("vec_id", vec_col).mapInPandas(
+        _kernel, f"vec_id long, {vec_col} array<float>, cell int"
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors bucketed by nearest
+    centroid (coarse quantizer), each query scans only its ``n_probe``
+    nearest cells, ranked by exact cosine.  Approximate (recall < 1);
+    exposed to the driver as rows-only.  Scale shape: the probe join
+    touches ~n_probe/n_centroids of the corpus per query instead of
+    all of it."""
+    import numpy as np
+
+    c = kmeans_centroids(emb, n_centroids, vec_col=vec_col, id_col=id_col)
+    assigned = with_norm(ivf_assign(emb, c, vec_col), vec_col)
+
+    qpdf = (
+        emb.filter(F.col(id_col).isin(list(query_ids)))
+        .select(id_col, vec_col)
+        .toPandas()
+    )
+    qx = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
+    qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(qx @ c.T), axis=1)[:, :n_probe]
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(
+        [
+            (int(qid), int(cell))
+            for qid, row in zip(qpdf[id_col], probes)
+            for cell in row
+        ],
+        "query_id long, cell int",
+    )
+    q = assigned.join(
+        F.broadcast(
+            spark.createDataFrame(
+                [(int(i),) for i in query_ids], "query_id long"
+            )
+        ),
+        F.col("vec_id") == F.col("query_id"),
+    ).select(
+        "query_id",
+        F.col(vec_col).alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    cand = (
+        assigned.join(F.broadcast(probe_df), "cell")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    cos = _dot(F.col("qv"), F.col(vec_col)) / (F.col("qn") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def lsh_signature(
     emb: DataFrame, vec_col: str = "embedding", dim: int = 64
 ) -> DataFrame:
