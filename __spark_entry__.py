@@ -94,9 +94,12 @@ def _get_index(spark: SparkSession, sf_dir: str):
 
     key = os.path.abspath(sf_dir)
     if key not in _INDEX_CACHE:
+        # layout-versioned path: resume=True skips already-built
+        # segments across processes, and a layout change (new columns /
+        # bloom files) gets a fresh directory instead of a stale mix
         out = os.path.join(
             tempfile.gettempdir(),
-            "chearch_entry_ix_" + key.strip("/").replace("/", "_"),
+            "chearch_entry_ix_v2_" + key.strip("/").replace("/", "_"),
         )
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         build_index(
@@ -104,7 +107,7 @@ def _get_index(spark: SparkSession, sf_dir: str):
             docs.select("doc_id", "text"),
             out,
             num_segments=8,
-            resume=False,
+            resume=True,
         )
         _INDEX_CACHE[key] = Index(spark, out)
     return _INDEX_CACHE[key]

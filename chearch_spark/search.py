@@ -86,6 +86,8 @@ class Index:
         self._meta_cache: dict[int, tuple] | None = None
         self._stats_cache: dict[str, tuple[int, int] | None] = {}
         self._blooms: dict[int, tuple[int, bytes]] | None = None
+        self._seg_df = None  # lazily cached segment DataFrame (file
+        # listing + schema inference paid once per Index, not per query)
 
     # -- dictionary -----------------------------------------------------
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
@@ -157,7 +159,9 @@ class Index:
     ):
         from pyspark.sql import functions as F
 
-        scan = self.spark.read.parquet(self.seg_dir).filter(
+        if self._seg_df is None:
+            self._seg_df = self.spark.read.parquet(self.seg_dir)
+        scan = self._seg_df.filter(
             F.col("term").isin(list(terms) + [META_TERM])
         )
         if segs is not None:
