@@ -45,19 +45,26 @@ def _sql_terms(terms: list[str]) -> str:
     return ", ".join("'" + t + "'" for t in terms)
 
 
-def _bm25_sql(terms: list[str], require: str) -> str:
+def _bm25_sql(
+    terms: list[str], require: str, score_terms: list[str] | None = None
+) -> str:
     """Top-10 BM25 in DuckDB SQL; `require` filters the doc set (e.g.
-    'has_merge AND has_sort' for conjunctions) over per-term flags."""
+    'has_merge AND has_sort' for conjunctions) over per-term flags;
+    `score_terms` restricts which terms contribute to the score (Diff
+    queries score the positive side only)."""
     flags = ",\n         ".join(
         f"max(CASE WHEN tf.term = '{t}' THEN 1 ELSE 0 END) AS has_{t}"
         for t in terms
     )
+    scorable = _sql_terms(score_terms if score_terms is not None else terms)
     return f"""{_BASE_CTE}
 , matched AS (
   SELECT tf.doc_id,
-         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         sum( CASE WHEN tf.term IN ({scorable})
+              THEN ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
               * tf.tf * ({_K1} + 1)
-              / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) ) AS score,
+              / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl))
+              ELSE 0 END ) AS score,
          {flags}
   FROM tf
   JOIN dfs d ON d.term = tf.term
@@ -202,6 +209,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_missing(spark, sf):
         return _search(spark, sf, Term("zz_missing_zz"))
 
+    def bool_diff(spark, sf):
+        from chearch_spark.plans.query import Term as T2
+
+        return _match(spark, sf, T2("merge") - T2("sort"))
+
+    def bm25_topk_diff(spark, sf):
+        """a AND NOT b with composite b; scores from 'merge' only."""
+        return _search(
+            spark, sf, Term("merge") - (Term("sort") & Term("dup"))
+        )
+
+    def term_prefix(spark, sf):
+        from chearch_spark.plans.query import Prefix
+
+        return _match(spark, sf, Prefix("mer"))
+
+    def bm25_topk_prefix(spark, sf):
+        from chearch_spark.plans.query import Prefix
+
+        return _search(spark, sf, Prefix("s") | Term("dup"))
+
     def bm25_topk_meta(spark, sf):
         """Top-k + forward-map projection (doc_len, sha256) — the
         reference's E5 docIndex->metadata join."""
@@ -240,6 +268,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_missing": bm25_missing,
         "bm25_batch": bm25_batch,
         "bm25_topk_meta": bm25_topk_meta,
+        "bool_diff": bool_diff,
+        "bm25_topk_diff": bm25_topk_diff,
+        "term_prefix": term_prefix,
+        "bm25_topk_prefix": bm25_topk_prefix,
         # --- text analysis (training-data pipeline ops) -------------
         "token_counts": lambda s, sf: T.token_counts(_docs(s, sf)),
         "quality_scores": lambda s, sf: T.quality_scores(_docs(s, sf)),
@@ -354,6 +386,37 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
             "(has_merge = 1 AND has_sort = 1) OR has_dup = 1",
         ),
         "bm25_missing": _bm25_sql(["zz_missing_zz"], "has_zz_missing_zz = 1"),
+        "bool_diff": _docset_sql(
+            ["merge", "sort"], "has_merge = 1 AND has_sort = 0"
+        ),
+        "bm25_topk_diff": _bm25_sql(
+            ["merge", "sort", "dup"],
+            "has_merge = 1 AND NOT (has_sort = 1 AND has_dup = 1)",
+            score_terms=["merge"],
+        ),
+        "term_prefix": _BASE_CTE
+        + """
+SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'mer%'
+""",
+        # prefix expansion: every dictionary term LIKE 's%' (the corpus
+        # vocabulary is far below the 64-term expansion cap) OR 'dup'
+        "bm25_topk_prefix": _BASE_CTE
+        + f"""
+, matched AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * ({_K1} + 1)
+              / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN dfs d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term LIKE 's%' OR tf.term = 'dup'
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM matched ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
         "bm25_topk_meta": (
             "WITH top AS ("
             + _bm25_sql(["merge", "sort"], "has_merge = 1 AND has_sort = 1")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from collections import Counter
 
 from chearch_spark import spec
-from chearch_spark.plans.query import And, Node, Or, Term
+from chearch_spark.plans.query import And, Diff, Node, Or, Term, scoring_terms
 
 
 class OracleIndex:
@@ -87,6 +87,8 @@ class OracleIndex:
             return self.doc_set(node.a) & self.doc_set(node.b)
         if isinstance(node, Or):
             return self.doc_set(node.a) | self.doc_set(node.b)
+        if isinstance(node, Diff):
+            return self.doc_set(node.a) - self.doc_set(node.b)
         raise TypeError(node)
 
     def score(self, node: Node, doc_index: int) -> float:
@@ -94,7 +96,7 @@ class OracleIndex:
         DISTINCT terms present in the doc (spec §F4)."""
         total = 0.0
         avgdl = self.avgdl
-        for term in node.terms():
+        for term in scoring_terms(node):
             tf = self.tf.get(term, {}).get(doc_index)
             if tf:
                 total += spec.bm25_term_score(

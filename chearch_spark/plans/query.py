@@ -26,13 +26,16 @@ OP_OR = 3
 
 
 class Node:
-    """Base query node; supports `&` / `|` builder sugar."""
+    """Base query node; supports `&` / `|` / `-` builder sugar."""
 
     def __and__(self, other: "Node") -> "And":
         return And(other, self)  # postfix `a b AND` pops b first -> a=other
 
     def __or__(self, other: "Node") -> "Or":
         return Or(other, self)
+
+    def __sub__(self, other: "Node") -> "Diff":
+        return Diff(self, other)
 
     def terms(self) -> list[str]:
         """Distinct terms, first-occurrence order."""
@@ -76,6 +79,56 @@ class Or(Node):
         yield from self.a._terms()
 
 
+@dataclass(frozen=True)
+class Diff(Node):
+    """``a`` AND NOT ``b`` — an extension beyond the reference's
+    AND/OR algebra (it has no NOT, SURVEY §2.5), needed by dedup
+    pipelines ("matches A but not the boilerplate cluster").  Doc set =
+    docset(a) − docset(b); BM25 scores sum over **a's terms only**
+    (``scoring_terms``) — b only excludes."""
+
+    a: Node
+    b: Node
+
+    def _terms(self):
+        yield from self.a._terms()
+        yield from self.b._terms()
+
+
+@dataclass(frozen=True)
+class Prefix(Node):
+    """Term-prefix leaf (e.g. ``Prefix("merg")``), expanded against the
+    index dictionary into an OR of matching terms at query time (cap:
+    lexicographically first ``MAX_PREFIX_EXPANSION``).  Extension — the
+    reference has exact term ids only."""
+
+    prefix: str
+
+    def _terms(self):
+        yield from ()  # resolved during expansion, not term lookup
+
+
+MAX_PREFIX_EXPANSION = 64
+
+
+def scoring_terms(node: Node) -> list[str]:
+    """Distinct terms that CONTRIBUTE to the BM25 score (excludes the
+    negative side of Diff)."""
+    if isinstance(node, Term):
+        return [node.term]
+    if isinstance(node, (And, Or)):
+        seen: list[str] = []
+        for t in scoring_terms(node.b) + scoring_terms(node.a):
+            if t not in seen:
+                seen.append(t)
+        return seen
+    if isinstance(node, Diff):
+        return scoring_terms(node.a)
+    if isinstance(node, Prefix):
+        return []
+    raise TypeError(node)
+
+
 def to_postfix(node: Node) -> list[tuple]:
     """AST -> postfix program, e.g. [("PUSH","x"),("PUSH","y"),("AND",)].
 
@@ -91,6 +144,11 @@ def to_postfix(node: Node) -> list[tuple]:
             walk(n.b)
             walk(n.a)
             out.append(("AND",) if isinstance(n, And) else ("OR",))
+        elif isinstance(n, (Diff, Prefix)):
+            raise ValueError(
+                f"{type(n).__name__} is an engine extension with no "
+                "opcode in the reference's 4-op wire format"
+            )
         else:
             raise TypeError(f"unknown node {n!r}")
 

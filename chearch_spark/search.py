@@ -41,12 +41,16 @@ from chearch_spark.operators.wand import (
     wand_or_topk,
 )
 from chearch_spark.plans.query import (
+    MAX_PREFIX_EXPANSION,
     And,
+    Diff,
     Node,
     Or,
+    Prefix,
     Term,
     conjunctive_terms,
     disjunctive_terms,
+    scoring_terms,
 )
 
 
@@ -59,7 +63,19 @@ def _normalize(node: Node) -> Node:
         return And(_normalize(node.a), _normalize(node.b))
     if isinstance(node, Or):
         return Or(_normalize(node.a), _normalize(node.b))
+    if isinstance(node, Diff):
+        return Diff(_normalize(node.a), _normalize(node.b))
+    if isinstance(node, Prefix):
+        p = node.prefix.lower()
+        if not p or spec.tokenize(p) != [p]:
+            raise ValueError(f"prefix {node.prefix!r} is not a token prefix")
+        return Prefix(p)
     raise TypeError(node)
+
+
+# a token that can never exist in the index ('-' is not in the token
+# alphabet) — stands in for a Prefix that matched nothing
+_IMPOSSIBLE = Term("-impossible-")
 
 
 class Index:
@@ -111,6 +127,43 @@ class Index:
                                for c in ("term", "df", "cf"))):
             out[t] = (int(df), int(cf))
         return out
+
+    def _prefix_terms(self, prefix: str) -> list[str]:
+        """Dictionary range probe for a prefix (terms are [a-z0-9_]+, so
+        bumping the last code point gives an exclusive upper bound)."""
+        import pyarrow.dataset as ds
+
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        table = ds.dataset(self.dict_dir, format="parquet").to_table(
+            filter=(ds.field("term") >= prefix) & (ds.field("term") < hi),
+            columns=["term"],
+        )
+        return sorted(table.column("term").to_pylist())[
+            :MAX_PREFIX_EXPANSION
+        ]
+
+    def _expand(self, node: Node) -> Node:
+        """Replace Prefix leaves with OR-folds of dictionary matches."""
+        if isinstance(node, Prefix):
+            terms = self._prefix_terms(node.prefix)
+            if not terms:
+                return _IMPOSSIBLE
+            out: Node = Term(terms[0])
+            for t in terms[1:]:
+                out = Or(out, Term(t))
+            return out
+        if isinstance(node, And):
+            return And(self._expand(node.a), self._expand(node.b))
+        if isinstance(node, Or):
+            return Or(self._expand(node.a), self._expand(node.b))
+        if isinstance(node, Diff):
+            return Diff(self._expand(node.a), self._expand(node.b))
+        return node
+
+    def _prep(self, query: Node | str) -> Node:
+        return self._expand(
+            _normalize(Term(query) if isinstance(query, str) else query)
+        )
 
     def dictionary(self):
         """Full dictionary DataFrame (term, df, cf)."""
@@ -174,7 +227,7 @@ class Index:
     def search(self, query: Node | str, k: int = spec.DEFAULT_K):
         """Top-k DataFrame (doc_id long, score double), rank-identical
         across parallelism levels; ties (score desc, doc_id asc)."""
-        node = _normalize(Term(query) if isinstance(query, str) else query)
+        node = self._prep(query)
         terms = node.terms()
         stats = self.term_stats(terms)
         idfs = {
@@ -236,8 +289,7 @@ class Index:
         from pyspark.sql import functions as F
 
         nodes = {
-            name: _normalize(Term(q) if isinstance(q, str) else q)
-            for name, q in queries.items()
+            name: self._prep(q) for name, q in queries.items()
         }
         union_terms = sorted({t for n in nodes.values() for t in n.terms()})
         stats = self.term_stats(union_terms)
@@ -373,7 +425,7 @@ class Index:
         overhead — chearch's local/scatter-gather latency split
         (`README.md:30-31`).  Use for interactive / index-fits-in-RAM
         serving; the distributed path is for indexes that do not."""
-        node = _normalize(Term(query) if isinstance(query, str) else query)
+        node = self._prep(query)
         terms = node.terms()
         idfs = {
             t: spec.idf(self.n_docs, df_cf[0])
@@ -414,7 +466,7 @@ class Index:
     # -- boolean retrieval (doc sets, no scores) -------------------------
     def match_docs(self, query: Node | str):
         """All matching external doc ids (AND=intersection, OR=union)."""
-        node = _normalize(Term(query) if isinstance(query, str) else query)
+        node = self._prep(query)
         terms = node.terms()
         scan = self._segment_scan(
             terms,
@@ -443,7 +495,7 @@ class Index:
             _UnionOperand,
         )
 
-        node = _normalize(Term(query) if isinstance(query, str) else query)
+        node = self._prep(query)
         terms = node.terms()
         scan = self._segment_scan(
             terms,
@@ -547,6 +599,12 @@ def _eval_docset(node: Node, postings: dict) -> np.ndarray:
         return np.union1d(
             _eval_docset(node.a, postings), _eval_docset(node.b, postings)
         )
+    if isinstance(node, Diff):
+        return np.setdiff1d(
+            _eval_docset(node.a, postings),
+            _eval_docset(node.b, postings),
+            assume_unique=True,
+        )
     raise TypeError(node)
 
 
@@ -602,7 +660,7 @@ def _score_decoded(node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k):
     scores = np.zeros(len(cand), dtype=np.float64)
     dl = doc_lens[cand].astype(np.float64)
     denom_norm = spec.BM25_K1 * (1.0 - spec.BM25_B + spec.BM25_B * dl / avgdl)
-    for term in node.terms():
+    for term in scoring_terms(node):
         p = postings.get(term)
         if p is None or term not in idfs:
             continue

@@ -294,3 +294,34 @@ def test_empty_corpus_build_and_query(spark, tmp_path_factory):
     assert ix.search(Term("anything"), k=5).count() == 0
     assert ix.local_search(Term("anything"), k=5) == []
     assert ix.match_docs(Term("anything")).count() == 0
+
+
+def test_diff_and_prefix_extensions(index, oracle):
+    """Diff (AND-NOT) and Prefix expansion: engine == oracle == local
+    path; Diff scores the positive side only."""
+    from chearch_spark.plans.query import Diff, Prefix
+
+    q_diff = Term("merge") - (Term("sort") & Term("dup"))
+    got = _collect(index.search(q_diff, k=10))
+    want = oracle.search(q_diff, k=10)
+    assert [(d, round(s, 9)) for d, s in got] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+    assert got == [
+        (d, s) for d, s in index.local_search(q_diff, k=10)
+    ]
+    # diff doc set is a true subtraction
+    a = {r.doc_id for r in index.match_docs(Term("merge")).collect()}
+    b = {r.doc_id for r in index.match_docs(Term("sort")).collect()}
+    d = {r.doc_id for r in index.match_docs(Term("merge") - Term("sort")).collect()}
+    assert d == a - b
+
+    # prefix expands to the OR of dictionary matches
+    pref = {r.doc_id for r in index.match_docs(Prefix("mer")).collect()}
+    assert pref == a  # only 'merge' starts with 'mer' in this corpus
+    assert index.match_docs(Prefix("zzz")).count() == 0
+    # prefix must be a valid token prefix
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        index.search(Prefix("not a token"), k=5)
