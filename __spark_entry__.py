@@ -285,6 +285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": lambda s, sf: D.minhash_lsh_pairs(
             _docs(s, sf), tau=0.5
         ),
+        "minhash_dedup_keep": lambda s, sf: D.minhash_dedup_keep(
+            _docs(s, sf), tau=0.5
+        ),
         "ngram_jaccard": lambda s, sf: D.ngram_jaccard_pairs(
             _docs(s, sf), tau=0.5
         ),
@@ -319,6 +322,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": lambda s, sf: M.frame_sample(
             M.attach_media(_docs(s, sf))
         ),
+        # --- event-stream analytics (batch form of the streaming agg) -
+        "events_hourly": lambda s, sf: __import__(
+            "chearch_spark.streaming.events", fromlist=["x"]
+        ).windowed_event_counts(
+            s.read.parquet(f"{sf}/events.parquet")
+        ),
     }
 
 
@@ -337,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dups": D.exact_duplicates_sql(),
         "minhash_signatures": D.minhash_signatures_sql(),
         "minhash_neardup": D.minhash_lsh_pairs_sql(tau=0.5),
+        "minhash_dedup_keep": D.minhash_dedup_keep_sql(tau=0.5),
         "ngram_jaccard": D.ngram_jaccard_pairs_sql(tau=0.5),
         "simhash_signatures": D.simhash_signatures_sql(),
         "simhash_neardup": D.simhash_pairs_sql(max_hamming=3),
@@ -344,7 +354,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": A.cosine_topk_sql(_ANN_QUERY_IDS, k=10),
         "media_metadata": M.media_metadata_sql(),
         "media_features": M.media_features_sql(),
-        # ann_lsh_topk / media_frames: rows-only by design
+        "events_hourly": (
+            __import__(
+                "chearch_spark.streaming.events", fromlist=["x"]
+            ).windowed_event_counts_sql()
+        ),
+        # ann_lsh_topk / ann_ivf_topk / media_frames: rows-only by design
         # (approximate ANN; frame blobs are not SQL-expressible).
         # --- inverted index / BM25 -------------------------------------
         "term_lookup": _docset_sql(["merge"], "has_merge = 1"),

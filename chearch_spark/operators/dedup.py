@@ -308,6 +308,29 @@ FROM scored WHERE jaccard >= {tau}
 """
 
 
+def minhash_dedup_keep(
+    df: DataFrame, tau: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Canonicalization: the documents KEPT after near-dup removal —
+    for every verified pair (doc_a < doc_b, J ≥ tau) the larger id is
+    dropped (greedy keep-smallest; deterministic, the standard
+    MinHash-dedup policy for training corpora).  One anti-join over the
+    pair set."""
+    pairs = minhash_lsh_pairs(df, tau, text_col)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return df.select("doc_id").join(drop, "doc_id", "left_anti")
+
+
+def minhash_dedup_keep_sql(
+    tau: float = 0.5, table: str = "documents", text_col: str = "text"
+) -> str:
+    inner = minhash_lsh_pairs_sql(tau, table, text_col)
+    return f"""
+SELECT doc_id FROM {table}
+WHERE doc_id NOT IN (SELECT doc_b FROM ({inner}))
+"""
+
+
 # ======================================================================
 # exact n-gram Jaccard pairs (the verifier as a standalone operator)
 # ======================================================================

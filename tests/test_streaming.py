@@ -82,3 +82,46 @@ def test_ingest_batch_replay_is_idempotent(spark, dirs):
     assert all(r.skipped for r in s2)
     finalize_index(spark, out)
     assert Index(spark, out).n_docs == 50
+
+
+def test_watermarked_window_stream_matches_batch(spark, dirs):
+    """Watermarked tumbling-window streaming agg: every window the
+    stream finalizes (append mode) must equal the batch computation;
+    only trailing windows still open at end-of-input may be missing."""
+    from chearch_spark.streaming.events import (
+        stream_windowed_counts,
+        windowed_event_counts,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    os.makedirs(dirs["input"])
+    # two files split by time -> two micro-batches in event-time order
+    lo, hi = events.selectExpr("min(ts)", "max(ts)").collect()[0]
+    mid = (lo + (hi - lo) / 2).isoformat(sep=" ")
+    events.filter(f"ts <= '{mid}'").coalesce(1).write.parquet(
+        dirs["input"] + "/part=0"
+    )
+    events.filter(f"ts > '{mid}'").coalesce(1).write.parquet(
+        dirs["input"] + "/part=1"
+    )
+
+    got = stream_windowed_counts(
+        spark, dirs["input"] + "/part=*", dirs["stream_ix"]
+    )
+    batch = windowed_event_counts(events)
+    g = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value, r.avg_k)
+        for r in got.collect()
+    }
+    b = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value, r.avg_k)
+        for r in batch.collect()
+    }
+    assert g, "stream emitted no finalized windows"
+    assert set(g) <= set(b)
+    for key, vals in g.items():
+        assert vals == b[key], key
+    # everything except windows at/after the watermark cutoff was emitted
+    missing = {k[0] for k in set(b) - set(g)}
+    emitted = {k[0] for k in g}
+    assert not missing or min(missing) >= max(emitted)
