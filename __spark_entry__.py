@@ -322,10 +322,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": lambda s, sf: M.frame_sample(
             M.attach_media(_docs(s, sf))
         ),
-        # --- event-stream analytics (batch form of the streaming agg) -
+        # --- event-stream analytics (batch forms of the streaming ops) -
         "events_hourly": lambda s, sf: __import__(
             "chearch_spark.streaming.events", fromlist=["x"]
         ).windowed_event_counts(
+            s.read.parquet(f"{sf}/events.parquet")
+        ),
+        "user_sessions": lambda s, sf: __import__(
+            "chearch_spark.streaming.sessions", fromlist=["x"]
+        ).sessionize_batch(
             s.read.parquet(f"{sf}/events.parquet")
         ),
     }
@@ -358,6 +363,11 @@ def oracle_sql() -> dict[str, str]:
             __import__(
                 "chearch_spark.streaming.events", fromlist=["x"]
             ).windowed_event_counts_sql()
+        ),
+        "user_sessions": (
+            __import__(
+                "chearch_spark.streaming.sessions", fromlist=["x"]
+            ).sessionize_batch_sql()
         ),
         # ann_lsh_topk / ann_ivf_topk / media_frames: rows-only by design
         # (approximate ANN; frame blobs are not SQL-expressible).

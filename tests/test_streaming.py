@@ -125,3 +125,39 @@ def test_watermarked_window_stream_matches_batch(spark, dirs):
     missing = {k[0] for k in set(b) - set(g)}
     emitted = {k[0] for k in g}
     assert not missing or min(missing) >= max(emitted)
+
+
+def test_sessionize_stateful_stream_matches_batch(spark, dirs):
+    """applyInPandasWithState sessionization: every session the stream
+    CLOSES must exist, identically aggregated, in the batch result."""
+    from chearch_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    os.makedirs(dirs["input"])
+    lo, hi = events.selectExpr("min(ts)", "max(ts)").collect()[0]
+    mid = (lo + (hi - lo) / 2).isoformat(sep=" ")
+    events.filter(f"ts <= '{mid}'").coalesce(1).write.parquet(
+        dirs["input"] + "/part=0"
+    )
+    events.filter(f"ts > '{mid}'").coalesce(1).write.parquet(
+        dirs["input"] + "/part=1"
+    )
+
+    got = sessionize_stream(
+        spark, dirs["input"] + "/part=*", dirs["stream_ix"]
+    )
+    batch = {
+        (r.user_id, r.session_start): (r.n_events, round(r.sum_value, 6))
+        for r in sessionize_batch(events).collect()
+    }
+    emitted = {
+        (r.user_id, r.session_start): (r.n_events, round(r.sum_value, 6))
+        for r in got.collect()
+    }
+    assert emitted, "stream closed no sessions"
+    assert set(emitted) <= set(batch)
+    for key, vals in emitted.items():
+        assert vals == batch[key], key
