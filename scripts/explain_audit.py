@@ -133,6 +133,32 @@ def main() -> None:
     )
     print("OK  quality scores (pure projection): no Exchange in plan")
 
+    from chearch_spark.streaming.events import windowed_event_counts
+    from chearch_spark.streaming.sessions import sessionize_batch
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    audit(
+        "windowed event aggregation",
+        windowed_event_counts(events),
+        [
+            ("map-side partial agg", "partial_count"),
+        ],
+    )
+    p = plan_of(sessionize_batch(events))
+    simple = p.split("--- simple ---")[-1]
+    n_ex = simple.count("Exchange")
+    assert n_ex == 1, f"sessionize: expected ONE shuffle, saw {n_ex}"
+    assert "Window" in simple
+    sections.append(
+        (
+            "sessionization (batch form)",
+            p,
+            [("exactly ONE exchange, reused by both Windows and the "
+              "aggregation (verified)", "—")],
+        )
+    )
+    print("OK  sessionization (batch form): one exchange, Window")
+
     # dictionary merge plan (from the build path, reconstructed)
     from pyspark.sql import functions as F
 
