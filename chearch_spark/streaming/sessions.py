@@ -120,7 +120,12 @@ def _session_fn(
                 n, total = 0, 0.0
             if not n:
                 start = t_us
-            last = t_us
+            else:
+                # late (out-of-order within the watermark) events may
+                # precede the open session's bounds — absorb, don't
+                # regress them
+                start = min(start, t_us)
+            last = max(last, t_us) if n else t_us
             n += 1
             total += float(value)
         state.update((start, last, n, total))
