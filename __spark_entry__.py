@@ -220,6 +220,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf, Term("merge") - (Term("sort") & Term("dup"))
         )
 
+    def phrase_match(spark, sf):
+        """Exact consecutive phrase via stored positions (<= 255)."""
+        return _get_index(spark, sf).match_phrase(["merge", "sort"])
+
     def term_prefix(spark, sf):
         from chearch_spark.plans.query import Prefix
 
@@ -271,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_diff": bool_diff,
         "bm25_topk_diff": bm25_topk_diff,
         "term_prefix": term_prefix,
+        "phrase_match": phrase_match,
         "bm25_topk_prefix": bm25_topk_prefix,
         # --- text analysis (training-data pipeline ops) -------------
         "token_counts": lambda s, sf: T.token_counts(_docs(s, sf)),
@@ -422,6 +427,24 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
         "term_prefix": _BASE_CTE
         + """
 SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'mer%'
+""",
+        # positions capped at 255 (8-bit textLocation parity) — mirror
+        # the cap so the oracle sees exactly what the index stores
+        "phrase_match": """
+WITH tok0 AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9_]+'), x -> x <> '')) AS term,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9_]+'), x -> x <> ''), 1) - 1 AS pos
+  FROM documents
+), t AS (
+  SELECT doc_id, term, pos FROM tok0 WHERE pos <= 255
+)
+SELECT DISTINCT t0.doc_id
+FROM t t0
+JOIN t t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+WHERE t0.term = 'merge' AND t1.term = 'sort'
 """,
         # prefix expansion: every dictionary term LIKE 's%' (the corpus
         # vocabulary is far below the 64-term expansion cap) OR 'dup'

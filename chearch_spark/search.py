@@ -78,6 +78,13 @@ def _normalize(node: Node) -> Node:
 _IMPOSSIBLE = Term("-impossible-")
 
 
+def _fold_and(terms: list[str]) -> Node:
+    node: Node = Term(terms[0])
+    for t in terms[1:]:
+        node = And(node, Term(t))
+    return node
+
+
 class Index:
     """Handle to a built index directory (segments/docmap/dictionary/
     stats/manifest)."""
@@ -478,6 +485,77 @@ class Index:
             postings, meta_ids, _, _ = _decode_segment(pdf)
             cand = _eval_docset(node, postings)
             return pd.DataFrame({"doc_id": meta_ids[cand].astype(np.int64)})
+
+        return scan.groupBy("seg_id").applyInPandas(_kernel, "doc_id long")
+
+    # -- phrase matching (positions-based) ---------------------------------
+    def match_phrase(self, terms: list[str]):
+        """Doc ids containing the terms as an exact consecutive phrase.
+
+        Uses the stored per-occurrence positions (the reference's 8-bit
+        ``textLocation``, `documentid.chpl:22` — recorded only for
+        positions ≤ 255, so phrases starting beyond position 255 are
+        not matchable; the same cap the reference's data model
+        imposes).  Kernel: per term, each occurrence is keyed
+        ``doc_index * 1024 + (pos - offset)``; the intersection of key
+        sets across terms yields phrase start positions — vectorized
+        set algebra, no per-doc loops."""
+        terms = [spec.normalize_term(t) for t in terms]
+        if not terms:
+            raise ValueError("phrase needs at least one term")
+        scan = self._segment_scan(
+            terms,
+            ["seg_id", "term", "doc_ids", "pos_counts", "positions"],
+            segs=self.candidate_segments(_fold_and(terms)),
+        )
+        phrase = list(terms)
+
+        def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+            meta = pdf[pdf["term"] == META_TERM]
+            if len(meta) == 0:
+                return empty
+            ext_ids = codec.decode_postings(meta["doc_ids"].iloc[0]).astype(
+                np.int64
+            )
+            # decode each distinct term once -> (doc, abs position) pairs
+            occ: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for _, row in pdf[pdf["term"] != META_TERM].iterrows():
+                docs = codec.decode_postings(row["doc_ids"]).astype(np.int64)
+                counts = codec.decode_varints(row["pos_counts"]).astype(
+                    np.int64
+                )
+                deltas = codec.decode_varints(row["positions"]).astype(
+                    np.int64
+                )
+                if len(deltas) == 0:
+                    occ[row["term"]] = (
+                        np.empty(0, np.int64),
+                        np.empty(0, np.int64),
+                    )
+                    continue
+                # absolute positions: per-(doc) group cumsum reset
+                g = np.repeat(np.arange(len(counts)), counts)
+                cs = np.cumsum(deltas)
+                starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+                kept = counts > 0
+                base = np.zeros(len(counts), dtype=np.int64)
+                base[kept] = cs[starts[kept]] - deltas[starts[kept]]
+                occ[row["term"]] = (np.repeat(docs, counts), cs - base[g])
+            if any(t not in occ for t in phrase):
+                return empty
+            # phrase-start keys per slot (duplicate terms reuse the decode)
+            keys = None
+            for i, t in enumerate(phrase):
+                d, p = occ[t]
+                k = d * 1024 + (p - i)
+                keys = k if keys is None else np.intersect1d(keys, k)
+                if len(keys) == 0:
+                    break
+            hit_docs = np.unique(keys // 1024)
+            return pd.DataFrame(
+                {"doc_id": ext_ids[hit_docs].astype("int64")}
+            )
 
         return scan.groupBy("seg_id").applyInPandas(_kernel, "doc_id long")
 

@@ -325,3 +325,29 @@ def test_diff_and_prefix_extensions(index, oracle):
 
     with _pytest.raises(ValueError):
         index.search(Prefix("not a token"), k=5)
+
+
+def test_phrase_match(spark, tmp_path_factory):
+    """Positions-based exact phrase matching, incl. duplicate-term
+    phrases and the 255-position cap."""
+    long_tail = "pad " * 300  # pushes later tokens past position 255
+    rows = [
+        (0, "alpha beta gamma"),          # "alpha beta" yes
+        (1, "beta alpha gamma"),          # reversed -> no
+        (2, "alpha x beta"),              # gap -> no
+        (3, "the the end"),               # duplicate-term phrase
+        (4, long_tail + "alpha beta"),    # phrase beyond position cap
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = str(tmp_path_factory.mktemp("phrase_ix"))
+    build_index(spark, spark.createDataFrame(pdf), out, num_segments=2,
+                resume=False)
+    ix = Index(spark, out)
+    assert {r.doc_id for r in ix.match_phrase(["alpha", "beta"]).collect()} == {0}
+    assert {r.doc_id for r in ix.match_phrase(["the", "the"]).collect()} == {3}
+    # consecutive in doc 1 ("beta ALPHA GAMMA") but not doc 0 (gap)
+    assert {r.doc_id for r in ix.match_phrase(["alpha", "gamma"]).collect()} == {1}
+    assert ix.match_phrase(["gamma", "beta"]).count() == 0
+    assert {r.doc_id for r in ix.match_phrase(["beta"]).collect()} == {0, 1, 2}
+    # doc 4's phrase starts past MAX_POSITION: not recorded, not matched
+    # (the documented 8-bit textLocation cap)
