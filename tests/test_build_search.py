@@ -351,3 +351,31 @@ def test_phrase_match(spark, tmp_path_factory):
     assert {r.doc_id for r in ix.match_phrase(["beta"]).collect()} == {0, 1, 2}
     # doc 4's phrase starts past MAX_POSITION: not recorded, not matched
     # (the documented 8-bit textLocation cap)
+
+
+def test_index_fsck(spark, corpus_pdf, tmp_path_factory):
+    """scripts/verify_index.py validates manifest/docmap/dictionary
+    consistency and detects corruption."""
+    import importlib.util
+
+    spec_ = importlib.util.spec_from_file_location(
+        "verify_index",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "verify_index.py"),
+    )
+    vi = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(vi)
+
+    out = str(tmp_path_factory.mktemp("fsck_ix"))
+    build_index(spark, spark.createDataFrame(corpus_pdf), out,
+                num_segments=4, resume=False)
+    report = vi.verify(out)
+    assert report["status"] == "INDEX_OK"
+    assert report["n_docs"] == len(corpus_pdf)
+
+    # corruption: delete one segment file -> fsck must fail
+    seg0 = os.path.join(out, "segments", sorted(
+        os.listdir(os.path.join(out, "segments")))[0])
+    os.remove(seg0)
+    with pytest.raises(AssertionError):
+        vi.verify(out)
