@@ -253,10 +253,7 @@ def _build_segment_tables(pdf: pd.DataFrame, seg_id: int, store_positions: bool)
             "sha256": shas,
         }
     )
-    # content fingerprint: sum of sha256 prefixes (order-independent)
-    fp = int(
-        sum(int(s[:16], 16) for s in shas) % (2**63)
-    )
+    fp = spec.content_fp(shas)
     summary = {
         "n_docs": n_docs,
         "n_terms": len(terms),
@@ -320,6 +317,15 @@ def build_index(
     t0 = time.time()
     seg_dir = os.path.join(out_dir, "segments")
     map_dir = os.path.join(out_dir, "docmap")
+    bloom_dir_ = os.path.join(out_dir, "blooms")
+    if not resume:
+        # fresh build: stale files from a previous (possibly
+        # differently-partitioned) build would otherwise be served by
+        # queries, since readers scan the whole directory
+        import shutil
+
+        for d in (seg_dir, map_dir, bloom_dir_):
+            shutil.rmtree(d, ignore_errors=True)
     os.makedirs(seg_dir, exist_ok=True)
     os.makedirs(map_dir, exist_ok=True)
 
@@ -354,10 +360,7 @@ def build_index(
             mf = pq.read_table(map_path, columns=["doc_len", "sha256"])
             sf = pq.read_table(seg_path, columns=["term"])
             dl = mf.column("doc_len").to_numpy()
-            fp = int(
-                sum(int(s[:16], 16) for s in mf.column("sha256").to_pylist())
-                % (2**63)
-            )
+            fp = spec.content_fp(mf.column("sha256").to_pylist())
             terms = [t for t in sf.column("term").to_pylist() if t != META_TERM]
             bm, bl = bloom_mod.make_bloom(terms)
             summary = pd.DataFrame(

@@ -78,3 +78,10 @@ def bm25_term_score(tf: float, doc_len: float, avgdl: float, idf_t: float) -> fl
 def content_sha256(text: str) -> str:
     """Per-row invariant recorded in the docmap (north rule)."""
     return hashlib.sha256((text or "").encode("utf-8")).hexdigest()
+
+
+def content_fp(shas) -> int:
+    """Order-independent content fingerprint over sha256 hex digests
+    (per-segment and global lineage identity; pinned here so the
+    builder, streaming ingest, and the fsck cannot drift)."""
+    return sum(int(s[:16], 16) for s in shas) % (2**63)

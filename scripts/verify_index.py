@@ -4,17 +4,19 @@ the operational tool behind the north rule's "per-partition lineage +
 checkpoint metadata" (a resumable build is only trustworthy if you can
 prove what's on disk matches what the manifest says was built).
 
-Checks:
-  1. every manifest segment/docmap file exists;
+Checks (all raise — never `assert`, so `python -O` cannot strip them):
+  1. the segment/docmap directories contain EXACTLY the manifest's
+     files (stale or missing files both fail);
   2. per-segment doc counts: manifest == docmap rows == meta-row df;
-  3. content fingerprint: manifest per-segment fp and global fp match
-     the sha256 prefixes recorded in the docmaps;
-  4. dictionary consistency: sum of per-segment df/cf == dictionary
-     rows (the merge lost nothing);
-  5. stats.json totals == sum over segments.
+  3. per-segment tokens: manifest == meta-row cf == sum(docmap doc_len);
+  4. content fingerprints (spec.content_fp over docmap sha256s):
+     per-segment and global match the manifest;
+  5. dictionary consistency: sum of per-segment df/cf == dictionary
+     (the merge lost nothing);
+  6. stats.json totals == sum over segments.
 
-Exit code 0 + one JSON line on success; non-zero with the first
-failure otherwise.  Run:  python scripts/verify_index.py <index_dir>
+Exit code 0 + one JSON line on success.  Run:
+  python scripts/verify_index.py <index_dir>
 """
 
 from __future__ import annotations
@@ -29,6 +31,17 @@ import pyarrow.parquet as pq
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from chearch_spark import spec  # noqa: E402
+
+
+class IndexCorruption(Exception):
+    pass
+
+
+def _check(cond: bool, msg: str) -> None:
+    if not cond:
+        raise IndexCorruption(msg)
+
 
 def verify(path: str) -> dict:
     with open(os.path.join(path, "manifest.json")) as f:
@@ -36,41 +49,68 @@ def verify(path: str) -> dict:
     with open(os.path.join(path, "stats.json")) as f:
         stats = json.load(f)
 
+    # 1. disk <-> manifest file-set equality (both directions: a stale
+    # extra segment would be served by queries but escape a
+    # manifest-only walk)
+    want_segs = {os.path.basename(s["file"]) for s in manifest["segments"]}
+    want_maps = {os.path.basename(s["docmap"]) for s in manifest["segments"]}
+    have_segs = set(os.listdir(os.path.join(path, "segments")))
+    have_maps = set(os.listdir(os.path.join(path, "docmap")))
+    _check(
+        have_segs == want_segs,
+        f"segment files diverge from manifest: extra={have_segs - want_segs}"
+        f" missing={want_segs - have_segs}",
+    )
+    _check(
+        have_maps == want_maps,
+        f"docmap files diverge from manifest: extra={have_maps - want_maps}"
+        f" missing={want_maps - have_maps}",
+    )
+
     n_docs = n_tokens = 0
     global_fp = 0
     for seg in manifest["segments"]:
-        seg_path = os.path.join(path, seg["file"])
-        map_path = os.path.join(path, seg["docmap"])
-        assert os.path.exists(seg_path), f"missing {seg['file']}"
-        assert os.path.exists(map_path), f"missing {seg['docmap']}"
-        dm = pq.read_table(map_path, columns=["doc_id", "doc_len", "sha256"])
-        assert dm.num_rows == seg["n_docs"], (
-            f"seg {seg['seg_id']}: docmap rows {dm.num_rows} != manifest "
-            f"{seg['n_docs']}"
+        sid = seg["seg_id"]
+        dm = pq.read_table(
+            os.path.join(path, seg["docmap"]), columns=["doc_len", "sha256"]
+        )
+        _check(
+            dm.num_rows == seg["n_docs"],
+            f"seg {sid}: docmap rows {dm.num_rows} != manifest {seg['n_docs']}",
+        )
+        doc_len_sum = sum(dm.column("doc_len").to_pylist())
+        _check(
+            doc_len_sum == seg["n_tokens"],
+            f"seg {sid}: docmap doc_len sum {doc_len_sum} != manifest "
+            f"{seg['n_tokens']}",
         )
         meta = pq.read_table(
-            seg_path, columns=["term", "df", "cf"]
-        ).to_pandas()
-        meta_row = meta[meta["term"] == ""]
-        assert len(meta_row) == 1, f"seg {seg['seg_id']}: missing meta row"
-        assert int(meta_row["df"].iloc[0]) == seg["n_docs"], (
-            f"seg {seg['seg_id']}: meta df != manifest n_docs"
+            os.path.join(path, seg["file"]),
+            columns=["term", "df", "cf"],
+            filters=[("term", "==", "")],
         )
-        fp = (
-            sum(int(s[:16], 16) for s in dm.column("sha256").to_pylist())
-            % (2**63)
+        _check(meta.num_rows == 1, f"seg {sid}: missing meta row")
+        _check(
+            int(meta.column("df")[0].as_py()) == seg["n_docs"],
+            f"seg {sid}: meta df != manifest n_docs",
         )
-        assert fp == seg["content_fp"], (
-            f"seg {seg['seg_id']}: content fingerprint mismatch"
+        _check(
+            int(meta.column("cf")[0].as_py()) == seg["n_tokens"],
+            f"seg {sid}: meta cf != manifest n_tokens",
+        )
+        fp = spec.content_fp(dm.column("sha256").to_pylist())
+        _check(
+            fp == seg["content_fp"], f"seg {sid}: content fingerprint mismatch"
         )
         n_docs += seg["n_docs"]
         n_tokens += seg["n_tokens"]
         global_fp += fp
 
-    assert n_docs == stats["n_docs"], "stats.json n_docs mismatch"
-    assert n_tokens == stats["total_tokens"], "stats.json tokens mismatch"
-    assert global_fp % (2**63) == manifest["content_fp"], (
-        "global content fingerprint mismatch"
+    _check(n_docs == stats["n_docs"], "stats.json n_docs mismatch")
+    _check(n_tokens == stats["total_tokens"], "stats.json tokens mismatch")
+    _check(
+        global_fp % (2**63) == manifest["content_fp"],
+        "global content fingerprint mismatch",
     )
 
     # dictionary == sum of per-segment term stats
@@ -87,12 +127,13 @@ def verify(path: str) -> dict:
         .to_pandas()
         .set_index("term")
     )
-    assert len(seg_terms) == len(dic), (
-        f"dictionary has {len(dic)} terms, segments {len(seg_terms)}"
+    _check(
+        len(seg_terms) == len(dic),
+        f"dictionary has {len(dic)} terms, segments {len(seg_terms)}",
     )
     joined = seg_terms.join(dic, lsuffix="_seg")
-    assert (joined["df_seg"] == joined["df"]).all(), "df drift"
-    assert (joined["cf_seg"] == joined["cf"]).all(), "cf drift"
+    _check(bool((joined["df_seg"] == joined["df"]).all()), "df drift")
+    _check(bool((joined["cf_seg"] == joined["cf"]).all()), "cf drift")
 
     return {
         "index": path,

@@ -373,9 +373,33 @@ def test_index_fsck(spark, corpus_pdf, tmp_path_factory):
     assert report["status"] == "INDEX_OK"
     assert report["n_docs"] == len(corpus_pdf)
 
+    # stale extra file (e.g. a differently-partitioned older build)
+    stale = os.path.join(out, "segments", "segment-99999.parquet")
+    with open(stale, "wb") as f:
+        f.write(b"junk")
+    with pytest.raises(vi.IndexCorruption):
+        vi.verify(out)
+    os.remove(stale)
+
     # corruption: delete one segment file -> fsck must fail
     seg0 = os.path.join(out, "segments", sorted(
         os.listdir(os.path.join(out, "segments")))[0])
     os.remove(seg0)
-    with pytest.raises(AssertionError):
+    with pytest.raises(vi.IndexCorruption):
         vi.verify(out)
+
+
+def test_fresh_build_clears_stale_segments(spark, corpus_pdf, tmp_path_factory):
+    """resume=False into a dir holding a previous build with MORE
+    segments must not leave stale files that queries would serve."""
+    out = str(tmp_path_factory.mktemp("stale_ix"))
+    df = spark.createDataFrame(corpus_pdf)
+    build_index(spark, df, out, num_segments=8, resume=False)
+    build_index(spark, df, out, num_segments=4, resume=False)
+    segs = os.listdir(os.path.join(out, "segments"))
+    assert len(segs) == 4
+    ix = Index(spark, out)
+    assert ix.n_docs == len(corpus_pdf)
+    assert ix.match_docs(Term("batch")).count() == \
+        ix.docmap().filter("doc_id >= 0").join(
+            ix.match_docs(Term("batch")), "doc_id").count()
