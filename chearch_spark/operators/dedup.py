@@ -11,7 +11,7 @@ Scale design (100 TB / 10^12 docs):
 * **exact**: ``groupBy(md5(text))`` — one shuffle on a 128-bit key,
   uniformly distributed by construction (no skew possible), map-side
   partial aggregation halves the shuffle.
-* **MinHash+LSH**: shingle → 16 universal hashes → 4 bands × 4 rows →
+* **MinHash+LSH**: shingle → 16 universal hashes → 8 bands × 2 rows →
   self-join on (band, band_hash).  The join key is a hash bucket, so
   only near-duplicate *clusters* co-locate; candidate verification
   (exact Jaccard) touches candidate pairs only — never O(n²).  Skew:
@@ -194,6 +194,10 @@ def minhash_lsh_pairs(
     (doc_a, doc_b, jaccard).  Semantics are pinned as
     "band-collision AND J ≥ tau" (deterministic, oracle-mirrorable);
     the probabilistic part is recall of the banding scheme only."""
+    # cached: sh feeds the signature build AND both verification joins;
+    # cand feeds the intersection join and the final left join.  Spark
+    # evicts these under memory pressure; long-lived sessions running
+    # many dedup passes can spark.catalog.clearCache() between them.
     sh = doc_shingles(df, text_col).cache()
     sig = minhash_signatures_from_shingles(sh)
     sig_cols = [f"m{i}" for i in range(NUM_MINHASH)]
@@ -212,6 +216,7 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .cache()
     )
     return _verify_jaccard(cand, sh, tau)
 
@@ -340,7 +345,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ tau (tau > 0): joins on shared
     shingles, so it is complete without an n² scan."""
-    assert tau > 0.0, "tau must be > 0 for the shared-shingle join to be complete"
+    if tau <= 0.0:
+        raise ValueError(
+            "tau must be > 0 for the shared-shingle join to be complete"
+        )
     sh = doc_shingles(df, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh"))

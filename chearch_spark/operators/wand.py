@@ -54,16 +54,13 @@ def block_upper_bounds(
 
 def prune_conjunctive_blocks(
     docs_per_term: list[np.ndarray],
-    blocks_per_term: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
-) -> np.ndarray | None:
-    """AND pre-filter: the rarest term's doc ids, minus blocks of that
-    term whose doc-id range cannot intersect any block of some other
-    term.  Returns candidate doc ids for the rarest term (superset of
-    the intersection) or None when pruning is not applicable.
-
-    This is the cheap structural half of block-max AND; the score
-    threshold half lives in :func:`wand_or_topk` for disjunctions.
-    """
+) -> np.ndarray:
+    """Exact n-ary intersection, rarest-term-driven: membership of the
+    rarest term's doc ids is checked against every other posting list
+    via vectorized searchsorted (O(r log n) — the block structure adds
+    nothing once membership is this cheap, so no block metadata is
+    consulted).  The vectorized realization of the reference's
+    smaller-list-first intent (`docs/Feature notes.txt`)."""
     if not docs_per_term or any(len(d) == 0 for d in docs_per_term):
         return np.empty(0, dtype=np.int64)
     rare_i = int(np.argmin([len(d) for d in docs_per_term]))
@@ -101,7 +98,7 @@ def wand_or_topk(
     first) are skipped entirely.
     """
     nt = len(postings)
-    if nt == 0:
+    if nt == 0 or k <= 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
 
     # per-term per-block ubs; map every doc to its block ub per term
@@ -168,7 +165,10 @@ def wand_or_topk(
     # prune: only docs whose ub beats θ need exact scoring
     remaining = np.ones(len(all_docs), dtype=bool)
     remaining[seed_ix] = False
-    need = remaining & (ub_sum > theta)
+    # >= not >: docs whose upper bound TIES theta may have exact score
+    # == theta and win the (score desc, doc_id asc) tie-break — pruning
+    # them would break rank-identity with the exhaustive path/oracle
+    need = remaining & (ub_sum >= theta)
     if need.any():
         cand = all_docs[need]
         scores = exact(cand)

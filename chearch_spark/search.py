@@ -204,7 +204,6 @@ class Index:
         everything else requires ≥ 1 term.  None = no bloom data
         (older index) — scan everything."""
         from chearch_spark.operators.bloom import candidate_segments
-        from chearch_spark.plans.query import conjunctive_terms
 
         blooms = self._load_blooms()
         if not blooms:
@@ -236,7 +235,7 @@ class Index:
         across parallelism levels; ties (score desc, doc_id asc)."""
         node = self._prep(query)
         terms = node.terms()
-        stats = self.term_stats(terms)
+        stats = self._cached_stats(terms)
         idfs = {
             t: spec.idf(self.n_docs, stats[t][0]) for t in terms if t in stats
         }
@@ -299,7 +298,7 @@ class Index:
             name: self._prep(q) for name, q in queries.items()
         }
         union_terms = sorted({t for n in nodes.values() for t in n.terms()})
-        stats = self.term_stats(union_terms)
+        stats = self._cached_stats(union_terms)
         idfs = {
             t: spec.idf(self.n_docs, stats[t][0])
             for t in union_terms
@@ -315,7 +314,7 @@ class Index:
             segs = sorted({s for ss in seg_sets for s in ss})
         scan = self._segment_scan(
             union_terms,
-            ["seg_id", "term", "df", "doc_ids", "tfs", "blocks"],
+            ["seg_id", "term", "doc_ids", "tfs", "blocks"],
             segs=segs,
         )
 
@@ -728,9 +727,7 @@ def _score_decoded(node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k):
     if con is not None:
         if any(t not in postings for t in con):
             return empty
-        cand = prune_conjunctive_blocks(
-            [postings[t][0] for t in con], [blocks.get(t) for t in con]
-        )
+        cand = prune_conjunctive_blocks([postings[t][0] for t in con])
     else:
         cand = _eval_docset(node, postings)
     if cand is None or len(cand) == 0:

@@ -79,7 +79,7 @@ def test_conjunctive_prefilter_is_exact_intersection(seed, n_terms):
         rng, 500, n_terms, density=float(rng.uniform(0.1, 0.9))
     )
     docs_per_term = [p[0] for p in postings]
-    got = prune_conjunctive_blocks(docs_per_term, blocks)
+    got = prune_conjunctive_blocks(docs_per_term)
     want = docs_per_term[0]
     for d in docs_per_term[1:]:
         want = np.intersect1d(want, d, assume_unique=True)
@@ -92,3 +92,27 @@ def test_local_topk_tie_break():
     d, s = local_topk_scores(ids, scores, 3)
     assert d.tolist() == [9, 1, 3]  # score desc, then doc_id asc
     assert s.tolist() == [2.0, 1.0, 1.0]
+
+
+def test_wand_keeps_tied_docs():
+    """Regression: uniform tf/doc_len corpus makes every upper bound
+    equal the exact score; strict > pruning dropped tied docs and
+    broke the (score desc, doc_id asc) tie-break."""
+    n = 2000
+    docs = np.arange(n, dtype=np.int64)
+    tfs = np.ones(n, dtype=np.int64)
+    doc_lens = np.full(n, 50, dtype=np.int64)
+    got_d, got_s = wand_or_topk(
+        [(docs, tfs)], [None], [1.5], doc_lens, 50.0, 10
+    )
+    assert got_d.tolist() == list(range(10))  # smallest doc ids win ties
+    assert np.allclose(got_s, got_s[0])
+
+
+def test_wand_k_zero():
+    n = 2000
+    docs = np.arange(n, dtype=np.int64)
+    tfs = np.ones(n, dtype=np.int64)
+    doc_lens = np.full(n, 50, dtype=np.int64)
+    d, s = wand_or_topk([(docs, tfs)], [None], [1.5], doc_lens, 50.0, 0)
+    assert len(d) == 0 and len(s) == 0
