@@ -205,25 +205,35 @@ def _build_segment_tables(pdf: pd.DataFrame, seg_id: int, store_positions: bool)
         pos_counts_bins = [b""] * len(term_ids)
         positions_bins = [b""] * len(term_ids)
 
-    # block-max metadata: per POSTING_BLOCK docs (last_doc, max_tf, min_len)
-    blocks_bins = []
+    # block-max metadata: per POSTING_BLOCK docs (last_doc, max_tf,
+    # min_len).  Vectorized over the whole segment (one reduceat per
+    # statistic), like every other column — a per-term Python loop here
+    # would dominate build time for million-term segments.
     B = spec.POSTING_BLOCK
-    bounds = np.concatenate((term_starts, [len(g_doc)]))
-    for i in range(len(term_ids)):
-        s, e = bounds[i], bounds[i + 1]
-        docs_i = g_doc[s:e]
-        tf_i = tf[s:e]
-        len_i = doc_len[docs_i]
-        nb = (len(docs_i) + B - 1) // B
-        starts_b = np.arange(nb) * B
-        last_doc = docs_i[np.minimum(starts_b + B - 1, len(docs_i) - 1)]
-        max_tf = np.maximum.reduceat(tf_i, starts_b)
-        min_len = np.minimum.reduceat(len_i, starts_b)
-        tri = np.empty(nb * 3, dtype=np.uint64)
+    if len(term_ids):
+        bounds = np.concatenate((term_starts, [len(g_doc)]))
+        term_lens = np.diff(bounds)
+        nb_per_term = (term_lens + B - 1) // B
+        # global block starts: term_start + j*B for j in range(nb)
+        nb_offsets = np.concatenate(([0], np.cumsum(nb_per_term)))
+        block_term = np.repeat(
+            np.arange(len(term_ids)), nb_per_term
+        )
+        within = np.arange(len(block_term)) - nb_offsets[block_term]
+        bstarts = term_starts[block_term] + within * B
+        bends = np.minimum(bstarts + B - 1, bounds[block_term + 1] - 1)
+        last_doc = g_doc[bends]
+        max_tf = np.maximum.reduceat(tf, bstarts)
+        min_len = np.minimum.reduceat(doc_len[g_doc], bstarts)
+        tri = np.empty(len(bstarts) * 3, dtype=np.uint64)
         tri[0::3] = last_doc
         tri[1::3] = max_tf
         tri[2::3] = min_len
-        blocks_bins.append(codec.encode_varints(tri))
+        # split the tri stream at each term's first block (x3 for the
+        # three interleaved values)
+        blocks_bins = _encode_groups(tri, nb_offsets[:-1] * 3)
+    else:
+        blocks_bins = []
 
     terms = [str(uniques[i]) for i in term_ids]
     seg_pdf = pd.DataFrame(
@@ -267,10 +277,15 @@ def _build_segment_tables(pdf: pd.DataFrame, seg_id: int, store_positions: bool)
 
 
 def _atomic_write_parquet(pdf: pd.DataFrame, final_path: str) -> int:
+    import uuid
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tmp = final_path + ".tmp"
+    # unique tmp per attempt: concurrent attempts of the same task
+    # (speculation, zombies after a stage retry) must never share a
+    # tmp path, or a half-written file could be renamed into place
+    tmp = f"{final_path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     table = pa.Table.from_pandas(pdf, preserve_index=False)
     pq.write_table(table, tmp, row_group_size=4096, compression="zstd")
     size = os.path.getsize(tmp)
@@ -333,6 +348,26 @@ def build_index(
         F.col(doc_id_col).cast("long").alias("doc_id"),
         F.col(text_col).cast("string").alias("text"),
     )
+    cfg_path = os.path.join(out_dir, "build_config.json")
+    if resume and os.path.exists(cfg_path):
+        # a resumed build MUST use the previous partitioning: with a
+        # different segment count, skipped segments keep data hashed
+        # under the old modulus while new ones use the new modulus —
+        # a silently inconsistent index
+        with open(cfg_path) as f:
+            prev = json.load(f)
+        if num_segments is not None and int(num_segments) != prev["num_segments"]:
+            raise ValueError(
+                f"resume=True with num_segments={num_segments} but the "
+                f"existing build used {prev['num_segments']}; pass "
+                "resume=False for a fresh build or match the segment count"
+            )
+        num_segments = prev["num_segments"]
+        if store_positions != prev["store_positions"]:
+            raise ValueError(
+                "resume=True with a different store_positions than the "
+                "existing build"
+            )
     if num_segments is not None:
         S = int(num_segments)
     else:
@@ -341,6 +376,12 @@ def build_index(
             spark.sparkContext.defaultParallelism,
             -(-n_input // docs_per_segment),  # ceil
         )
+    with open(cfg_path + ".tmp", "w") as f:
+        json.dump(
+            {"num_segments": S, "store_positions": store_positions}, f
+        )
+    os.replace(cfg_path + ".tmp", cfg_path)
+
     # document-hash partitioning (chearch README.md:17): one segment per
     # Spark partition; the ONLY full-data shuffle in the build
     parted = corpus.repartition(S, "doc_id")

@@ -564,6 +564,53 @@ class Index:
         reference pull-protocol semantics (small result sets; collects
         per-segment postings to the driver and replays the operand
         protocol — parity/debug tool, not the scale path)."""
+        node = self._prep(query)
+        scan = self._segment_scan(
+            node.terms(),
+            ["seg_id", "term", "doc_ids", "tfs", "pos_counts", "positions"],
+        ).toPandas()
+        return self._parity_from_frame(scan, node)
+
+    def local_parity_search(
+        self, query: Node | str
+    ) -> list[tuple[str, int, int]]:
+        """parity_search without a Spark job: pruned pyarrow read of the
+        query terms' occurrence rows, cached per term — the serving
+        layer's request path (a warm request is pure python/numpy)."""
+        import pyarrow.dataset as ds
+
+        node = self._prep(query)
+        terms = node.terms()
+        if not hasattr(self, "_parity_cache"):
+            self._parity_cache: dict[str, pd.DataFrame] = {}
+        missing = [
+            t
+            for t in set(terms) | {META_TERM}
+            if t not in self._parity_cache
+        ]
+        if missing:
+            fetched = (
+                ds.dataset(self.seg_dir, format="parquet")
+                .to_table(
+                    filter=ds.field("term").isin(missing),
+                    columns=[
+                        "seg_id", "term", "doc_ids", "tfs", "pos_counts",
+                        "positions",
+                    ],
+                )
+                .to_pandas()
+            )
+            for t in missing:
+                self._parity_cache[t] = fetched[fetched["term"] == t]
+        frame = pd.concat(
+            [self._parity_cache[t] for t in set(terms) | {META_TERM}],
+            ignore_index=True,
+        )
+        return self._parity_from_frame(frame, node)
+
+    def _parity_from_frame(
+        self, scan: pd.DataFrame, node: Node
+    ) -> list[tuple[str, int, int]]:
         from chearch_spark.oracle import (
             _evaluate,
             _IntersectionOperand,
@@ -572,12 +619,6 @@ class Index:
             _UnionOperand,
         )
 
-        node = self._prep(query)
-        terms = node.terms()
-        scan = self._segment_scan(
-            terms,
-            ["seg_id", "term", "doc_ids", "tfs", "pos_counts", "positions"],
-        ).toPandas()
         out: list[tuple[str, int, int]] = []
         for _, seg in scan.groupby("seg_id", sort=True):
             occ: dict[str, list[tuple[int, int]]] = {}

@@ -6,9 +6,8 @@ The reference serves queries over a libev TCP loop
 ``(term:u32, textLocation:u8, externalDocId:u64)`` big-endian — its
 own `util/query_client.py` parses exactly that.  This module is the
 Spark-engine counterpart: a threaded TCP server over the driver-local
-query path (decoded posting cache, :meth:`Index.local_search` /
-:meth:`Index.parity_search`), so a query is numpy work — no Spark job
-per request.  The reference leaves the term string table to the
+query path (:meth:`Index.local_parity_search`, per-term occurrence
+cache), so a warm query is numpy work — no Spark job per request.  The reference leaves the term string table to the
 caller (`README.md:15`); :class:`TermIdMap` materializes it from the
 index dictionary (term_id = rank in term-sorted order, stable for a
 given snapshot).
@@ -98,7 +97,7 @@ class ChearchTCPServer(socketserver.ThreadingTCPServer):
             return self.term_ids.term_of(tid) or f"zzxq{tid}zzxq"
 
         node = chasm_wire.wire_to_ast(wire, resolve)
-        rows = self.index.parity_search(node)
+        rows = self.index.local_parity_search(node)
         out = []
         for term, pos, doc_id in rows[:chasm_wire.MAX_RECORDS]:
             out.append((self.term_ids.id_of(term), int(pos), int(doc_id)))

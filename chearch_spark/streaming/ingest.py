@@ -38,8 +38,13 @@ from chearch_spark.build import (
     _build_segment_tables,
 )
 
-# Segment ids must be unique across (batch, partition): seg_id =
-# batch_id * BATCH_SEG_STRIDE + partition_id.
+# Segment ids must be unique across (batch, partition) AND disjoint
+# from batch-build ids (0..S-1), since finalize_index supports streams
+# appending to a batch-built index and query kernels group by seg_id:
+# seg_id = STREAM_SEG_BASE + batch_id * BATCH_SEG_STRIDE + partition.
+# STREAM_SEG_BASE = 2^30 keeps ids inside the segment schema's int32
+# while sitting far above any realistic batch segment count.
+STREAM_SEG_BASE = 1 << 30
 BATCH_SEG_STRIDE = 100_000
 
 
@@ -60,7 +65,11 @@ def ingest_batch(
     map_dir = os.path.join(out_dir, "docmap")
     os.makedirs(seg_dir, exist_ok=True)
     os.makedirs(map_dir, exist_ok=True)
-    base = batch_id * BATCH_SEG_STRIDE
+    if num_segments > BATCH_SEG_STRIDE:
+        raise ValueError(
+            f"num_segments {num_segments} exceeds the per-batch id stride"
+        )
+    base = STREAM_SEG_BASE + batch_id * BATCH_SEG_STRIDE
 
     def _kernel(batches):
         import pyarrow as pa
@@ -71,11 +80,13 @@ def ingest_batch(
         map_path = os.path.join(map_dir, f"docmap-{seg_id:09d}.parquet")
         k0 = time.time()
         if os.path.exists(seg_path) and os.path.exists(map_path):
-            # replayed micro-batch (exactly-once via idempotent writes);
-            # bloom recomputed from the existing file — an empty bloom
-            # would wrongly prune this segment at query time
+            # replayed micro-batch (exactly-once via idempotent writes):
+            # recompute lineage values and the bloom from the existing
+            # files — zeros would corrupt lineage consumers, and an
+            # empty bloom would wrongly prune this segment at query time
             import pyarrow.parquet as pq
 
+            from chearch_spark import spec as _spec
             from chearch_spark.build import META_TERM
             from chearch_spark.operators import bloom as bloom_mod
 
@@ -87,18 +98,22 @@ def ingest_batch(
                 if t != META_TERM
             ]
             bm, bl = bloom_mod.make_bloom(terms)
+            mf = pq.read_table(map_path, columns=["doc_len", "sha256"])
+            dl = mf.column("doc_len").to_numpy()
             yield pa.RecordBatch.from_pylist(
                 [
                     {
                         "seg_id": seg_id,
-                        "n_docs": 0,
+                        "n_docs": len(dl),
                         "n_terms": len(terms),
-                        "n_tokens": 0,
+                        "n_tokens": int(dl.sum()),
                         "n_postings": 0,
                         "bytes_written": 0,
                         "skipped": True,
                         "wall_sec": time.time() - k0,
-                        "content_fp": 0,
+                        "content_fp": _spec.content_fp(
+                            mf.column("sha256").to_pylist()
+                        ),
                         "bloom_m": bm,
                         "bloom": bl,
                     }
@@ -215,14 +230,38 @@ def finalize_index(spark, out_dir: str) -> dict:
     )
     n_docs = int(meta.n_docs or 0)
     total_tokens = int(meta.n_tokens or 0)
+
+    # detect store_positions from the data (any non-empty positions
+    # payload) and compute the global content fingerprint from the
+    # docmaps — hardcoding either would desynchronize streamed indexes
+    # from batch-built ones
+    import pyarrow.dataset as ds_
+
+    has_pos = (
+        seg.filter(F.col("term") != META_TERM)
+        .filter(F.length("positions") > 0)
+        .limit(1)
+        .count()
+        > 0
+    )
+    fp = 0
+    map_dir = os.path.join(out_dir, "docmap")
+    if os.path.isdir(map_dir):
+        shas = (
+            ds_.dataset(map_dir, format="parquet")
+            .to_table(columns=["sha256"])
+            .column("sha256")
+            .to_pylist()
+        )
+        fp = spec.content_fp(shas)
     stats = {
         "spec_version": spec.SPEC_VERSION,
         "n_docs": n_docs,
         "total_tokens": total_tokens,
         "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
         "num_segments": int(meta.n_segments),
-        "store_positions": True,
-        "content_fp": 0,
+        "store_positions": has_pos,
+        "content_fp": fp,
     }
     tmp = os.path.join(out_dir, "stats.json.tmp")
     with open(tmp, "w") as f:
@@ -238,6 +277,7 @@ def stream_build(
     *,
     schema: str = "doc_id long, text string",
     num_segments: int = 8,
+    store_positions: bool = True,
     checkpoint: str | None = None,
     available_now: bool = True,
 ):
@@ -251,7 +291,11 @@ def stream_build(
 
     def _each(batch_df, batch_id: int) -> None:
         ingest_batch(
-            batch_df, out_dir, int(batch_id), num_segments=num_segments
+            batch_df,
+            out_dir,
+            int(batch_id),
+            num_segments=num_segments,
+            store_positions=store_positions,
         )
 
     reader = (

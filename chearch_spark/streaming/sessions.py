@@ -65,7 +65,9 @@ def sessionize_batch(events: DataFrame) -> DataFrame:
                 "session_start"
             ),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6).alias(
+                "sum_value"
+            ),
         )
         .select("user_id", "session_start", "n_events", "sum_value")
     )
@@ -88,13 +90,16 @@ WITH flagged AS (
 SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value
+       round(coalesce(sum(value), 0.0), 6) AS sum_value
 FROM sid GROUP BY user_id, sid
 """
 
 
 def _session_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    tz: str = "UTC",
 ) -> Iterator[pd.DataFrame]:
     """Stateful kernel: fold this micro-batch's events (event-time
     order) into the open session; emit every session that closes."""
@@ -114,7 +119,14 @@ def _session_fn(
     else:
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
         for ts, value in zip(rows["ts"], rows["value"]):
-            t_us = int(pd.Timestamp(ts).value // 1_000)
+            t = pd.Timestamp(ts)
+            if t.tzinfo is None:
+                # Arrow hands Spark timestamps to pandas as naive
+                # session-timezone wall clock; the event-time timeout
+                # below must be a UTC epoch or Spark rejects it (or
+                # flushes sessions hours late) off UTC
+                t = t.tz_localize(tz)
+            t_us = int(t.value // 1_000)
             if n and t_us - last > gap_us:
                 closed.append((start, n, total))
                 n, total = 0, 0.0
@@ -127,7 +139,10 @@ def _session_fn(
                 start = min(start, t_us)
             last = max(last, t_us) if n else t_us
             n += 1
-            total += float(value)
+            if not pd.isna(value):
+                # nulls contribute nothing, matching the batch oracle's
+                # F.sum null-skipping
+                total += float(value)
         state.update((start, last, n, total))
         # flush when the watermark passes the gap after the last event
         state.setTimeoutTimestamp(last // 1000 + GAP_MINUTES * 60 * 1000)
@@ -139,7 +154,11 @@ def _session_fn(
                     [user_id] * len(closed), dtype="int64"
                 ),
                 "session_start": [
-                    pd.Timestamp(s, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+                    # UTC epoch -> session-tz wall clock, matching the
+                    # batch form's date_format output
+                    pd.Timestamp(s, unit="us", tz="UTC")
+                    .tz_convert(tz)
+                    .strftime("%Y-%m-%d %H:%M:%S")
                     for s, _n, _t in closed
                 ],
                 "n_events": pd.Series(
@@ -165,10 +184,13 @@ def sessionize_stream(
         .parquet(input_path)
         .withWatermark("ts", WATERMARK)
     )
+    import functools
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
     q = (
         stream.groupBy("user_id")
         .applyInPandasWithState(
-            _session_fn,
+            functools.partial(_session_fn, tz=tz),
             SESSION_SCHEMA,
             _STATE_SCHEMA,
             "append",
@@ -182,4 +204,10 @@ def sessionize_stream(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(os.path.join(out_dir, "sessions"))
+    sink = os.path.join(out_dir, "sessions")
+    try:
+        return spark.read.parquet(sink)
+    except Exception:
+        # append mode emitted nothing (all sessions still open): a
+        # valid outcome, not an error
+        return spark.createDataFrame([], SESSION_SCHEMA)

@@ -403,3 +403,16 @@ def test_fresh_build_clears_stale_segments(spark, corpus_pdf, tmp_path_factory):
     assert ix.match_docs(Term("batch")).count() == \
         ix.docmap().filter("doc_id >= 0").join(
             ix.match_docs(Term("batch")), "doc_id").count()
+
+
+def test_resume_rejects_different_segment_count(spark, corpus_pdf, tmp_path_factory):
+    """resume=True with a different partitioning would silently mix
+    old- and new-modulus segments; it must be rejected."""
+    out = str(tmp_path_factory.mktemp("guard_ix"))
+    df = spark.createDataFrame(corpus_pdf)
+    build_index(spark, df, out, num_segments=8, resume=False)
+    with pytest.raises(ValueError, match="segment count"):
+        build_index(spark, df, out, num_segments=4, resume=True)
+    # matching count resumes fine (all skipped)
+    r = build_index(spark, df, out, num_segments=8, resume=True)
+    assert r.skipped_segments == 8

@@ -105,3 +105,12 @@ def test_tcp_server_truncates_at_8(served_index):
     node_rows = srv.index.parity_search(Term("beta"))
     recs = _ask(srv.port, wire)
     assert len(recs) == min(len(node_rows), 8)
+
+
+def test_local_parity_matches_spark_parity(served_index):
+    from chearch_spark.plans.query import And, Or, Term
+
+    ix = served_index.index
+    for q in (Term("alpha"), And(Term("beta"), Term("alpha")),
+              Or(Term("alpha"), Term("delta"))):
+        assert ix.local_parity_search(q) == ix.parity_search(q), q

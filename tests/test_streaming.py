@@ -161,3 +161,45 @@ def test_sessionize_stateful_stream_matches_batch(spark, dirs):
     assert set(emitted) <= set(batch)
     for key, vals in emitted.items():
         assert vals == batch[key], key
+
+
+def test_stream_append_to_batch_index_no_seg_collision(spark, dirs):
+    """Streamed segments must coexist with batch-built ones: ids are
+    disjoint (STREAM_SEG_BASE offset), and finalize merges both."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = dirs["stream_ix"]
+    build_index(spark, docs.filter("doc_id < 250"), out, num_segments=4,
+                resume=False)
+    ingest_batch(docs.filter("doc_id >= 250"), out, batch_id=0,
+                 num_segments=2)
+    finalize_index(spark, out)
+    ix = Index(spark, out)
+    assert ix.n_docs == docs.count()
+    # every doc from both halves retrievable
+    full = build_index_dir = None
+    got = {r.doc_id for r in ix.match_docs(Term("merge")).collect()}
+    bix_out = dirs["batch_ix"]
+    build_index(spark, docs, bix_out, num_segments=4, resume=False)
+    want = {r.doc_id for r in Index(spark, bix_out).match_docs(
+        Term("merge")).collect()}
+    assert got == want
+
+
+def test_stream_empty_result_windows(spark, dirs):
+    """All input inside one window -> append mode emits nothing; the
+    runner must return an empty typed frame, not crash."""
+    from chearch_spark.streaming.events import stream_windowed_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    lo = events.selectExpr("min(ts)").collect()[0][0]
+    hi = lo.isoformat(sep=" ")
+    os.makedirs(dirs["input"])
+    events.filter(f"ts <= '{hi}'").coalesce(1).write.parquet(
+        dirs["input"] + "/part=0"
+    )
+    got = stream_windowed_counts(
+        spark, dirs["input"] + "/part=*", dirs["stream_ix"]
+    )
+    assert got.count() == 0
