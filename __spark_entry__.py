@@ -106,7 +106,7 @@ def _get_index(spark: SparkSession, sf_dir: str):
         # bloom files) gets a fresh directory instead of a stale mix
         out = os.path.join(
             tempfile.gettempdir(),
-            "chearch_entry_ix_v2_" + key.strip("/").replace("/", "_"),
+            "chearch_entry_ix_v3_" + key.strip("/").replace("/", "_"),
         )
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         build_index(

@@ -119,7 +119,6 @@ def kmeans_centroids(
     sample: int = 512,
     iters: int = 8,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ):
     """Deterministic coarse quantizer for IVF: k-means on a driver-side
     sample (lowest vec_ids — deterministic, no RNG), fixed iteration
@@ -128,8 +127,8 @@ def kmeans_centroids(
     import numpy as np
 
     pdf = (
-        emb.select(id_col, vec_col)
-        .orderBy(id_col)
+        emb.select("vec_id", vec_col)
+        .orderBy("vec_id")
         .limit(sample)
         .toPandas()
     )
@@ -197,22 +196,23 @@ def ivf_ann_topk(
     all of it."""
     import numpy as np
 
-    c = kmeans_centroids(emb, n_centroids, vec_col=vec_col, id_col=id_col)
-    assigned = with_norm(ivf_assign(emb, c, vec_col), vec_col)
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    c = kmeans_centroids(base, n_centroids, vec_col=vec_col)
+    assigned = with_norm(ivf_assign(base, c, vec_col), vec_col)
 
     qpdf = (
-        emb.filter(F.col(id_col).isin(list(query_ids)))
-        .select(id_col, vec_col)
+        base.filter(F.col("vec_id").isin(list(query_ids)))
+        .select("vec_id", vec_col)
         .toPandas()
     )
     qx = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
     qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
     probes = np.argsort(-(qx @ c.T), axis=1)[:, :n_probe]
-    spark = emb.sparkSession
+    spark = base.sparkSession
     probe_df = spark.createDataFrame(
         [
             (int(qid), int(cell))
-            for qid, row in zip(qpdf[id_col], probes)
+            for qid, row in zip(qpdf["vec_id"], probes)
             for cell in row
         ],
         "query_id long, cell int",
@@ -249,12 +249,23 @@ def ivf_ann_topk(
     )
 
 
+def _infer_dim(emb: DataFrame, vec_col: str) -> int:
+    row = emb.select(F.size(vec_col).alias("d")).first()
+    if row is None or row.d is None or row.d <= 0:
+        raise ValueError(f"cannot infer embedding dimension from {vec_col!r}")
+    return int(row.d)
+
+
 def lsh_signature(
-    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+    emb: DataFrame, vec_col: str = "embedding", dim: int | None = None
 ) -> DataFrame:
     """Adds per-band bucket columns ``band0..band{B-1}``: each band is
     the sign-bit pattern of ROWS hyperplane projections.  JVM-side
     (zip_with/aggregate) — no Python, no shuffle."""
+    # a wrong dim silently nulls every projection (zip_with pads with
+    # nulls), collapsing every vector into one bucket — infer from data
+    if dim is None:
+        dim = _infer_dim(emb, vec_col)
     out = emb
     v = F.col(vec_col)
     for b in range(LSH_BANDS):
@@ -278,7 +289,7 @@ def lsh_ann_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing ≥ 1 LSH band
     bucket with the query, ranked by exact cosine.  May return < k

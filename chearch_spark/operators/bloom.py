@@ -32,16 +32,32 @@ BITS_PER_TERM = 10
 K = 7
 
 
+_M64 = (1 << 64) - 1
+
+
 def _positions(term: str, m: int) -> list[int]:
-    """K bit positions from one md5 digest (7 x 4-byte words mod m)."""
+    """K bit positions from ONE md5 digest via a splitmix64 chain
+    seeded by the digest's first 64 bits.  (A 16-byte digest cannot
+    supply 7 independent 4-byte words, and Kirsch-Mitzenmacher double
+    hashing clusters when gcd(h2, m) > 1 — m is a composite multiple
+    of the term count here; the mixed chain keeps the theoretical FP
+    rate at any m.)"""
     d = hashlib.md5(term.encode("utf-8")).digest()
-    return [
-        int.from_bytes(d[i * 4:(i + 1) * 4], "big") % m for i in range(K)
-    ]
+    x = int.from_bytes(d[:8], "big")
+    out = []
+    for _ in range(K):
+        x = (x + 0x9E3779B97F4A7C15) & _M64
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+        z ^= z >> 31
+        out.append(z % m)
+    return out
 
 
 def make_bloom(terms, bits_per_term: int = BITS_PER_TERM) -> tuple[int, bytes]:
     """(m, filter bytes) over an iterable of term strings."""
+    terms = list(terms)
     n = max(len(terms), 1)
     m = max(n * bits_per_term, 64)
     bits = np.zeros(m, dtype=bool)
@@ -50,9 +66,13 @@ def make_bloom(terms, bits_per_term: int = BITS_PER_TERM) -> tuple[int, bytes]:
     return m, np.packbits(bits).tobytes()
 
 
+def _contains_unpacked(bits: np.ndarray, m: int, term: str) -> bool:
+    return all(bits[p] for p in _positions(term, m))
+
+
 def bloom_contains(bloom: bytes, m: int, term: str) -> bool:
     bits = np.unpackbits(np.frombuffer(bloom, dtype=np.uint8))
-    return all(bits[p] for p in _positions(term, m))
+    return _contains_unpacked(bits, m, term)
 
 
 def candidate_segments(
@@ -65,7 +85,7 @@ def candidate_segments(
     out = []
     for seg_id, (m, bloom) in blooms.items():
         bits = np.unpackbits(np.frombuffer(bloom, dtype=np.uint8))
-        has = [all(bits[p] for p in _positions(t, m)) for t in terms]
+        has = [_contains_unpacked(bits, m, t) for t in terms]
         if (all(has) if require_all else any(has)):
             out.append(seg_id)
     return sorted(out)

@@ -52,11 +52,19 @@ def encode_varints_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
 
 
 def decode_varints(buf: bytes) -> np.ndarray:
-    """Inverse of :func:`encode_varints` -> uint64 array."""
+    """Inverse of :func:`encode_varints` -> uint64 array.
+
+    Raises ValueError on a truncated/corrupt stream (trailing
+    continuation byte) instead of surfacing a numpy IndexError from
+    deep inside a query kernel."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_end = (b & 0x80) == 0
+    if not is_end[-1]:
+        raise ValueError(
+            "truncated varint stream (ends on a continuation byte)"
+        )
     n = int(is_end.sum())
     # value index per byte: 0,0,..,1,1,.. (increments after each end byte)
     val_idx = np.zeros(b.size, dtype=np.int64)

@@ -43,9 +43,9 @@ def _vocab(n: int = 2000) -> list[str]:
 def synth_code_corpus(n_docs: int, seed: int = 42) -> pd.DataFrame:
     """Deterministic F1 corpus: (repo, path, commit, lang, content).
 
-    seed=42, numpy PCG64, Zipf(1.3) token draws; ≥5% of docs carry the
-    hot term 'the' (at `small`=20k the hot term lands in ~50% of docs —
-    the skew sub-fixture).  Partition-known terms ``pterm_{p}_{s}``
+    seed=42, numpy PCG64, Zipf(1.3) token draws; the hot term 'the'
+    lands in ~50% of docs at every scale (the skew sub-fixture is
+    always on).  Partition-known terms ``pterm_{p}_{s}``
     mirror `synthdataindexer.chpl:34-49` locale-known terms.
     """
     rng = np.random.Generator(np.random.PCG64(seed))
@@ -119,11 +119,18 @@ def corpus_from_documents(df):
 
 def corpus_from_code(spark, pdf: pd.DataFrame):
     """F1 code corpus -> build input; doc_id = stable hash of
-    (repo,path,commit) like the reference's caller-assigned external id."""
+    (repo,path,commit) like the reference's caller-assigned external id.
+    Uses the engine-portable md5-derived hash (non-negative, DuckDB-
+    reproducible) per the repo hashing rule — xxhash64 differs across
+    engines and is signed."""
     from pyspark.sql import functions as F
+
+    from chearch_spark.functions.hashing import md5_long
 
     df = spark.createDataFrame(pdf)
     return df.select(
-        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        md5_long(F.concat_ws("\x1f", "repo", "path", "commit")).alias(
+            "doc_id"
+        ),
         F.col("content").alias("text"),
     )

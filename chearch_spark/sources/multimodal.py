@@ -45,13 +45,17 @@ def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     pipeline is concerned), kind/width/height/sample_rate derived from
     doc_id.  Stands in for a real (repo, path, blob) media source."""
     d = F.col("doc_id")
+    # pmod, not %: Spark % keeps the dividend's sign, and callers like
+    # corpus_from_code produce negative doc ids
     return docs.select(
         "doc_id",
-        F.element_at(F.array(*[F.lit(k) for k in KINDS]), (d % 3 + 1).cast("int"))
-        .alias("kind"),
+        F.element_at(
+            F.array(*[F.lit(k) for k in KINDS]),
+            (F.pmod(d, F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
-        (d % 64 + 16).cast("int").alias("width"),
-        (d % 48 + 16).cast("int").alias("height"),
+        (F.pmod(d, F.lit(64)) + 16).cast("int").alias("width"),
+        (F.pmod(d, F.lit(48)) + 16).cast("int").alias("height"),
         F.lit(16000).cast("int").alias("sample_rate"),
     )
 
@@ -72,7 +76,7 @@ def media_metadata_sql(table: str = "documents", text_col: str = "text") -> str:
     kinds = ", ".join(f"'{k}'" for k in KINDS)
     return f"""
 SELECT doc_id,
-       [{kinds}][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+       [{kinds}][CAST(((doc_id % 3) + 3) % 3 + 1 AS INTEGER)] AS kind,
        CAST(octet_length(encode({text_col})) AS BIGINT) AS n_bytes,
        sha256({text_col}) AS sha256
 FROM {table}
@@ -88,7 +92,7 @@ def media_features_sql(table: str = "documents", text_col: str = "text") -> str:
     codes = f"list_transform(string_split({text_col}, ''), c -> ascii(c))"
     return f"""
 SELECT doc_id,
-       [{kinds}][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+       [{kinds}][CAST(((doc_id % 3) + 3) % 3 + 1 AS INTEGER)] AS kind,
        CAST(octet_length(encode({text_col})) AS BIGINT) AS n_bytes,
        CAST(CASE WHEN length({text_col}) > 0
             THEN list_sum({codes}) ELSE 0 END AS BIGINT) AS byte_sum,
