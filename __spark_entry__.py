@@ -15,15 +15,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from chearch_spark import spec as _spec
+
 _INDEX_CACHE: dict[str, object] = {}
 
-# BM25 constants inlined into SQL (spec.BM25_K1/BM25_B)
-_K1, _B = 1.2, 0.75
+# BM25 constants and tokenizer regex from the pinned spec (single
+# source of truth — the oracle must not drift from the engine)
+_K1, _B = _spec.BM25_K1, _spec.BM25_B
+_SPLIT = _spec.TOKEN_SPLIT_RE
 
-_BASE_CTE = """
+_BASE_CTE = f"""
 WITH tok AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+         unnest(regexp_split_to_array(lower(coalesce(text, '')), '{_SPLIT}')) AS term
   FROM documents
 ), tf AS (
   SELECT doc_id, term, count(*) AS tf
@@ -73,10 +77,10 @@ def _bm25_sql(
   WHERE tf.term IN ({_sql_terms(terms)})
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(score, 6) AS score
+SELECT doc_id, round(matched.score, 6) AS score
 FROM matched
 WHERE {require}
-ORDER BY score DESC, doc_id ASC
+ORDER BY matched.score DESC, doc_id ASC
 LIMIT 10
 """
 
@@ -101,12 +105,17 @@ def _get_index(spark: SparkSession, sf_dir: str):
 
     key = os.path.abspath(sf_dir)
     if key not in _INDEX_CACHE:
-        # layout-versioned path: resume=True skips already-built
-        # segments across processes, and a layout change (new columns /
-        # bloom files) gets a fresh directory instead of a stale mix
+        # the dir name includes a fingerprint of the source parquet's
+        # (path, size, mtime): regenerated testdata gets a fresh build
+        # instead of a stale resume, and distinct paths cannot collide
+        import hashlib
+
+        st = os.stat(f"{key}/documents.parquet")
+        fp = hashlib.md5(
+            f"{key}|{st.st_size}|{st.st_mtime_ns}".encode()
+        ).hexdigest()[:16]
         out = os.path.join(
-            tempfile.gettempdir(),
-            "chearch_entry_ix_v3_" + key.strip("/").replace("/", "_"),
+            tempfile.gettempdir(), f"chearch_entry_ix_v3_{fp}"
         )
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         build_index(
@@ -163,6 +172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from chearch_spark.operators import dedup as D
     from chearch_spark.plans.query import Term
     from chearch_spark.sources import multimodal as M
+    from chearch_spark.streaming import events as EV
+    from chearch_spark.streaming import sessions as SES
 
     def term_lookup(spark, sf):
         return _match(spark, sf, Term("merge"))
@@ -328,14 +339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             M.attach_media(_docs(s, sf))
         ),
         # --- event-stream analytics (batch forms of the streaming ops) -
-        "events_hourly": lambda s, sf: __import__(
-            "chearch_spark.streaming.events", fromlist=["x"]
-        ).windowed_event_counts(
+        "events_hourly": lambda s, sf: EV.windowed_event_counts(
             s.read.parquet(f"{sf}/events.parquet")
         ),
-        "user_sessions": lambda s, sf: __import__(
-            "chearch_spark.streaming.sessions", fromlist=["x"]
-        ).sessionize_batch(
+        "user_sessions": lambda s, sf: SES.sessionize_batch(
             s.read.parquet(f"{sf}/events.parquet")
         ),
     }
@@ -346,6 +353,8 @@ def oracle_sql() -> dict[str, str]:
     from chearch_spark.operators import ann as A
     from chearch_spark.operators import dedup as D
     from chearch_spark.sources import multimodal as M
+    from chearch_spark.streaming import events as EV
+    from chearch_spark.streaming import sessions as SES
 
     return {
         # --- training-data pipeline ops --------------------------------
@@ -364,16 +373,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": A.cosine_topk_sql(_ANN_QUERY_IDS, k=10),
         "media_metadata": M.media_metadata_sql(),
         "media_features": M.media_features_sql(),
-        "events_hourly": (
-            __import__(
-                "chearch_spark.streaming.events", fromlist=["x"]
-            ).windowed_event_counts_sql()
-        ),
-        "user_sessions": (
-            __import__(
-                "chearch_spark.streaming.sessions", fromlist=["x"]
-            ).sessionize_batch_sql()
-        ),
+        "events_hourly": EV.windowed_event_counts_sql(),
+        "user_sessions": SES.sessionize_batch_sql(),
         # ann_lsh_topk / ann_ivf_topk / media_frames: rows-only by design
         # (approximate ANN; frame blobs are not SQL-expressible).
         # --- inverted index / BM25 -------------------------------------
@@ -462,8 +463,8 @@ WHERE t0.term = 'merge' AND t1.term = 'sort'
   WHERE tf.term LIKE 's%' OR tf.term = 'dup'
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(score, 6) AS score
-FROM matched ORDER BY score DESC, doc_id ASC LIMIT 10
+SELECT doc_id, round(matched.score, 6) AS score
+FROM matched ORDER BY matched.score DESC, doc_id ASC LIMIT 10
 """,
         "bm25_topk_meta": (
             "WITH top AS ("

@@ -54,15 +54,21 @@ QUALITY_LEN_CAP = 200  # tokens: len_score = min(n_tokens, cap) / cap
 
 def tokens_col(text: Column) -> Column:
     """Pinned tokenizer as a JVM expression: lowercase, split on runs
-    outside [a-z0-9_], drop empties (same spec as ``spec.tokenize``)."""
+    outside [a-z0-9_], drop empties (same spec as ``spec.tokenize``;
+    NULL text is pinned to the empty document so Spark NULL-propagation
+    cannot diverge from the SQL mirrors).  Note the three engines'
+    lower() differ on exotic non-ASCII case mappings — the pinned token
+    alphabet is ASCII, so this cannot affect tokens, only which
+    characters act as separators."""
     return F.filter(
-        F.split(F.lower(text), spec.TOKEN_SPLIT_RE), lambda t: t != ""
+        F.split(F.lower(F.coalesce(text, F.lit(""))), spec.TOKEN_SPLIT_RE),
+        lambda t: t != "",
     )
 
 
 TOKENS_SQL = (
-    "list_filter(regexp_split_to_array(lower({t}), '[^a-z0-9_]+'),"
-    " x -> x <> '')"
+    "list_filter(regexp_split_to_array(lower(coalesce({t}, '')),"
+    " '[^a-z0-9_]+'), x -> x <> '')"
 )
 
 
@@ -70,7 +76,7 @@ TOKENS_SQL = (
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, ws_tokens, bpe_tokens) per document."""
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         "doc_id",
         F.size(tokens_col(text)).cast("long").alias("n_tokens"),
@@ -88,9 +94,9 @@ def token_counts_sql(table: str = "documents", text_col: str = "text") -> str:
     return f"""
 SELECT doc_id,
        CAST(len({toks}) AS BIGINT) AS n_tokens,
-       CAST(len(list_filter(regexp_split_to_array({text_col}, '{WS_RE}'),
+       CAST(len(list_filter(regexp_split_to_array(coalesce({text_col}, ''), '{WS_RE}'),
                             x -> x <> '')) AS BIGINT) AS ws_tokens,
-       CAST(len(regexp_extract_all(lower({text_col}), '{BPE_RE}'))
+       CAST(len(regexp_extract_all(lower(coalesce({text_col}, '')), '{BPE_RE}'))
             AS BIGINT) AS bpe_tokens
 FROM {table}
 """
@@ -101,7 +107,7 @@ FROM {table}
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_chars, n_tokens, avg_token_len, alpha_ratio,
     stopword_ratio, quality) — all ratios double, rounded to 6."""
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens_col(text)
     n_chars = F.length(text)
     n_tokens = F.size(toks)
@@ -140,9 +146,9 @@ def quality_scores_sql(table: str = "documents", text_col: str = "text") -> str:
     return f"""
 WITH q AS (
   SELECT doc_id,
-         CAST(length({text_col}) AS BIGINT) AS n_chars,
+         CAST(length(coalesce({text_col}, '')) AS BIGINT) AS n_chars,
          CAST(len({toks}) AS BIGINT) AS n_tokens,
-         CAST(length(regexp_replace(lower({text_col}), '[^a-z]', '', 'g'))
+         CAST(length(regexp_replace(lower(coalesce({text_col}, '')), '[^a-z]', '', 'g'))
               AS BIGINT) AS alpha_chars,
          CAST(len(list_filter({toks}, t -> list_contains([{stop}], t)))
               AS BIGINT) AS n_stop,

@@ -583,6 +583,6 @@ WITH e AS (
          list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos
   FROM n a JOIN n b ON a.vec_id < b.vec_id
 )
-SELECT vec_a, vec_b, round(cos, 6) AS cos
-FROM p ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT {k}
+SELECT vec_a, vec_b, round(p.cos, 6) AS cos
+FROM p ORDER BY p.cos DESC, vec_a ASC, vec_b ASC LIMIT {k}
 """

@@ -46,7 +46,16 @@ SPEC_VERSION = "1"
 
 
 def tokenize(text: str) -> list[str]:
-    """Reference tokenizer: lowercase, split, drop empties."""
+    """Reference tokenizer: lowercase, split, drop empties.
+
+    Pinned semantics note: the engine lowers with Python str.lower(),
+    the JVM expressions with Java lower(), and the oracles with
+    DuckDB's lower(); these agree on ASCII (the pinned token alphabet
+    [a-z0-9_]) but can differ on exotic case mappings (e.g. U+0130).
+    Since non-[a-z0-9_] characters are separators regardless of how
+    they lower, tokens themselves are engine-identical; only corpora
+    relying on non-ASCII case FOLDING producing ASCII letters would
+    diverge, and the pinned spec does not support those."""
     if not text:
         return []
     return [t for t in _TOKEN_SPLIT.split(text.lower()) if t]
