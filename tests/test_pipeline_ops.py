@@ -216,3 +216,19 @@ def test_ivf_ann_recall_on_clustered_vectors(spark):
     # determinism: same call, same result
     again = A.ivf_ann_topk(emb, qids, 10, n_centroids=16, n_probe=4).collect()
     assert sorted(map(tuple, ivf)) == sorted(map(tuple, again))
+
+
+def test_null_text_rows_are_empty_documents(spark):
+    """NULL text is pinned to the empty document in every text function
+    (review regression: Spark null-propagation vs oracle coalesce)."""
+    df = spark.createDataFrame(
+        [(0, None), (1, "one doc")], "doc_id long, text string"
+    )
+    tc = {r.doc_id: r for r in T.token_counts(df).collect()}
+    assert tc[0].n_tokens == 0 and tc[0].ws_tokens == 0 and tc[0].bpe_tokens == 0
+    fp = {r.doc_id: r.fp for r in T.fingerprints(df).collect()}
+    assert fp[0] == 0
+    q = {r.doc_id: r for r in T.quality_scores(df).collect()}
+    assert q[0].n_chars == 0 and q[0].quality == 0.0
+    lang = {r.doc_id: r.pred_lang for r in T.lang_id(df).collect()}
+    assert lang[0] == "unknown"
