@@ -194,6 +194,9 @@ def main() -> None:
                 + "\n```\n\n"
             )
     print("PLANS.md written")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
     spark.stop()
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import shlex
 import subprocess
 import sys
 import tempfile
@@ -84,7 +85,7 @@ def main() -> None:
         extra = os.environ.get("SPARK_SUBMIT_ARGS", "--master local[8]")
         cmd = (
             ["spark-submit"]
-            + extra.split()
+            + shlex.split(extra)
             + ["--py-files", zip_path, os.path.abspath(__file__), "--run"]
         )
         env = dict(os.environ)
