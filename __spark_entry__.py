@@ -320,11 +320,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": lambda s, sf: A.cosine_topk(
             _emb(s, sf), _ANN_QUERY_IDS, k=10
         ),
-        # rows-only (approximate by design; no SQL oracle)
+        # approximate but DETERMINISTIC (pinned planes / seed centroids),
+        # so both have exact DuckDB mirrors in oracle_sql()
         "ann_lsh_topk": lambda s, sf: A.lsh_ann_topk(
             _emb(s, sf), _ANN_QUERY_IDS, k=10
         ),
-        "ann_ivf_topk": lambda s, sf: A.ivf_ann_topk(
+        "ann_ivf_topk": lambda s, sf: A.ivf_flat_topk(
             _emb(s, sf), _ANN_QUERY_IDS, k=10
         ),
         # --- multimodal plumbing --------------------------------------
@@ -335,7 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": lambda s, sf: M.extract_features(
             M.attach_media(_docs(s, sf))
         ),
-        "media_frames": lambda s, sf: M.frame_sample(
+        "media_frames": lambda s, sf: M.frame_digests(
             M.attach_media(_docs(s, sf))
         ),
         # --- event-stream analytics (batch forms of the streaming ops) -
@@ -371,12 +372,13 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": D.simhash_pairs_sql(max_hamming=3),
         "embedding_neardup": D.embedding_topk_pairs_sql(k=50),
         "ann_topk": A.cosine_topk_sql(_ANN_QUERY_IDS, k=10),
+        "ann_lsh_topk": A.lsh_ann_topk_sql(_ANN_QUERY_IDS, k=10, dim=64),
+        "ann_ivf_topk": A.ivf_flat_topk_sql(_ANN_QUERY_IDS, k=10),
         "media_metadata": M.media_metadata_sql(),
         "media_features": M.media_features_sql(),
+        "media_frames": M.frame_digests_sql(),
         "events_hourly": EV.windowed_event_counts_sql(),
         "user_sessions": SES.sessionize_batch_sql(),
-        # ann_lsh_topk / ann_ivf_topk / media_frames: rows-only by design
-        # (approximate ANN; frame blobs are not SQL-expressible).
         # --- inverted index / BM25 -------------------------------------
         "term_lookup": _docset_sql(["merge"], "has_merge = 1"),
         "term_lookup_missing": _docset_sql(

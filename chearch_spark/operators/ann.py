@@ -249,6 +249,152 @@ def ivf_ann_topk(
     )
 
 
+def ivf_flat_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k with a *deterministic seed quantizer*:
+    centroids are the ``n_centroids`` lowest-id vectors (normalized
+    implicitly by dividing by norms), assignment is argmax cosine, and
+    each query probes its ``n_probe`` nearest cells.  The whole plan is
+    Catalyst expressions (the sequential-fold ``_dot``), so it has an
+    exact DuckDB mirror (:func:`ivf_flat_topk_sql`) and passes the
+    driver's value-hash gate — the verifiable IVF.  The k-means
+    quantizer (:func:`ivf_build` / :func:`ivf_ann_topk`) is the
+    recall-tuned production path; its *plumbing* (probe join shape,
+    cell-pruned candidate set) is identical to this one.
+
+    Scale shape: assignment costs one broadcast of n_centroids rows +
+    a corpus-sized window on vec_id (at scale, persist the assignment
+    via :func:`ivf_build` instead of recomputing); the probe join then
+    touches ~n_probe/n_centroids of the corpus per query."""
+    from pyspark.sql import Window
+
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    e = with_norm(base, vec_col)
+    w_cent = Window.orderBy("vec_id")
+    cent = (
+        e.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(w_cent) - 1).alias("cell"),
+            F.col(vec_col).alias("cv"),
+            F.col("norm").alias("cn"),
+        )
+    )
+    cos_cent = _dot(F.col(vec_col), F.col("cv")) / (
+        F.col("norm") * F.col("cn")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cell")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", cos_cent)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", vec_col, "norm", "cell")
+    )
+    q = e.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    cos_probe = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_p"), F.asc("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cos_p", cos_probe)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    cos = _dot(F.col("qv"), F.col(vec_col)) / (F.col("qn") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ivf_flat_topk_sql(
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of :func:`ivf_flat_topk` (same seed centroids,
+    same argmax ties — cos desc, cell asc — same probe set)."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e
+), cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         v AS cv, norm AS cn
+  FROM n ORDER BY vec_id LIMIT {n_centroids}
+), assigned AS (
+  SELECT vec_id, v, norm, cell FROM (
+    SELECT n.vec_id, n.v, n.norm, c.cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cn) DESC,
+                      c.cell ASC) AS rn
+    FROM n CROSS JOIN cent c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qn
+  FROM n WHERE vec_id IN ({ids})
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC,
+                      c.cell ASC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {n_probe}
+), cand AS (
+  SELECT p.query_id, a.vec_id, a.v, a.norm
+  FROM assigned a JOIN probes p ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(q.qv, c.v) / (q.qn * c.norm) AS cos
+  FROM cand c JOIN q ON q.query_id = c.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _infer_dim(emb: DataFrame, vec_col: str) -> int:
     row = emb.select(F.size(vec_col).alias("d")).first()
     if row is None or row.d is None or row.d <= 0:
@@ -283,6 +429,62 @@ def lsh_signature(
     return out
 
 
+def lsh_ann_topk_sql(
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of :func:`lsh_ann_topk`: the md5-pinned hyperplanes
+    are emitted as SQL literals, band signatures recomputed from the
+    same sign tests, candidates deduplicated on (query_id, vec_id) —
+    equivalent to the Spark plan's distinct over rows that also carry
+    the (functionally dependent) vectors."""
+    ids = ", ".join(str(i) for i in query_ids)
+    band_exprs = []
+    for b in range(LSH_BANDS):
+        cases = " + ".join(
+            f"CASE WHEN list_dot_product(v, {_plane_sql(b * LSH_ROWS + r, dim)})"
+            f" >= 0 THEN {1 << r} ELSE 0 END"
+            for r in range(LSH_ROWS)
+        )
+        band_exprs.append(f"SELECT vec_id, {b} AS band, ({cases}) AS bv FROM n")
+    bands = "\n  UNION ALL\n  ".join(band_exprs)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e
+), bands AS (
+  {bands}
+), q AS (
+  SELECT vec_id AS query_id, band AS qband, bv AS qbv
+  FROM bands WHERE vec_id IN ({ids})
+), cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id
+  FROM bands b
+  JOIN q ON b.band = q.qband AND b.bv = q.qbv AND b.vec_id <> q.query_id
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(nq.v, nv.v) / (nq.norm * nv.norm) AS cos
+  FROM cand c
+  JOIN n nq ON nq.vec_id = c.query_id
+  JOIN n nv ON nv.vec_id = c.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _plane_sql(p: int, dim: int) -> str:
+    return "[" + ", ".join(repr(_plane_value(p, d)) for d in range(dim)) + "]"
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -293,7 +495,8 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing ≥ 1 LSH band
     bucket with the query, ranked by exact cosine.  May return < k
-    rows per query (recall < 1 by design)."""
+    rows per query (recall < 1 by design; deterministic given the
+    pinned planes, so :func:`lsh_ann_topk_sql` mirrors it exactly)."""
     base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
     sig = with_norm(lsh_signature(base, vec_col, dim), vec_col)
     bands = sig.select(

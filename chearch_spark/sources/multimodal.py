@@ -174,6 +174,54 @@ def frame_sample(
     )
 
 
+def frame_digests(
+    media: DataFrame, frame_bytes: int = 64, stride: int = 4
+) -> DataFrame:
+    """Oracle-checkable projection over :func:`frame_sample`:
+    (doc_id, frame_idx, n_bytes, frame_sha256).  The frame blobs
+    themselves are deterministic byte slices, so their sha256 digests
+    are verifiable by an independent engine (the driver's DuckDB
+    oracle, :func:`frame_digests_sql`) — digests travel through the
+    value-hash gate where raw binary columns cannot (engines disagree
+    on binary repr, not on hex strings)."""
+    f = frame_sample(media, frame_bytes, stride)
+    return f.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("n_bytes"),
+        F.sha2(F.col("frame"), 256).alias("frame_sha256"),
+    )
+
+
+def frame_digests_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    frame_bytes: int = 64,
+    stride: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`frame_digests` over the derived fake
+    payloads (payload = utf-8 bytes of the text): every ``stride``-th
+    ``frame_bytes``-sized slice, digested.  Uses character slicing as
+    byte slicing — exact for the ASCII testdata, same assumption as
+    :func:`media_features_sql`."""
+    return f"""
+WITH f AS (
+  SELECT doc_id, coalesce({text_col}, '') AS t,
+         octet_length(encode(coalesce({text_col}, ''))) // {frame_bytes}
+           AS n_frames
+  FROM {table}
+), idx AS (
+  SELECT doc_id, t, unnest(range(0, n_frames, {stride})) AS fi
+  FROM f WHERE n_frames > 0
+)
+SELECT doc_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       CAST({frame_bytes} AS BIGINT) AS n_bytes,
+       sha256(substr(t, fi * {frame_bytes} + 1, {frame_bytes})) AS frame_sha256
+FROM idx
+"""
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: real implementation needs an image library —
     the kernel raises ``NotImplementedError`` eagerly at *plan build*
