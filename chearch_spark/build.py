@@ -368,6 +368,36 @@ def build_index(
                 "resume=True with a different store_positions than the "
                 "existing build"
             )
+    elif resume and os.path.isdir(seg_dir) and any(
+        f.startswith("segment-") for f in os.listdir(seg_dir)
+    ):
+        # cfg lost (or pre-cfg index) but segment files exist: resuming
+        # with a recomputed S would hash docs under a different modulus
+        # than the skipped segments — recover S from the manifest/stats
+        # or refuse; never guess
+        prev_s = None
+        for name in ("manifest.json", "stats.json"):
+            p = os.path.join(out_dir, name)
+            if os.path.exists(p):
+                with open(p) as f:
+                    prev_s = json.load(f).get("num_segments")
+                if prev_s:
+                    break
+        if prev_s is None:
+            raise ValueError(
+                f"resume=True over {out_dir} which has segment files "
+                "but no build_config.json/manifest.json/stats.json to "
+                "recover the original num_segments; pass resume=False "
+                "for a fresh build"
+            )
+        if num_segments is not None and int(num_segments) != int(prev_s):
+            raise ValueError(
+                f"resume=True with num_segments={num_segments} but the "
+                f"existing index used {prev_s} (recovered from its "
+                "manifest); pass resume=False for a fresh build or "
+                "match the segment count"
+            )
+        num_segments = int(prev_s)
     if num_segments is not None:
         S = int(num_segments)
     else:

@@ -35,13 +35,15 @@ K = 7
 _M64 = (1 << 64) - 1
 
 
-def _positions(term: str, m: int) -> list[int]:
-    """K bit positions from ONE md5 digest via a splitmix64 chain
-    seeded by the digest's first 64 bits.  (A 16-byte digest cannot
-    supply 7 independent 4-byte words, and Kirsch-Mitzenmacher double
-    hashing clusters when gcd(h2, m) > 1 — m is a composite multiple
-    of the term count here; the mixed chain keeps the theoretical FP
-    rate at any m.)"""
+def _raw_chain(term: str) -> list[int]:
+    """K raw 64-bit hash values from ONE md5 digest via a splitmix64
+    chain seeded by the digest's first 64 bits.  (A 16-byte digest
+    cannot supply 7 independent 4-byte words, and Kirsch-Mitzenmacher
+    double hashing clusters when gcd(h2, m) > 1 — m is a composite
+    multiple of the term count here; the mixed chain keeps the
+    theoretical FP rate at any m.)  Independent of the filter size m,
+    so the chain is computed once per term and reduced modulo each
+    segment's m (``BloomProbe``)."""
     d = hashlib.md5(term.encode("utf-8")).digest()
     x = int.from_bytes(d[:8], "big")
     out = []
@@ -51,8 +53,13 @@ def _positions(term: str, m: int) -> list[int]:
         z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
         z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
         z ^= z >> 31
-        out.append(z % m)
+        out.append(z)
     return out
+
+
+def _positions(term: str, m: int) -> list[int]:
+    """K bit positions for a filter of m bits."""
+    return [z % m for z in _raw_chain(term)]
 
 
 def make_bloom(terms, bits_per_term: int = BITS_PER_TERM) -> tuple[int, bytes]:
@@ -75,17 +82,78 @@ def bloom_contains(bloom: bytes, m: int, term: str) -> bool:
     return _contains_unpacked(bits, m, term)
 
 
+class BloomProbe:
+    """Vectorized membership testing across MANY segment blooms.
+
+    The per-query cost of the naive loop — ``np.unpackbits`` on every
+    filter plus K python hash iterations per (term, segment) — grows
+    linearly in segments and defeats the pruning at the design's own
+    ~500k-segment scale.  This probe is built ONCE per index:
+
+    * the packed filter bytes are concatenated into one uint8 buffer
+      (never unpacked — membership tests index bytes directly:
+      ``byte[p >> 3] & (128 >> (p & 7))``, matching ``np.packbits``'s
+      MSB-first layout);
+    * per-term splitmix64 chains (independent of each filter's m) are
+      memoized across queries;
+
+    so one query costs a (segments × terms × K) numpy gather — low
+    single-digit ms at 10^4 segments, no per-segment Python.  Beyond
+    ~10^5 segments, move the probe into a distributed join over the
+    blooms parquet (module docstring).
+    """
+
+    def __init__(self, blooms: dict[int, tuple[int, bytes]]) -> None:
+        self.seg_ids = np.array(sorted(blooms), dtype=np.int64)
+        self.seg_set = set(int(s) for s in self.seg_ids)
+        self.m = np.array(
+            [blooms[int(s)][0] for s in self.seg_ids], dtype=np.uint64
+        )
+        bufs = [
+            np.frombuffer(blooms[int(s)][1], dtype=np.uint8)
+            for s in self.seg_ids
+        ]
+        self.offsets = np.concatenate(
+            ([0], np.cumsum([len(b) for b in bufs], dtype=np.int64))
+        )
+        self.buf = (
+            np.concatenate(bufs) if bufs else np.zeros(0, dtype=np.uint8)
+        )
+        self._chains: dict[str, np.ndarray] = {}
+
+    def _chain(self, term: str) -> np.ndarray:
+        z = self._chains.get(term)
+        if z is None:
+            z = np.array(_raw_chain(term), dtype=np.uint64)
+            self._chains[term] = z
+        return z
+
+    def contains(self, terms: list[str]) -> np.ndarray:
+        """(n_segments, n_terms) bool membership matrix."""
+        n_seg = len(self.seg_ids)
+        if n_seg == 0 or not terms:
+            return np.zeros((n_seg, len(terms)), dtype=bool)
+        z = np.stack([self._chain(t) for t in terms])  # (T, K)
+        pos = z[None, :, :] % self.m[:, None, None]  # (S, T, K)
+        byte_ix = self.offsets[:-1][:, None, None] + (pos >> 3).astype(
+            np.int64
+        )
+        mask = np.uint8(128) >> (pos & 7).astype(np.uint8)
+        return (self.buf[byte_ix] & mask != 0).all(axis=2)
+
+    def candidates(self, terms: list[str], require_all: bool) -> list[int]:
+        has = self.contains(terms)
+        keep = has.all(axis=1) if require_all else has.any(axis=1)
+        return [int(s) for s in self.seg_ids[keep]]
+
+
 def candidate_segments(
     blooms: dict[int, tuple[int, bytes]],
     terms: list[str],
     require_all: bool,
 ) -> list[int]:
     """Segment ids that may contain the query: all terms present
-    (require_all, pure-AND) or any term present (everything else)."""
-    out = []
-    for seg_id, (m, bloom) in blooms.items():
-        bits = np.unpackbits(np.frombuffer(bloom, dtype=np.uint8))
-        has = [_contains_unpacked(bits, m, t) for t in terms]
-        if (all(has) if require_all else any(has)):
-            out.append(seg_id)
-    return sorted(out)
+    (require_all, pure-AND) or any term present (everything else).
+    One-shot form; long-lived callers should hold a :class:`BloomProbe`
+    to amortize the buffer concat and term-chain hashing."""
+    return BloomProbe(blooms).candidates(terms, require_all)

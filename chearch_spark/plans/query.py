@@ -98,9 +98,11 @@ class Diff(Node):
 @dataclass(frozen=True)
 class Prefix(Node):
     """Term-prefix leaf (e.g. ``Prefix("merg")``), expanded against the
-    index dictionary into an OR of matching terms at query time (cap:
-    lexicographically first ``MAX_PREFIX_EXPANSION``).  Extension — the
-    reference has exact term ids only."""
+    index dictionary into an OR of matching terms at query time.
+    Expansions beyond ``MAX_PREFIX_EXPANSION`` raise (Lucene's
+    TooManyClauses discipline) — silent truncation would silently
+    change results.  Extension — the reference has exact term ids
+    only."""
 
     prefix: str
 
@@ -108,7 +110,7 @@ class Prefix(Node):
         yield from ()  # resolved during expansion, not term lookup
 
 
-MAX_PREFIX_EXPANSION = 64
+MAX_PREFIX_EXPANSION = 4096
 
 
 def scoring_terms(node: Node) -> list[str]:

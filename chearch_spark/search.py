@@ -109,6 +109,8 @@ class Index:
         self._meta_cache: dict[int, tuple] | None = None
         self._stats_cache: dict[str, tuple[int, int] | None] = {}
         self._blooms: dict[int, tuple[int, bytes]] | None = None
+        self._bloom_probe = None  # vectorized probe, built once
+        self._all_segs: list[int] | None = None
         self._seg_df = None  # lazily cached segment DataFrame (file
         # listing + schema inference paid once per Index, not per query)
 
@@ -137,7 +139,10 @@ class Index:
 
     def _prefix_terms(self, prefix: str) -> list[str]:
         """Dictionary range probe for a prefix (terms are [a-z0-9_]+, so
-        bumping the last code point gives an exclusive upper bound)."""
+        bumping the last code point gives an exclusive upper bound).
+        Raises when the expansion exceeds ``MAX_PREFIX_EXPANSION`` —
+        truncating silently would silently drop matches (and diverge
+        from any uncapped oracle)."""
         import pyarrow.dataset as ds
 
         hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
@@ -145,9 +150,14 @@ class Index:
             filter=(ds.field("term") >= prefix) & (ds.field("term") < hi),
             columns=["term"],
         )
-        return sorted(table.column("term").to_pylist())[
-            :MAX_PREFIX_EXPANSION
-        ]
+        terms = sorted(table.column("term").to_pylist())
+        if len(terms) > MAX_PREFIX_EXPANSION:
+            raise ValueError(
+                f"prefix {prefix!r} expands to {len(terms)} dictionary "
+                f"terms (> MAX_PREFIX_EXPANSION={MAX_PREFIX_EXPANSION}); "
+                "use a longer prefix"
+            )
+        return terms
 
     def _expand(self, node: Node) -> Node:
         """Replace Prefix leaves with OR-folds of dictionary matches."""
@@ -198,19 +208,48 @@ class Index:
             self._blooms = blooms
         return self._blooms
 
+    def _all_seg_ids(self) -> list[int]:
+        """Every segment id present on disk (filename-encoded), cached.
+        The authoritative fan-out set — bloom coverage is checked
+        against it, never assumed."""
+        if self._all_segs is None:
+            segs = []
+            for fn in os.listdir(self.seg_dir):
+                if fn.startswith("segment-") and fn.endswith(".parquet"):
+                    segs.append(int(fn[len("segment-"):-len(".parquet")]))
+            self._all_segs = sorted(segs)
+        return self._all_segs
+
     def candidate_segments(self, node: Node) -> list[int] | None:
         """Segments that may answer `node`, via the per-segment term
         Blooms (operators/bloom.py): pure-AND requires every term,
         everything else requires ≥ 1 term.  None = no bloom data
-        (older index) — scan everything."""
-        from chearch_spark.operators.bloom import candidate_segments
+        (older index) — scan everything.
 
+        Bloom coverage is ADVISORY per segment: a segment file with no
+        bloom entry (e.g. ingest crashed between the segment write and
+        the blooms-batch write, then resumed differently) is always
+        included — pruning must never drop results, only file opens."""
         blooms = self._load_blooms()
         if not blooms:
             return None
         terms = node.terms()
+        if not terms:
+            return None
+        if self._bloom_probe is None:
+            from chearch_spark.operators.bloom import BloomProbe
+
+            self._bloom_probe = BloomProbe(blooms)
         require_all = conjunctive_terms(node) is not None
-        return candidate_segments(blooms, terms, require_all)
+        cand = self._bloom_probe.candidates(terms, require_all)
+        uncovered = [
+            s
+            for s in self._all_seg_ids()
+            if s not in self._bloom_probe.seg_set
+        ]
+        if uncovered:
+            cand = sorted(set(cand) | set(uncovered))
+        return cand
 
     # -- scan -----------------------------------------------------------
     def _segment_scan(
@@ -263,13 +302,26 @@ class Index:
         """Top-k joined with the forward map — the reference's final
         projection step (docIndex -> externalDocId + metadata,
         `memorysegment.chpl:294-312`): returns (doc_id, score, doc_len,
-        sha256).  The k-row top-k side is broadcast; the docmap scan
-        prunes on doc_id via pushed row-group stats, so the join never
-        shuffles the (corpus-sized) docmap."""
+        sha256).
+
+        The top-k is materialized first (k rows on the driver) so the
+        doc ids become an explicit ``isin()`` predicate on the docmap
+        scan — Spark does NOT push broadcast-join keys into a parquet
+        scan of a data column, so without this the join would read the
+        whole (corpus-sized) docmap; with it, row-group min/max stats
+        skip everything but the k hits."""
         from pyspark.sql import functions as F
 
-        top = self.search(query, k)
+        rows = self.search(query, k).collect()
+        top = self.spark.createDataFrame(
+            rows or [], "doc_id long, score double"
+        )
+        ids = [int(r.doc_id) for r in rows]
         dm = self.docmap().select("doc_id", "doc_len", "sha256")
+        if ids:
+            dm = dm.filter(F.col("doc_id").isin(ids))
+        else:
+            dm = dm.filter(F.lit(False))
         return (
             dm.join(F.broadcast(top), "doc_id")
             .select("doc_id", "score", "doc_len", "sha256")

@@ -232,11 +232,8 @@ def finalize_index(spark, out_dir: str) -> dict:
     total_tokens = int(meta.n_tokens or 0)
 
     # detect store_positions from the data (any non-empty positions
-    # payload) and compute the global content fingerprint from the
-    # docmaps — hardcoding either would desynchronize streamed indexes
+    # payload) — hardcoding it would desynchronize streamed indexes
     # from batch-built ones
-    import pyarrow.dataset as ds_
-
     has_pos = (
         seg.filter(F.col("term") != META_TERM)
         .filter(F.length("positions") > 0)
@@ -244,16 +241,59 @@ def finalize_index(spark, out_dir: str) -> dict:
         .count()
         > 0
     )
-    fp = 0
+    # Global content fingerprint: content_fp is an order-independent
+    # modular SUM, so the global value is the sum of the per-segment
+    # values already recorded in the (tiny, O(segments)) build and
+    # micro-batch manifests — never a driver-side pass over the docmap
+    # (at 10^12 docs that to_pylist() was a guaranteed driver OOM).
+    # Segments not covered by any manifest (e.g. a legacy index) are
+    # fingerprinted distributively: one applyInPandas over their
+    # docmap rows, collecting one row per segment.
+    import glob
+
+    seg_ids = [
+        int(r.seg_id)
+        for r in seg.filter(F.col("term") == META_TERM)
+        .select("seg_id")
+        .collect()
+    ]
+    fp_by_seg: dict[int, int] = {}
+    manifests = []
+    build_manifest = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(build_manifest):
+        manifests.append(build_manifest)
+    manifests += sorted(
+        glob.glob(os.path.join(out_dir, "manifest-batch-*.json"))
+    )
+    for mp in manifests:
+        with open(mp) as f:
+            m = json.load(f)
+        for s in m.get("segments", []):
+            if "content_fp" in s:
+                fp_by_seg[int(s["seg_id"])] = int(s["content_fp"])
+    missing = [s for s in seg_ids if s not in fp_by_seg]
     map_dir = os.path.join(out_dir, "docmap")
-    if os.path.isdir(map_dir):
-        shas = (
-            ds_.dataset(map_dir, format="parquet")
-            .to_table(columns=["sha256"])
-            .column("sha256")
-            .to_pylist()
+    if missing and os.path.isdir(map_dir):
+
+        def _fp_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "seg_id": [int(pdf["seg_id"].iloc[0])],
+                    "fp": [spec.content_fp(pdf["sha256"].tolist())],
+                }
+            )
+
+        rows = (
+            spark.read.parquet(map_dir)
+            .filter(F.col("seg_id").isin(missing))
+            .select("seg_id", "sha256")
+            .groupBy("seg_id")
+            .applyInPandas(_fp_kernel, "seg_id long, fp long")
+            .collect()
         )
-        fp = spec.content_fp(shas)
+        for r in rows:
+            fp_by_seg[int(r.seg_id)] = int(r.fp)
+    fp = sum(fp_by_seg.get(s, 0) for s in seg_ids) % (2**63)
     stats = {
         "spec_version": spec.SPEC_VERSION,
         "n_docs": n_docs,

@@ -2,11 +2,18 @@
 segment fan-out to ~1 segment, with results identical to an unpruned
 scan (false negatives impossible)."""
 
+import time
+
 import pandas as pd
 import pytest
 
 from chearch_spark.build import build_index
-from chearch_spark.operators.bloom import bloom_contains, make_bloom
+from chearch_spark.operators.bloom import (
+    BloomProbe,
+    bloom_contains,
+    candidate_segments,
+    make_bloom,
+)
 from chearch_spark.plans.query import Term
 from chearch_spark.search import Index
 
@@ -73,3 +80,69 @@ def test_missing_term_empty_via_pruning(pruned_index):
     assert pruned_index.search(
         Term("zz_nope_zz") & Term("common"), k=5
     ).count() == 0
+
+
+def test_probe_matches_scalar_membership():
+    """The vectorized byte-indexing probe must agree bit-for-bit with
+    the scalar unpackbits path on every (segment, term) pair —
+    including filters of different m in one probe."""
+    blooms = {}
+    for seg in range(20):
+        terms = [f"t{seg}_{i}" for i in range(1 + seg * 3)]
+        blooms[seg] = make_bloom(terms)
+    queries = [f"t{s}_{i}" for s in range(0, 20, 3) for i in range(2)] + [
+        "absent_a", "absent_b",
+    ]
+    probe = BloomProbe(blooms)
+    got = probe.contains(queries)
+    for si, seg in enumerate(sorted(blooms)):
+        m, b = blooms[seg]
+        for ti, t in enumerate(queries):
+            assert got[si, ti] == bloom_contains(b, m, t), (seg, t)
+    # one-shot wrapper parity, both modes
+    for require_all in (False, True):
+        want = sorted(
+            s
+            for s, (m, b) in blooms.items()
+            if (all if require_all else any)(
+                bloom_contains(b, m, t) for t in queries[:3]
+            )
+        )
+        assert candidate_segments(blooms, queries[:3], require_all) == want
+
+
+def test_probe_latency_at_10k_segments():
+    """Per-query pruning over 10k segments must stay in the low ms
+    (the old per-segment unpackbits loop took seconds): generous 0.5s
+    bound to survive this VM's noisy neighbors."""
+    blooms = {s: make_bloom([f"term{s}_{i}" for i in range(40)]) for s in range(10_000)}
+    probe = BloomProbe(blooms)
+    terms = ["term5_1", "term9999_3", "absent_zz"]
+    probe.candidates(terms, False)  # warm the term chains
+    t0 = time.time()
+    for _ in range(5):
+        cand = probe.candidates(terms, False)
+    per_query = (time.time() - t0) / 5
+    # 2 hits + FPs: any-mode unions ~0.9% FP per term over 3 terms
+    # -> ~2.7% of 10k segments expected
+    assert 2 <= len(cand) <= 500
+    assert per_query < 0.5, f"bloom probe too slow: {per_query:.3f}s/query"
+
+
+def test_segment_without_bloom_entry_is_always_scanned(
+    spark, pruned_index, tmp_path_factory
+):
+    """Bloom coverage is advisory: a segment whose bloom entry is
+    missing (crash between segment and bloom writes) must still be in
+    every candidate list — silent result loss is the failure mode this
+    guards against."""
+    ix = pruned_index
+    # simulate a lost bloom entry for segment 3
+    blooms = dict(ix._load_blooms())
+    assert 3 in blooms
+    del blooms[3]
+    ix2 = Index(spark, ix.path)
+    ix2._blooms = blooms
+    for q in (Term("uniq0042"), Term("zz_nope_zz") & Term("common")):
+        cand = ix2.candidate_segments(q)
+        assert cand is not None and 3 in cand, q

@@ -416,3 +416,47 @@ def test_resume_rejects_different_segment_count(spark, corpus_pdf, tmp_path_fact
     # matching count resumes fine (all skipped)
     r = build_index(spark, df, out, num_segments=8, resume=True)
     assert r.skipped_segments == 8
+
+
+def test_resume_recovers_segment_count_without_cfg(
+    spark, corpus_pdf, tmp_path_factory
+):
+    """resume=True over an index whose build_config.json is lost must
+    recover num_segments from the manifest — recomputing S from corpus
+    size would resume existing segments under a different modulus."""
+    out = str(tmp_path_factory.mktemp("nocfg_ix"))
+    df = spark.createDataFrame(corpus_pdf)
+    build_index(spark, df, out, num_segments=8, resume=False)
+    os.remove(os.path.join(out, "build_config.json"))
+    # no explicit num_segments: recovered from manifest.json -> all skip
+    r = build_index(spark, df, out, resume=True)
+    assert r.num_segments == 8 and r.skipped_segments == 8
+    # conflicting explicit count: refused (before any cfg rewrite)
+    os.remove(os.path.join(out, "build_config.json"))
+    with pytest.raises(ValueError, match="recovered"):
+        build_index(spark, df, out, num_segments=4, resume=True)
+    assert not os.path.exists(os.path.join(out, "build_config.json"))
+    # nothing to recover from: refused rather than guessed
+    os.remove(os.path.join(out, "manifest.json"))
+    os.remove(os.path.join(out, "stats.json"))
+    with pytest.raises(ValueError, match="recover"):
+        build_index(spark, df, out, resume=True)
+
+
+def test_prefix_expansion_over_cap_raises(spark, tmp_path_factory, monkeypatch):
+    """A prefix matching more dictionary terms than the cap must raise
+    (TooManyClauses), never silently truncate the result set."""
+    import chearch_spark.search as search_mod
+    from chearch_spark.plans.query import Prefix
+
+    rows = [(i, f"pre{i:03d} other") for i in range(6)]
+    out = str(tmp_path_factory.mktemp("prefix_ix"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    build_index(spark, df, out, num_segments=2, resume=False)
+    ix = Index(spark, out)
+    monkeypatch.setattr(search_mod, "MAX_PREFIX_EXPANSION", 3)
+    with pytest.raises(ValueError, match="MAX_PREFIX_EXPANSION"):
+        ix.match_docs(Prefix("pre")).collect()
+    # under the cap: full expansion, all docs match
+    monkeypatch.setattr(search_mod, "MAX_PREFIX_EXPANSION", 64)
+    assert ix.match_docs(Prefix("pre")).count() == 6

@@ -58,6 +58,9 @@ def test_stream_build_matches_batch_build(spark, dirs):
     bix = Index(spark, dirs["batch_ix"])
     assert six.n_docs == bix.n_docs == stats["n_docs"]
     assert six.stats["total_tokens"] == bix.stats["total_tokens"]
+    # lineage identity: same corpus -> same (order-independent) global
+    # content fingerprint, however the docs were segmented
+    assert six.stats["content_fp"] == bix.stats["content_fp"]
 
     for q in (
         Term("merge"),
@@ -82,6 +85,40 @@ def test_ingest_batch_replay_is_idempotent(spark, dirs):
     assert all(r.skipped for r in s2)
     finalize_index(spark, out)
     assert Index(spark, out).n_docs == 50
+
+
+def test_finalize_fingerprint_is_manifest_only(spark, dirs):
+    """finalize_index must derive content_fp from the per-segment
+    manifest values (O(segments) driver memory), not by materializing
+    docmap sha256s on the driver: with the docmap directory removed
+    entirely, the fingerprint still comes out identical."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(100)
+    out = dirs["stream_ix"]
+    ingest_batch(docs, out, batch_id=0, num_segments=2)
+    ingest_batch(docs.limit(0), out, batch_id=1, num_segments=2)
+    want = finalize_index(spark, out)["content_fp"]
+    assert want != 0
+    shutil.rmtree(os.path.join(out, "docmap"))
+    got = finalize_index(spark, out)["content_fp"]
+    assert got == want
+
+
+def test_finalize_fingerprint_legacy_fallback_is_distributed(spark, dirs):
+    """Segments whose manifests are gone (legacy index) fall back to a
+    distributed per-segment docmap aggregation — same fingerprint."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(100)
+    out = dirs["stream_ix"]
+    ingest_batch(docs, out, batch_id=0, num_segments=2)
+    want = finalize_index(spark, out)["content_fp"]
+    for f in os.listdir(out):
+        if f.startswith("manifest-batch-"):
+            os.remove(os.path.join(out, f))
+    got = finalize_index(spark, out)["content_fp"]
+    assert got == want
 
 
 def test_watermarked_window_stream_matches_batch(spark, dirs):
