@@ -179,6 +179,116 @@ def ivf_assign(
     )
 
 
+def ivf_build(
+    emb: DataFrame,
+    out_dir: str,
+    n_centroids: int = 16,
+    sample: int = 512,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Build and PERSIST an IVF index: k-means centroids (driver-side
+    deterministic sample) + the full-corpus cell assignment, written as
+    parquet partitioned by ``cell``.  The one corpus pass happens here,
+    at build time; :func:`ivf_query` then serves any number of queries
+    from the persisted artifact with a partition-pruned scan of only
+    the probed cells — recomputing the assignment per query (the old
+    ``ivf_ann_topk`` convenience shape) turns every ANN query into a
+    corpus scan at 100× scale."""
+    import json
+    import os
+
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    c = kmeans_centroids(base, n_centroids, sample, iters, vec_col)
+    assigned = with_norm(ivf_assign(base, c, vec_col), vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(out_dir, "assigned")
+    )
+    meta = {
+        "n_centroids": int(n_centroids),
+        "dim": int(len(c[0])),
+        "vec_col": vec_col,
+        "centroids": [[float(x) for x in row] for row in c],
+    }
+    tmp = os.path.join(out_dir, "ivf_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "ivf_meta.json"))
+    return meta
+
+
+def ivf_query(
+    spark,
+    out_dir: str,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index (:func:`ivf_build`).  No assignment
+    job runs: centroids load from the tiny sidecar, probe cells are a
+    driver-side numpy argsort over n_centroids, and the candidate scan
+    is partition-pruned to the probed cells (``PartitionFilters`` on
+    the cell directory layout) — ~n_probe/n_centroids of the corpus
+    per query batch, no Python kernel anywhere in the plan."""
+    import json
+    import os
+
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    with open(os.path.join(out_dir, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    c = np.array(meta["centroids"], dtype=np.float64)
+    vec_col = meta["vec_col"]
+    assigned = spark.read.parquet(os.path.join(out_dir, "assigned"))
+
+    qpdf = (
+        assigned.filter(F.col("vec_id").isin(list(query_ids)))
+        .select("vec_id", vec_col, "norm")
+        .toPandas()
+    )
+    qx = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
+    qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(qx @ c.T), axis=1)[:, :n_probe]
+    probe_df = spark.createDataFrame(
+        [
+            (int(qid), int(cell))
+            for qid, row in zip(qpdf["vec_id"], probes)
+            for cell in row
+        ],
+        "query_id long, cell int",
+    )
+    q = spark.createDataFrame(
+        [
+            (int(v), [float(x) for x in vec], float(nm))
+            for v, vec, nm in zip(qpdf["vec_id"], qpdf[vec_col], qpdf["norm"])
+        ],
+        "query_id long, qv array<float>, qn double",
+    )
+    probe_cells = sorted({int(cell) for row in probes for cell in row})
+    cand = (
+        assigned.filter(F.col("cell").isin(probe_cells))
+        .join(F.broadcast(probe_df), "cell")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    cos = _dot(F.col("qv"), F.col(vec_col)) / (F.col("qn") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -188,12 +298,13 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF approximate top-k: corpus vectors bucketed by nearest
-    centroid (coarse quantizer), each query scans only its ``n_probe``
-    nearest cells, ranked by exact cosine.  Approximate (recall < 1);
-    exposed to the driver as rows-only.  Scale shape: the probe join
-    touches ~n_probe/n_centroids of the corpus per query instead of
-    all of it."""
+    """IVF approximate top-k in one call: corpus vectors bucketed by
+    nearest centroid (coarse quantizer), each query scans only its
+    ``n_probe`` nearest cells, ranked by exact cosine.  Approximate
+    (recall < 1).  Convenience/test shape — it recomputes the k-means
+    and the full-corpus assignment on EVERY call; production use is
+    :func:`ivf_build` once + :func:`ivf_query` per batch, which is
+    this exact plan minus the per-call corpus pass."""
     import numpy as np
 
     base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))

@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from chearch_spark import spec
 from chearch_spark.functions.hashing import (
     MINHASH_BANDS,
     MINHASH_ROWS,
@@ -341,15 +342,32 @@ WHERE doc_id NOT IN (SELECT doc_b FROM ({inner}))
 # ======================================================================
 
 def ngram_jaccard_pairs(
-    df: DataFrame, tau: float = 0.5, text_col: str = "text"
+    df: DataFrame,
+    tau: float = 0.5,
+    text_col: str = "text",
+    max_shingle_df: int | None = spec.NGRAM_MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """All pairs with shingle-Jaccard ≥ tau (tau > 0): joins on shared
-    shingles, so it is complete without an n² scan."""
+    """All pairs with shingle-Jaccard ≥ tau (tau > 0) over the shingle
+    sets with document frequency ≤ ``max_shingle_df``: joins on shared
+    shingles, so it is complete without an n² scan, and the pinned
+    hot-shingle cap (`spec.NGRAM_MAX_SHINGLE_DF`) keeps a boilerplate
+    shingle in f docs from contributing f² join rows — the cap is part
+    of the semantics (mirrored in the oracle), not a lossy shortcut.
+    Pass ``max_shingle_df=None`` for raw uncapped Jaccard (small
+    corpora / verification only)."""
     if tau <= 0.0:
         raise ValueError(
             "tau must be > 0 for the shared-shingle join to be complete"
         )
     sh = doc_shingles(df, text_col)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("sdf"))
+            .filter(F.col("sdf") <= max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh"))
@@ -372,14 +390,28 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_pairs_sql(
-    tau: float = 0.5, table: str = "documents", text_col: str = "text"
+    tau: float = 0.5,
+    table: str = "documents",
+    text_col: str = "text",
+    max_shingle_df: int | None = spec.NGRAM_MAX_SHINGLE_DF,
 ) -> str:
-    return f"""{_shingles_cte(table, text_col)}
+    if max_shingle_df is not None:
+        shf = f"""
+, sdf AS (
+  SELECT sh, count(*) AS sdf FROM sh GROUP BY sh
+), shf AS (
+  SELECT s.doc_id, s.sh
+  FROM sh s JOIN sdf d ON d.sh = s.sh AND d.sdf <= {max_shingle_df}
+)"""
+    else:
+        shf = """
+, shf AS (SELECT doc_id, sh FROM sh)"""
+    return f"""{_shingles_cte(table, text_col)}{shf}
 , sizes AS (
-  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+  SELECT doc_id, count(*) AS c FROM shf GROUP BY doc_id
 ), inter AS (
   SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS i
-  FROM sh sa JOIN sh sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+  FROM shf sa JOIN shf sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
   GROUP BY sa.doc_id, sb.doc_id
 ), scored AS (
   SELECT i.doc_a, i.doc_b,

@@ -42,6 +42,17 @@ DEFAULT_K = 10
 # reborn as scoring blocks, SURVEY §4.2).
 POSTING_BLOCK = 128
 
+# --- Exact n-gram Jaccard ----------------------------------------------
+# Pinned hot-shingle cap: shingles present in more than this many
+# documents (boilerplate headers, license blocks) are excluded from the
+# exact-Jaccard shingle sets.  A shingle of document frequency f
+# contributes f^2 rows to the shared-shingle join, so without the cap a
+# boilerplate corpus turns the exact verifier quadratic; with it the
+# join is bounded at (cap x df) rows per shingle.  The cap is part of
+# the operator's SEMANTICS (Jaccard over df <= cap shingles), mirrored
+# verbatim in the DuckDB oracle.
+NGRAM_MAX_SHINGLE_DF = 256
+
 SPEC_VERSION = "1"
 
 

@@ -50,6 +50,47 @@ def test_ngram_jaccard_planted(corpus):
     assert (0, 3) not in pairs
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A boilerplate shingle in ~50% of docs must not create pairs on
+    its own (it is excluded by the pinned df cap), while genuinely
+    near-duplicate docs still pair on their rare shingles — and the
+    capped semantics match the capped oracle exactly."""
+    boiler = "copyright acme corp all rights reserved"
+    n = 40
+    rows = []
+    for i in range(n):
+        # half the docs share the boilerplate header + unique bodies
+        body = f"unique body {i} alpha{i} beta{i} gamma{i} delta{i}"
+        rows.append((i, (boiler + " " + body) if i % 2 == 0 else body))
+    # one planted near-dup pair sharing a rare 5-token run
+    rows.append((100, "rare shared run of tokens one two three"))
+    rows.append((101, "rare shared run of tokens one two four"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(df, tau=0.3, max_shingle_df=4).collect()
+    }
+    assert (100, 101) in pairs
+    # boilerplate-only doc pairs are gone: every boilerplate shingle has
+    # df = 20 > cap, and bodies share nothing
+    assert not any(a < 100 and b < 100 for (a, b) in pairs)
+
+    # capped Spark == capped DuckDB oracle (semantics, not heuristics)
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.sql(
+            D.ngram_jaccard_pairs_sql(tau=0.3, max_shingle_df=4)
+        ).fetchall()
+    }
+    got = {k: round(v, 6) for k, v in pairs.items()}
+    assert got == {k: round(v, 6) for k, v in want.items()}
+
+
 def test_minhash_lsh_finds_planted_neardups(corpus):
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard
@@ -216,6 +257,29 @@ def test_ivf_ann_recall_on_clustered_vectors(spark):
     # determinism: same call, same result
     again = A.ivf_ann_topk(emb, qids, 10, n_centroids=16, n_probe=4).collect()
     assert sorted(map(tuple, ivf)) == sorted(map(tuple, again))
+
+
+def test_ivf_build_query_persisted(spark, tmp_path_factory):
+    """ivf_build persists centroids + cell assignment; ivf_query must
+    (a) return exactly what the one-shot ivf_ann_topk computes with
+    the same parameters, (b) run NO assignment job — no Python kernel
+    in the plan, candidate scan partition-pruned to the probed cells."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2]
+    out = str(tmp_path_factory.mktemp("ivf_ix"))
+    meta = A.ivf_build(emb, out, n_centroids=16)
+    assert meta["n_centroids"] == 16 and meta["dim"] == 64
+
+    got = A.ivf_query(spark, out, qids, k=10, n_probe=4)
+    want = A.ivf_ann_topk(emb, qids, 10, n_centroids=16, n_probe=4).collect()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "PartitionFilters" in plan and "cell" in plan
+    # repeated queries reuse the artifact (still no kernel, same rows)
+    again = A.ivf_query(spark, out, qids, k=10, n_probe=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, want))
 
 
 def test_null_text_rows_are_empty_documents(spark):
