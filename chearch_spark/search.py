@@ -522,8 +522,17 @@ class Index:
         return [(int(d), float(s)) for d, s in zip(ids, scores)]
 
     # -- boolean retrieval (doc sets, no scores) -------------------------
-    def match_docs(self, query: Node | str):
-        """All matching external doc ids (AND=intersection, OR=union)."""
+    def match_docs(self, query: Node | str, partition_limit: int | None = None):
+        """All matching external doc ids (AND=intersection, OR=union).
+
+        ``partition_limit`` is the reference's per-partition result cap
+        (`search.chpl:17`, truncation at `searchindex.chpl:101-107`):
+        each segment returns at most that many matches, pinned to the
+        LOWEST doc_index (= lowest external doc id) first.  Without it
+        a hot-term boolean query materializes every match in every
+        segment — the cap is the safety valve for parity/debug use on
+        hot terms; scored retrieval (:meth:`search`) supersedes it with
+        top-k semantics."""
         node = self._prep(query)
         terms = node.terms()
         scan = self._segment_scan(
@@ -535,6 +544,8 @@ class Index:
         def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             postings, meta_ids, _, _ = _decode_segment(pdf)
             cand = _eval_docset(node, postings)
+            if partition_limit is not None:
+                cand = cand[:partition_limit]  # sorted by doc_index asc
             return pd.DataFrame({"doc_id": meta_ids[cand].astype(np.int64)})
 
         return scan.groupBy("seg_id").applyInPandas(_kernel, "doc_id long")
@@ -611,17 +622,23 @@ class Index:
         return scan.groupBy("seg_id").applyInPandas(_kernel, "doc_id long")
 
     # -- reference-parity occurrence mode --------------------------------
-    def parity_search(self, query: Node | str) -> list[tuple[str, int, int]]:
+    def parity_search(
+        self, query: Node | str, partition_limit: int | None = None
+    ) -> list[tuple[str, int, int]]:
         """Occurrence rows (term, textLocation, externalDocId) with exact
         reference pull-protocol semantics (small result sets; collects
         per-segment postings to the driver and replays the operand
-        protocol — parity/debug tool, not the scale path)."""
+        protocol — parity/debug tool, not the scale path).
+        ``partition_limit`` caps the occurrence rows emitted per
+        segment, mirroring the reference's partitionLimit truncation
+        (`searchindex.chpl:101-107`): the FIRST N rows in the operand
+        protocol's own emission order (newest doc first)."""
         node = self._prep(query)
         scan = self._segment_scan(
             node.terms(),
             ["seg_id", "term", "doc_ids", "tfs", "pos_counts", "positions"],
         ).toPandas()
-        return self._parity_from_frame(scan, node)
+        return self._parity_from_frame(scan, node, partition_limit)
 
     def local_parity_search(
         self, query: Node | str
@@ -661,7 +678,10 @@ class Index:
         return self._parity_from_frame(frame, node)
 
     def _parity_from_frame(
-        self, scan: pd.DataFrame, node: Node
+        self,
+        scan: pd.DataFrame,
+        node: Node,
+        partition_limit: int | None = None,
     ) -> list[tuple[str, int, int]]:
         from chearch_spark.oracle import (
             _evaluate,
@@ -712,10 +732,13 @@ class Index:
                     return _UnionOperand(build(n.a), build(n.b))
                 raise TypeError(n)
 
-            out.extend(
+            rows = [
                 (term, pos, int(ext_ids[d]))
                 for (term, pos, d) in _evaluate(build(node))
-            )
+            ]
+            if partition_limit is not None:
+                rows = rows[:partition_limit]
+            out.extend(rows)
         return out
 
 

@@ -1,0 +1,444 @@
+"""Stream-segment compaction: merge the many small segments that
+micro-batch ingest accumulates (N batches × num_segments files) into
+batch-sized ones, bounding every query's segment fan-out.
+
+Why it exists: each micro-batch writes its own immutable segments
+(`ingest.py`), so a long-running stream grows the fan-out without
+bound — 10k micro-batches × 8 partitions = 80k segment files that
+every scatter-gather query must consider.  The reference's in-memory
+engine never faces this (segments are fixed per locale); it is the
+cost of the durable, snapshot-isolated file layout, and compaction is
+the standard LSM answer.
+
+How: segments are merged by *direct posting algebra* — no original
+text needed.  External doc ids from the input docmaps define the
+merged doc_index order; per-term posting lists are decoded, remapped,
+concatenated, re-sorted and re-encoded (delta+varint), positions ride
+along as per-(term,doc) delta groups (deltas reset per group, so whole
+groups reorder freely), and block-max metadata is recomputed.  The
+merged segment is byte-equivalent to what a batch build over the same
+docs-per-segment split would produce.
+
+Execution: one Arrow task per output segment (``mapInArrow`` over a
+group-assignment frame); tasks read their input segment files from
+shared storage — the same assumption under which the build kernel
+writes them.
+
+Crash-safety: new segment/docmap files are written first (atomic
+tmp→rename, idempotent by presence), then the compaction manifest +
+blooms, and only then are replaced files deleted.  A crash between
+manifest and deletion leaves duplicates visible to queries; rerunning
+:func:`compact_stream_segments` (or the fsck) completes the deletion
+using the manifest's ``replaced`` list.  Run compaction from the
+ingest maintenance path, not concurrently with itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+
+from chearch_spark import spec
+from chearch_spark.build import (
+    META_TERM,
+    SUMMARY_SCHEMA,
+    _atomic_write_parquet,
+    _encode_groups,
+)
+from chearch_spark.operators import bloom as bloom_mod
+from chearch_spark.operators import codec
+from chearch_spark.streaming.ingest import STREAM_SEG_BASE
+
+# Compacted segments live in their own id range: above any realistic
+# batch segment count, below STREAM_SEG_BASE (so a later compaction
+# picks them up again together with newer stream segments).
+COMPACT_SEG_BASE = 1 << 29
+COMPACT_EPOCH_STRIDE = 100_000
+
+
+def _merge_segment_tables(
+    inputs: list[tuple[pd.DataFrame, pd.DataFrame]], seg_id: int
+):
+    """Merge N (segment_pdf, docmap_pdf) pairs into one segment.
+
+    Pure pandas/numpy (runs inside the Arrow kernel; unit-testable
+    without Spark).  Returns (segment_pdf, docmap_pdf, summary_dict)
+    with the same shapes as ``build._build_segment_tables``.
+    """
+    exts, lens, shas = [], [], []
+    for _, mp in inputs:
+        mp = mp.sort_values("doc_index")
+        exts.append(mp["doc_id"].to_numpy(np.int64))
+        lens.append(mp["doc_len"].to_numpy(np.int64))
+        shas.append(mp["sha256"].to_numpy(object))
+    counts = [len(e) for e in exts]
+    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    ext_all = (
+        np.concatenate(exts) if exts else np.empty(0, np.int64)
+    )
+    len_all = np.concatenate(lens) if lens else np.empty(0, np.int64)
+    sha_all = (
+        np.concatenate(shas) if shas else np.empty(0, object)
+    )
+    # stable: duplicate external ids (re-ingested docs) stay distinct
+    # entries in input order — engine semantics preserved, not deduped
+    order = np.argsort(ext_all, kind="stable")
+    new_ext = ext_all[order]
+    new_len = len_all[order]
+    new_sha = sha_all[order]
+    remap = np.empty(len(ext_all), dtype=np.int64)
+    remap[order] = np.arange(len(ext_all))
+    n_docs = len(new_ext)
+    n_tokens = int(new_len.sum())
+
+    # gather every posting row across inputs into flat group arrays
+    row_terms: list[str] = []
+    doc_arrs, tf_arrs, pc_arrs, pos_arrs = [], [], [], []
+    for i, (sp, _) in enumerate(inputs):
+        for row in sp.itertuples(index=False):
+            if row.term == META_TERM:
+                continue
+            docs = codec.decode_postings(row.doc_ids).astype(np.int64)
+            tfs = codec.decode_varints(row.tfs).astype(np.int64)
+            if row.pos_counts:
+                pc = codec.decode_varints(row.pos_counts).astype(np.int64)
+                pdl = codec.decode_varints(row.positions).astype(np.int64)
+            else:
+                pc = np.zeros(len(docs), dtype=np.int64)
+                pdl = np.empty(0, dtype=np.int64)
+            row_terms.append(row.term)
+            doc_arrs.append(remap[offsets[i] + docs])
+            tf_arrs.append(tfs)
+            pc_arrs.append(pc)
+            pos_arrs.append(pdl)
+
+    if row_terms:
+        codes, uniques = pd.factorize(np.array(row_terms, object), sort=True)
+        g_term = np.repeat(codes, [len(d) for d in doc_arrs])
+        g_doc = np.concatenate(doc_arrs)
+        g_tf = np.concatenate(tf_arrs)
+        g_pc = np.concatenate(pc_arrs)
+        pos_all = np.concatenate(pos_arrs) if pos_arrs else np.empty(0, np.int64)
+        ord2 = np.lexsort((g_doc, g_term))
+        # reorder the variable-length position groups along with their
+        # (term, doc) entries: gather indexes = per-group ranges
+        src_starts = np.concatenate(([0], np.cumsum(g_pc)))[:-1]
+        sel_starts = src_starts[ord2]
+        sel_counts = g_pc[ord2]
+        dst_starts = np.concatenate(([0], np.cumsum(sel_counts)))[:-1]
+        gather = (
+            np.repeat(sel_starts, sel_counts)
+            + np.arange(int(sel_counts.sum()))
+            - np.repeat(dst_starts, sel_counts)
+        )
+        pos_sorted = pos_all[gather]
+        g_term, g_doc, g_tf, g_pc = (
+            g_term[ord2], g_doc[ord2], g_tf[ord2], g_pc[ord2],
+        )
+    else:
+        uniques = np.empty(0, object)
+        g_term = g_doc = g_tf = g_pc = np.empty(0, np.int64)
+        pos_sorted = np.empty(0, np.int64)
+
+    # term groups over (term, doc) rows — same encode phase as the
+    # batch builder (build.py:_build_segment_tables), starting from
+    # already-grouped postings instead of raw occurrences
+    if len(g_term):
+        term_new = np.empty(len(g_term), dtype=bool)
+        term_new[0] = True
+        term_new[1:] = g_term[1:] != g_term[:-1]
+        term_starts = np.flatnonzero(term_new)
+        term_ids = g_term[term_new]
+        df_per_term = np.diff(np.concatenate((term_starts, [len(g_term)])))
+    else:
+        term_starts = np.empty(0, np.int64)
+        term_ids = np.empty(0, np.int64)
+        df_per_term = np.empty(0, np.int64)
+
+    deltas = g_doc.copy()
+    if len(g_doc):
+        deltas[1:] = g_doc[1:] - g_doc[:-1]
+        deltas[term_starts] = g_doc[term_starts]
+    doc_ids_bins = _encode_groups(deltas.astype(np.uint64), term_starts)
+    tfs_bins = _encode_groups(g_tf.astype(np.uint64), term_starts)
+    cf_per_term = (
+        np.add.reduceat(g_tf, term_starts).astype(np.int64)
+        if len(term_starts)
+        else np.empty(0, np.int64)
+    )
+    store_positions = bool(g_pc.sum() > 0) or any(
+        (sp["pos_counts"].map(bool)).any() for sp, _ in inputs
+    )
+    if store_positions and len(term_ids):
+        pc_bins = _encode_groups(g_pc.astype(np.uint64), term_starts)
+        pos_term_starts = np.concatenate(([0], np.cumsum(g_pc)))[term_starts]
+        pos_bins = _encode_groups(pos_sorted.astype(np.uint64), pos_term_starts)
+    else:
+        pc_bins = [b""] * len(term_ids)
+        pos_bins = [b""] * len(term_ids)
+
+    # block-max metadata (same layout as the batch builder)
+    B = spec.POSTING_BLOCK
+    if len(term_ids):
+        bounds = np.concatenate((term_starts, [len(g_doc)]))
+        term_lens = np.diff(bounds)
+        nb_per_term = (term_lens + B - 1) // B
+        nb_offsets = np.concatenate(([0], np.cumsum(nb_per_term)))
+        block_term = np.repeat(np.arange(len(term_ids)), nb_per_term)
+        within = np.arange(len(block_term)) - nb_offsets[block_term]
+        bstarts = term_starts[block_term] + within * B
+        bends = np.minimum(bstarts + B - 1, bounds[block_term + 1] - 1)
+        tri = np.empty(len(bstarts) * 3, dtype=np.uint64)
+        tri[0::3] = g_doc[bends]
+        tri[1::3] = np.maximum.reduceat(g_tf, bstarts)
+        tri[2::3] = np.minimum.reduceat(new_len[g_doc], bstarts)
+        blocks_bins = _encode_groups(tri, nb_offsets[:-1] * 3)
+    else:
+        blocks_bins = []
+
+    terms = [str(uniques[i]) for i in term_ids]
+    seg_pdf = pd.DataFrame(
+        {
+            "seg_id": np.full(len(terms) + 1, seg_id, dtype=np.int32),
+            "term": [META_TERM] + terms,
+            "df": np.concatenate(([n_docs], df_per_term)).astype(np.int64),
+            "cf": np.concatenate(([n_tokens], cf_per_term)).astype(np.int64),
+            "doc_ids": [codec.encode_postings(new_ext.astype(np.uint64))]
+            + doc_ids_bins,
+            "tfs": [codec.encode_varints(new_len.astype(np.uint64))]
+            + tfs_bins,
+            "pos_counts": [b""] + pc_bins,
+            "positions": [b""] + pos_bins,
+            "blocks": [b""] + blocks_bins,
+        }
+    )
+    bloom_m, bloom = bloom_mod.make_bloom(terms)
+    docmap_pdf = pd.DataFrame(
+        {
+            "doc_id": new_ext,
+            "seg_id": np.full(n_docs, seg_id, dtype=np.int32),
+            "doc_index": np.arange(n_docs, dtype=np.int32),
+            "doc_len": new_len.astype(np.int32),
+            "sha256": new_sha,
+        }
+    )
+    summary = {
+        "n_docs": n_docs,
+        "n_terms": len(terms),
+        "n_tokens": n_tokens,
+        "n_postings": int(len(g_doc)),
+        "content_fp": spec.content_fp(list(new_sha)),
+        "bloom_m": bloom_m,
+        "bloom": bloom,
+    }
+    return seg_pdf, docmap_pdf, summary
+
+
+def _stream_seg_ids(seg_dir: str) -> list[int]:
+    out = []
+    for fn in os.listdir(seg_dir):
+        if fn.startswith("segment-") and fn.endswith(".parquet"):
+            sid = int(fn[len("segment-"):-len(".parquet")])
+            if sid >= COMPACT_SEG_BASE:
+                out.append(sid)
+    return sorted(out)
+
+
+def _complete_pending(out_dir: str) -> None:
+    """Finish a compaction interrupted between manifest write and old-
+    file deletion: delete every ``replaced`` file that still exists."""
+    import glob
+
+    for mp in sorted(glob.glob(os.path.join(out_dir, "manifest-compact-*.json"))):
+        with open(mp) as f:
+            m = json.load(f)
+        for rel in m.get("replaced", []):
+            p = os.path.join(out_dir, rel)
+            if os.path.exists(p):
+                os.remove(p)
+
+
+def compact_stream_segments(
+    spark,
+    out_dir: str,
+    *,
+    num_segments: int | None = None,
+    docs_per_segment: int | None = None,
+    finalize: bool = True,
+) -> dict | None:
+    """Merge ALL stream-written (and previously compacted) segments
+    into ``num_segments`` output segments (default: sized by
+    ``docs_per_segment``, falling back to the batch builder's default
+    cap).  Batch-built segments (ids < COMPACT_SEG_BASE) are never
+    touched.  Returns the refreshed stats (or None if there was
+    nothing to compact)."""
+    from pyspark.sql import functions as F
+
+    from chearch_spark.build import DEFAULT_DOCS_PER_SEGMENT
+    from chearch_spark.streaming.ingest import finalize_index
+
+    seg_dir = os.path.join(out_dir, "segments")
+    map_dir = os.path.join(out_dir, "docmap")
+    _complete_pending(out_dir)
+    stream_ids = _stream_seg_ids(seg_dir)
+    if len(stream_ids) <= 1:
+        return None
+
+    # doc counts: manifests first, docmap footers as fallback
+    import glob
+
+    n_by_seg: dict[int, int] = {}
+    for mp in sorted(
+        glob.glob(os.path.join(out_dir, "manifest-*.json"))
+    ):
+        with open(mp) as f:
+            m = json.load(f)
+        for s in m.get("segments", []):
+            n_by_seg[int(s["seg_id"])] = int(s["n_docs"])
+    missing = [s for s in stream_ids if s not in n_by_seg]
+    if missing:
+        import pyarrow.parquet as pq
+
+        for sid in missing:
+            p = os.path.join(map_dir, f"docmap-{sid:09d}.parquet")
+            n_by_seg[sid] = pq.ParquetFile(p).metadata.num_rows
+    total_docs = sum(n_by_seg[s] for s in stream_ids)
+    if num_segments is None:
+        cap = docs_per_segment or DEFAULT_DOCS_PER_SEGMENT
+        num_segments = max(1, -(-total_docs // cap))
+    G = min(int(num_segments), len(stream_ids))
+
+    epoch = 0
+    existing_compact = [
+        s for s in stream_ids if COMPACT_SEG_BASE <= s < STREAM_SEG_BASE
+    ]
+    if existing_compact:
+        epoch = (
+            max(existing_compact) - COMPACT_SEG_BASE
+        ) // COMPACT_EPOCH_STRIDE + 1
+    base = COMPACT_SEG_BASE + epoch * COMPACT_EPOCH_STRIDE
+
+    def _fname(sid: int) -> tuple[str, str]:
+        return (
+            f"segments/segment-{sid:09d}.parquet",
+            f"docmap/docmap-{sid:09d}.parquet",
+        )
+
+    # contiguous grouping of inputs (sorted by seg_id) into G groups
+    groups: list[tuple[int, list[int]]] = [
+        (g, stream_ids[g::G]) for g in range(G)
+    ]
+    rows = [
+        (g, json.dumps([_fname(s) for s in sids])) for g, sids in groups
+    ]
+    out_abs = os.path.abspath(out_dir)
+
+    def _kernel(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for rec in b.to_pylist():
+                g = int(rec["g"])
+                sid = base + g
+                k0 = time.time()
+                seg_path = os.path.join(
+                    out_abs, f"segments/segment-{sid:09d}.parquet"
+                )
+                map_path = os.path.join(
+                    out_abs, f"docmap/docmap-{sid:09d}.parquet"
+                )
+                inputs = []
+                for seg_rel, map_rel in json.loads(rec["files"]):
+                    inputs.append(
+                        (
+                            pq.read_table(
+                                os.path.join(out_abs, seg_rel)
+                            ).to_pandas(),
+                            pq.read_table(
+                                os.path.join(out_abs, map_rel)
+                            ).to_pandas(),
+                        )
+                    )
+                seg_pdf, map_pdf, s = _merge_segment_tables(inputs, sid)
+                nbytes = _atomic_write_parquet(seg_pdf, seg_path)
+                nbytes += _atomic_write_parquet(map_pdf, map_path)
+                yield pa.RecordBatch.from_pylist(
+                    [
+                        {
+                            "seg_id": sid,
+                            "n_docs": s["n_docs"],
+                            "n_terms": s["n_terms"],
+                            "n_tokens": s["n_tokens"],
+                            "n_postings": s["n_postings"],
+                            "bytes_written": nbytes,
+                            "skipped": False,
+                            "wall_sec": time.time() - k0,
+                            "content_fp": s["content_fp"],
+                            "bloom_m": s["bloom_m"],
+                            "bloom": s["bloom"],
+                        }
+                    ]
+                )
+
+    summaries = (
+        spark.createDataFrame(rows, "g int, files string")
+        .repartition(G, "g")
+        .mapInArrow(_kernel, SUMMARY_SCHEMA)
+        .collect()
+    )
+
+    # publish: blooms + manifest first, then delete replaced inputs
+    bloom_dir = os.path.join(out_dir, "blooms")
+    os.makedirs(bloom_dir, exist_ok=True)
+    _atomic_write_parquet(
+        pd.DataFrame(
+            {
+                "seg_id": [int(r.seg_id) for r in summaries],
+                "bloom_m": [int(r.bloom_m) for r in summaries],
+                "bloom": [bytes(r.bloom) for r in summaries],
+            }
+        ),
+        os.path.join(bloom_dir, f"blooms-compact-{epoch:06d}.parquet"),
+    )
+    replaced = [rel for s in stream_ids for rel in _fname(s)]
+    manifest = {
+        "epoch": epoch,
+        "segments": [
+            {
+                "seg_id": int(r.seg_id),
+                "n_docs": int(r.n_docs),
+                "n_terms": int(r.n_terms),
+                "n_tokens": int(r.n_tokens),
+                "n_postings": int(r.n_postings),
+                "content_fp": int(r.content_fp),
+                "wall_sec": float(r.wall_sec),
+            }
+            for r in sorted(summaries, key=lambda r: r.seg_id)
+        ],
+        "replaced": replaced,
+    }
+    mpath = os.path.join(out_dir, f"manifest-compact-{epoch:06d}.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(mpath + ".tmp", mpath)
+    for rel in replaced:
+        p = os.path.join(out_dir, rel)
+        if os.path.exists(p):
+            os.remove(p)
+    # drop bloom files whose entries now point at deleted segments
+    # (stale entries are harmless for correctness — pruning would list
+    # dead ids — but they bloat every probe)
+    for fn in os.listdir(bloom_dir):
+        if fn.startswith("blooms-batch-") or (
+            fn.startswith("blooms-compact-")
+            and fn != f"blooms-compact-{epoch:06d}.parquet"
+        ):
+            os.remove(os.path.join(bloom_dir, fn))
+    if finalize:
+        return finalize_index(spark, out_dir)
+    return None

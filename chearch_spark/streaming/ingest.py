@@ -264,7 +264,7 @@ def finalize_index(spark, out_dir: str) -> dict:
         manifests.append(build_manifest)
     manifests += sorted(
         glob.glob(os.path.join(out_dir, "manifest-batch-*.json"))
-    )
+    ) + sorted(glob.glob(os.path.join(out_dir, "manifest-compact-*.json")))
     for mp in manifests:
         with open(mp) as f:
             m = json.load(f)

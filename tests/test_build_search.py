@@ -418,6 +418,39 @@ def test_resume_rejects_different_segment_count(spark, corpus_pdf, tmp_path_fact
     assert r.skipped_segments == 8
 
 
+def test_partition_limit_truncation(index):
+    """Reference partitionLimit parity (`search.chpl:17`): boolean mode
+    returns at most N matches per segment, lowest doc_index first;
+    parity mode caps occurrence rows per segment in emission order."""
+    full = {r.doc_id for r in index.match_docs(Term("merge")).collect()}
+    seg_of = {
+        r.doc_id: r.seg_id
+        for r in index.docmap().select("doc_id", "seg_id").collect()
+    }
+    lim = [r.doc_id for r in index.match_docs(Term("merge"), partition_limit=1).collect()]
+    # exactly the lowest matching doc id of each segment that has one
+    expect = {}
+    for d in full:
+        s = seg_of[d]
+        expect[s] = min(expect.get(s, d), d)
+    assert sorted(lim) == sorted(expect.values())
+    assert set(lim) <= full
+
+    rows_full = index.parity_search(Term("merge"))
+    rows_lim = index.parity_search(Term("merge"), partition_limit=2)
+    # <= 2 occurrence rows per segment, all drawn from the full set
+    from collections import Counter
+
+    per_seg = Counter(seg_of[doc] for (_, _, doc) in rows_lim)
+    assert all(c <= 2 for c in per_seg.values())
+    assert Counter(rows_lim) <= Counter(rows_full)
+    want_total = sum(
+        min(c, 2)
+        for c in Counter(seg_of[doc] for (_, _, doc) in rows_full).values()
+    )
+    assert len(rows_lim) == want_total
+
+
 def test_resume_recovers_segment_count_without_cfg(
     spark, corpus_pdf, tmp_path_factory
 ):

@@ -224,6 +224,109 @@ def test_stream_append_to_batch_index_no_seg_collision(spark, dirs):
     assert got == want
 
 
+def test_compaction_preserves_results_and_bounds_segments(spark, dirs):
+    """10 micro-batches × 2 partitions = 20 stream segments; after
+    compaction to 4 the index must answer every query IDENTICALLY
+    (scores, doc sets, phrases — positions survive the posting-algebra
+    merge) with segment count ≤ 4 and identical lineage stats."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = dirs["stream_ix"]
+    for b in range(10):
+        ingest_batch(
+            docs.filter(f"doc_id % 10 = {b}"), out, batch_id=b,
+            num_segments=2,
+        )
+    before_stats = finalize_index(spark, out)
+    ix0 = Index(spark, out)
+    queries = [
+        Term("merge"),
+        Term("merge") & Term("sort"),
+        (Term("merge") & Term("sort")) | Term("dup"),
+    ]
+    want_top = [
+        [(r.doc_id, round(r.score, 9)) for r in ix0.search(q, k=10).collect()]
+        for q in queries
+    ]
+    want_docs = {r.doc_id for r in ix0.match_docs(Term("merge")).collect()}
+    want_phrase = {r.doc_id for r in ix0.match_phrase(["merge", "sort"]).collect()}
+
+    from chearch_spark.streaming.compact import compact_stream_segments
+
+    stats = compact_stream_segments(spark, out, num_segments=4)
+    segs = [f for f in os.listdir(os.path.join(out, "segments"))]
+    assert len(segs) <= 4
+    assert stats["n_docs"] == before_stats["n_docs"]
+    assert stats["total_tokens"] == before_stats["total_tokens"]
+    assert stats["content_fp"] == before_stats["content_fp"]
+
+    ix1 = Index(spark, out)
+    for q, want in zip(queries, want_top):
+        got = [
+            (r.doc_id, round(r.score, 9)) for r in ix1.search(q, k=10).collect()
+        ]
+        assert got == want, q
+    assert {r.doc_id for r in ix1.match_docs(Term("merge")).collect()} == want_docs
+    assert {
+        r.doc_id for r in ix1.match_phrase(["merge", "sort"]).collect()
+    } == want_phrase
+    # local (driver RAM) path sees the compacted layout identically
+    assert [
+        (d, round(s, 9)) for d, s in ix1.local_search(queries[2], k=10)
+    ] == want_top[2]
+
+    # idempotent: nothing left to compact (4 segments -> capped at 4,
+    # a second pass merges 4 -> 4... must still answer identically)
+    compact_stream_segments(spark, out, num_segments=4)
+    ix2 = Index(spark, out)
+    got = [
+        (r.doc_id, round(r.score, 9))
+        for r in ix2.search(queries[2], k=10).collect()
+    ]
+    assert got == want_top[2]
+
+
+def test_compaction_leaves_batch_segments_untouched(spark, dirs):
+    """Mixed index (batch build + stream appends): compaction merges
+    only the stream segments; batch files are untouched."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = dirs["stream_ix"]
+    build_index(spark, docs.filter("doc_id < 250"), out, num_segments=4,
+                resume=False)
+    batch_files = {
+        f: os.path.getmtime(os.path.join(out, "segments", f))
+        for f in os.listdir(os.path.join(out, "segments"))
+    }
+    for b in range(4):
+        ingest_batch(
+            docs.filter(f"doc_id >= 250 and doc_id % 4 = {b}"), out,
+            batch_id=b, num_segments=2,
+        )
+    from chearch_spark.streaming.compact import compact_stream_segments
+
+    compact_stream_segments(spark, out, num_segments=2)
+    now = {
+        f: os.path.getmtime(os.path.join(out, "segments", f))
+        for f in os.listdir(os.path.join(out, "segments"))
+    }
+    for f, mt in batch_files.items():
+        assert f in now and now[f] == mt
+    assert len(now) == 4 + 2
+    ix = Index(spark, out)
+    assert ix.n_docs == docs.count()
+    got = {r.doc_id for r in ix.match_docs(Term("merge")).collect()}
+    bix_out = dirs["batch_ix"]
+    build_index(spark, docs, bix_out, num_segments=4, resume=False)
+    want = {
+        r.doc_id
+        for r in Index(spark, bix_out).match_docs(Term("merge")).collect()
+    }
+    assert got == want
+
+
 def test_stream_empty_result_windows(spark, dirs):
     """All input inside one window -> append mode emits nothing; the
     runner must return an empty typed frame, not crash."""
