@@ -276,6 +276,55 @@ def _build_segment_tables(pdf: pd.DataFrame, seg_id: int, store_positions: bool)
     return seg_pdf, docmap_pdf, summary
 
 
+def write_dictionary(grouped_df, out_dir: str, n_files: int) -> None:
+    """Write the merged dictionary RANGE-partitioned by term (each part
+    file covers a contiguous term range, rows sorted within), then
+    record each file's [min_term, max_term] in a ``dict_bounds.json``
+    sidecar at the index root.  A driver probe (term_stats / prefix
+    expansion) consults the sidecar and opens only the files whose
+    range intersects the query — O(1) file opens instead of listing and
+    footer-reading every dictionary file (the difference between ms and
+    seconds at a 500k-segment index's dictionary).
+
+    ``repartitionByRange`` costs one sampling pass over the dictionary
+    — dictionary-sized (vocabulary rows), not corpus-sized, and paid
+    once per build/finalize."""
+    d = grouped_df
+    if n_files > 1:
+        d = d.repartitionByRange(n_files, "term")
+    else:
+        d = d.coalesce(1)
+    dict_dir = os.path.join(out_dir, "dictionary")
+    d.sortWithinPartitions("term").write.mode("overwrite").parquet(dict_dir)
+    write_dict_bounds(out_dir)
+
+
+def write_dict_bounds(out_dir: str) -> dict:
+    """(Re)build the dictionary bounds sidecar from the part files.
+    Build-time one-shot full read of the (small) dictionary — probes
+    then never list the directory again."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    dict_dir = os.path.join(out_dir, "dictionary")
+    bounds: dict[str, list[str]] = {}
+    for fn in sorted(os.listdir(dict_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        col = pq.read_table(
+            os.path.join(dict_dir, fn), columns=["term"]
+        ).column("term")
+        if len(col) == 0:
+            continue
+        bounds[fn] = [pc.min(col).as_py(), pc.max(col).as_py()]
+    payload = {"files": bounds}
+    p = os.path.join(out_dir, "dict_bounds.json")
+    with open(p + ".tmp", "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(p + ".tmp", p)
+    return bounds
+
+
 def _atomic_write_parquet(pdf: pd.DataFrame, final_path: str) -> int:
     import uuid
 
@@ -510,18 +559,12 @@ def build_index(
     # per-segment rows; segment id is the implicit salt — hot terms are
     # bounded at S input rows) ------------------------------------------
     seg_scan = spark.read.parquet(seg_dir).filter(F.col("term") != META_TERM)
-    # the groupBy shuffle already hash-partitions by term; keep that
-    # partitioning (no repartitionByRange — its sampling pass costs a
-    # full extra read) and sort within partitions so parquet row-group
-    # min/max stats prune query-term probes inside every file
-    dictionary = (
-        seg_scan.groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-        .coalesce(max(S // 8, 1))
-        .sortWithinPartitions("term")
+    dictionary = seg_scan.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
     )
-    dict_dir = os.path.join(out_dir, "dictionary")
-    dictionary.write.mode("overwrite").parquet(dict_dir)
+    # range-partitioned by term + bounds sidecar: probes open O(1)
+    # files; row-group min/max stats prune within each file
+    write_dictionary(dictionary, out_dir, max(S // 8, 1))
 
     n_docs = int(sum(r.n_docs for r in summaries))
     total_tokens = int(sum(r.n_tokens for r in summaries))

@@ -111,24 +111,77 @@ class Index:
         self._blooms: dict[int, tuple[int, bytes]] | None = None
         self._bloom_probe = None  # vectorized probe, built once
         self._all_segs: list[int] | None = None
+        self._dict_bounds: dict[str, tuple[str, str]] | None = None
         self._seg_df = None  # lazily cached segment DataFrame (file
         # listing + schema inference paid once per Index, not per query)
 
     # -- dictionary -----------------------------------------------------
+    def _load_dict_bounds(self) -> dict[str, tuple[str, str]]:
+        """{part_file: (min_term, max_term)} — from the build-time
+        ``dict_bounds.json`` sidecar; a legacy index without one is
+        scanned ONCE (footer-level) and cached for the Index lifetime."""
+        if self._dict_bounds is None:
+            p = os.path.join(self.path, "dict_bounds.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    self._dict_bounds = {
+                        fn: (b[0], b[1])
+                        for fn, b in json.load(f)["files"].items()
+                    }
+            else:
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                bounds = {}
+                for fn in sorted(os.listdir(self.dict_dir)):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    col = pq.read_table(
+                        os.path.join(self.dict_dir, fn), columns=["term"]
+                    ).column("term")
+                    if len(col):
+                        bounds[fn] = (pc.min(col).as_py(), pc.max(col).as_py())
+                self._dict_bounds = bounds
+        return self._dict_bounds
+
+    def _dict_files_for(self, terms: list[str]) -> list[str]:
+        """Part files whose term range may contain any of `terms`
+        (point probes) — the sidecar makes this an O(files) in-memory
+        scan with O(matching files) opens."""
+        bounds = self._load_dict_bounds()
+        out = []
+        for fn, (lo, hi) in bounds.items():
+            if any(lo <= t <= hi for t in terms):
+                out.append(os.path.join(self.dict_dir, fn))
+        return out
+
+    def _dict_files_for_range(self, lo: str, hi: str) -> list[str]:
+        """Part files intersecting the half-open term range [lo, hi)."""
+        bounds = self._load_dict_bounds()
+        return [
+            os.path.join(self.dict_dir, fn)
+            for fn, (fmin, fmax) in bounds.items()
+            if fmin < hi and fmax >= lo
+        ]
+
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """{term: (df, cf)} dictionary probe (the reference's hash-table
         probe, `memorysegment.chpl:254-265`).
 
         Reads the pruned dictionary parquet directly on the driver
-        (pyarrow predicate pushdown over row-group stats) instead of
-        launching a Spark job — query terms are few, the probe result
-        is tiny, and skipping the job roughly halves per-query latency.
-        """
+        instead of launching a Spark job — query terms are few, the
+        probe result is tiny, and skipping the job roughly halves
+        per-query latency.  File-level pruning via the range-bounds
+        sidecar (only files whose [min, max] can contain a query term
+        are opened), then pyarrow row-group stats prune within them."""
         import pyarrow.dataset as ds
 
         if not terms:
             return {}
-        table = ds.dataset(self.dict_dir, format="parquet").to_table(
+        files = self._dict_files_for(list(terms))
+        if not files:
+            return {}
+        table = ds.dataset(files, format="parquet").to_table(
             filter=ds.field("term").isin(list(terms))
         )
         out: dict[str, tuple[int, int]] = {}
@@ -139,14 +192,18 @@ class Index:
 
     def _prefix_terms(self, prefix: str) -> list[str]:
         """Dictionary range probe for a prefix (terms are [a-z0-9_]+, so
-        bumping the last code point gives an exclusive upper bound).
-        Raises when the expansion exceeds ``MAX_PREFIX_EXPANSION`` —
+        bumping the last code point gives an exclusive upper bound),
+        touching only the part files whose range intersects.  Raises
+        when the expansion exceeds ``MAX_PREFIX_EXPANSION`` —
         truncating silently would silently drop matches (and diverge
         from any uncapped oracle)."""
         import pyarrow.dataset as ds
 
         hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
-        table = ds.dataset(self.dict_dir, format="parquet").to_table(
+        files = self._dict_files_for_range(prefix, hi)
+        if not files:
+            return []
+        table = ds.dataset(files, format="parquet").to_table(
             filter=(ds.field("term") >= prefix) & (ds.field("term") < hi),
             columns=["term"],
         )

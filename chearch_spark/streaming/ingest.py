@@ -207,17 +207,19 @@ def finalize_index(spark, out_dir: str) -> dict:
 
     from chearch_spark.build import META_TERM
 
+    from chearch_spark.build import write_dictionary
+
     seg_dir = os.path.join(out_dir, "segments")
     seg = spark.read.parquet(seg_dir)
     dictionary = (
         seg.filter(F.col("term") != META_TERM)
         .groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-        .coalesce(max(spark.sparkContext.defaultParallelism // 8, 1))
-        .sortWithinPartitions("term")
     )
-    dictionary.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "dictionary")
+    write_dictionary(
+        dictionary,
+        out_dir,
+        max(spark.sparkContext.defaultParallelism // 8, 1),
     )
     meta = (
         seg.filter(F.col("term") == META_TERM)

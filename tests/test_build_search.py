@@ -418,6 +418,43 @@ def test_resume_rejects_different_segment_count(spark, corpus_pdf, tmp_path_fact
     assert r.skipped_segments == 8
 
 
+def test_dictionary_file_level_pruning(spark, tmp_path_factory):
+    """The dictionary is range-partitioned with a bounds sidecar: a
+    point probe must open exactly the one file whose range contains the
+    term (not list/open every part file), with identical results; the
+    legacy footer-scan fallback must agree after the sidecar is gone."""
+    rows = [(i, f"w{i:04d}a w{i:04d}b common") for i in range(400)]
+    out = str(tmp_path_factory.mktemp("dict_ix"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    build_index(spark, df, out, num_segments=32, resume=False)
+    ix = Index(spark, out)
+
+    assert os.path.exists(os.path.join(out, "dict_bounds.json"))
+    bounds = ix._load_dict_bounds()
+    n_files = len(bounds)
+    assert n_files >= 4  # S//8 range files
+    # disjoint, ordered ranges covering the vocab
+    ivs = sorted(bounds.values())
+    for (lo1, hi1), (lo2, _) in zip(ivs, ivs[1:]):
+        assert hi1 < lo2
+
+    touched = ix._dict_files_for(["w0123a"])
+    assert len(touched) == 1
+    assert ix.term_stats(["w0123a", "w0377b", "common"]) == {
+        "w0123a": (1, 1), "w0377b": (1, 1), "common": (400, 400),
+    }
+    # prefix range probe touches only intersecting files
+    pref_files = ix._dict_files_for_range("w039", "w03:")
+    assert 1 <= len(pref_files) < n_files
+    assert len(ix._prefix_terms("w039")) == 20
+
+    # legacy index (no sidecar): one-time footer scan, same answers
+    os.remove(os.path.join(out, "dict_bounds.json"))
+    ix2 = Index(spark, out)
+    assert ix2.term_stats(["w0123a"]) == {"w0123a": (1, 1)}
+    assert len(ix2._dict_files_for(["w0123a"])) == 1
+
+
 def test_partition_limit_truncation(index):
     """Reference partitionLimit parity (`search.chpl:17`): boolean mode
     returns at most N matches per segment, lowest doc_index first;
