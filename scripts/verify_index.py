@@ -1,19 +1,32 @@
 #!/usr/bin/env python
-"""Index fsck: validates an index directory against its manifest —
+"""Index fsck: validates an index directory against its lineage —
 the operational tool behind the north rule's "per-partition lineage +
 checkpoint metadata" (a resumable build is only trustworthy if you can
-prove what's on disk matches what the manifest says was built).
+prove what's on disk matches what the manifests say was built).
+
+Covers every layout the engine writes: batch builds (manifest.json),
+micro-batch stream ingest (manifest-batch-*.json), and compactions
+(manifest-compact-*.json, whose ``replaced`` lists retire older
+segment files).
 
 Checks (all raise — never `assert`, so `python -O` cannot strip them):
-  1. the segment/docmap directories contain EXACTLY the manifest's
-     files (stale or missing files both fail);
-  2. per-segment doc counts: manifest == docmap rows == meta-row df;
-  3. per-segment tokens: manifest == meta-row cf == sum(docmap doc_len);
-  4. content fingerprints (spec.content_fp over docmap sha256s):
-     per-segment and global match the manifest;
-  5. dictionary consistency: sum of per-segment df/cf == dictionary
+  1. no compaction is half-finished (a ``replaced`` file still on disk
+     means queries see duplicates — rerun compact_stream_segments to
+     complete the deletion);
+  2. the segment/docmap directories contain EXACTLY the live manifest
+     entries' files (stale or missing files both fail);
+  3. per-segment doc counts: manifest == docmap rows == meta-row df;
+  4. per-segment tokens: manifest == meta-row cf == sum(docmap doc_len);
+  5. content fingerprints (spec.content_fp over docmap sha256s):
+     per-segment match their manifest; global matches stats.json;
+  6. dictionary consistency: sum of per-segment df/cf == dictionary
      (the merge lost nothing);
-  6. stats.json totals == sum over segments.
+  7. stats.json totals == sum over live segments;
+  8. dict_bounds.json sidecar (if present) matches each dictionary
+     file's REAL term range — a stale sidecar would mis-prune probes;
+  9. bloom coverage: segments without a bloom entry are reported
+     (advisory — the planner always scans them — but they indicate an
+     interrupted ingest), as are stale entries for dead segments.
 
 Exit code 0 + one JSON line on success.  Run:
   python scripts/verify_index.py <index_dir>
@@ -21,6 +34,7 @@ Exit code 0 + one JSON line on success.  Run:
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -43,34 +57,80 @@ def _check(cond: bool, msg: str) -> None:
         raise IndexCorruption(msg)
 
 
-def verify(path: str) -> dict:
-    with open(os.path.join(path, "manifest.json")) as f:
-        manifest = json.load(f)
-    with open(os.path.join(path, "stats.json")) as f:
-        stats = json.load(f)
+def _stream_paths(sid: int) -> tuple[str, str]:
+    return (
+        f"segments/segment-{sid:09d}.parquet",
+        f"docmap/docmap-{sid:09d}.parquet",
+    )
 
-    # 1. disk <-> manifest file-set equality (both directions: a stale
+
+def _gather_manifests(path: str):
+    """Live per-segment entries across all manifest kinds; compaction
+    ``replaced`` files retire older entries."""
+    entries: dict[int, dict] = {}
+    replaced: set[str] = set()
+    batch_manifest = None
+    mpath = os.path.join(path, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            batch_manifest = json.load(f)
+        for s in batch_manifest["segments"]:
+            entries[int(s["seg_id"])] = dict(s)
+    for kind in ("manifest-batch-*.json", "manifest-compact-*.json"):
+        for mp in sorted(glob.glob(os.path.join(path, kind))):
+            with open(mp) as f:
+                m = json.load(f)
+            for s in m.get("segments", []):
+                sid = int(s["seg_id"])
+                seg_rel, map_rel = _stream_paths(sid)
+                entries[sid] = {**s, "file": seg_rel, "docmap": map_rel}
+            replaced |= set(m.get("replaced", []))
+    live = {
+        sid: e for sid, e in entries.items() if e["file"] not in replaced
+    }
+    return live, replaced, batch_manifest
+
+
+def verify(path: str) -> dict:
+    stats_path = os.path.join(path, "stats.json")
+    _check(
+        os.path.exists(stats_path),
+        "no stats.json — index was never finalized (run finalize_index)",
+    )
+    with open(stats_path) as f:
+        stats = json.load(f)
+    live, replaced, batch_manifest = _gather_manifests(path)
+    _check(bool(live), "no manifests describe any segments")
+
+    # 1. half-finished compaction: replaced files must be gone
+    still = [r for r in replaced if os.path.exists(os.path.join(path, r))]
+    _check(
+        not still,
+        f"pending compaction: replaced files still on disk {still[:4]} — "
+        "rerun compact_stream_segments to complete",
+    )
+
+    # 2. disk <-> manifest file-set equality (both directions: a stale
     # extra segment would be served by queries but escape a
     # manifest-only walk)
-    want_segs = {os.path.basename(s["file"]) for s in manifest["segments"]}
-    want_maps = {os.path.basename(s["docmap"]) for s in manifest["segments"]}
+    want_segs = {os.path.basename(e["file"]) for e in live.values()}
+    want_maps = {os.path.basename(e["docmap"]) for e in live.values()}
     have_segs = set(os.listdir(os.path.join(path, "segments")))
     have_maps = set(os.listdir(os.path.join(path, "docmap")))
     _check(
         have_segs == want_segs,
-        f"segment files diverge from manifest: extra={have_segs - want_segs}"
+        f"segment files diverge from manifests: extra={have_segs - want_segs}"
         f" missing={want_segs - have_segs}",
     )
     _check(
         have_maps == want_maps,
-        f"docmap files diverge from manifest: extra={have_maps - want_maps}"
+        f"docmap files diverge from manifests: extra={have_maps - want_maps}"
         f" missing={want_maps - have_maps}",
     )
 
     n_docs = n_tokens = 0
     global_fp = 0
-    for seg in manifest["segments"]:
-        sid = seg["seg_id"]
+    for sid, seg in sorted(live.items()):
         dm = pq.read_table(
             os.path.join(path, seg["docmap"]), columns=["doc_len", "sha256"]
         )
@@ -109,9 +169,17 @@ def verify(path: str) -> dict:
     _check(n_docs == stats["n_docs"], "stats.json n_docs mismatch")
     _check(n_tokens == stats["total_tokens"], "stats.json tokens mismatch")
     _check(
-        global_fp % (2**63) == manifest["content_fp"],
-        "global content fingerprint mismatch",
+        global_fp % (2**63) == stats["content_fp"],
+        "global content fingerprint mismatch vs stats.json",
     )
+    if batch_manifest is not None and len(replaced) == 0 and all(
+        sid in live for sid in
+        (int(s["seg_id"]) for s in batch_manifest["segments"])
+    ) and len(live) == len(batch_manifest["segments"]):
+        _check(
+            global_fp % (2**63) == batch_manifest["content_fp"],
+            "global content fingerprint mismatch vs manifest.json",
+        )
 
     # dictionary == sum of per-segment term stats
     seg_terms = (
@@ -135,12 +203,54 @@ def verify(path: str) -> dict:
     _check(bool((joined["df_seg"] == joined["df"]).all()), "df drift")
     _check(bool((joined["cf_seg"] == joined["cf"]).all()), "cf drift")
 
+    # dict_bounds sidecar: a stale sidecar silently mis-prunes probes
+    bounds_path = os.path.join(path, "dict_bounds.json")
+    if os.path.exists(bounds_path):
+        import pyarrow.compute as pc
+
+        with open(bounds_path) as f:
+            bounds = json.load(f)["files"]
+        dict_dir = os.path.join(path, "dictionary")
+        for fn in sorted(os.listdir(dict_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            col = pq.read_table(
+                os.path.join(dict_dir, fn), columns=["term"]
+            ).column("term")
+            if len(col) == 0:
+                _check(fn not in bounds, f"bounds lists empty file {fn}")
+                continue
+            _check(fn in bounds, f"dictionary file {fn} missing from bounds")
+            lo, hi = pc.min(col).as_py(), pc.max(col).as_py()
+            _check(
+                bounds[fn] == [lo, hi],
+                f"stale dict bounds for {fn}: sidecar {bounds[fn]} != "
+                f"actual [{lo}, {hi}]",
+            )
+
+    # bloom coverage (advisory: the planner always scans uncovered
+    # segments, but they indicate an interrupted ingest)
+    bloom_dir = os.path.join(path, "blooms")
+    bloom_ids: set[int] = set()
+    if os.path.isdir(bloom_dir) and os.listdir(bloom_dir):
+        bloom_ids = set(
+            ds.dataset(bloom_dir, format="parquet")
+            .to_table(columns=["seg_id"])
+            .column("seg_id")
+            .to_pylist()
+        )
+    live_ids = set(live)
+    bloom_uncovered = sorted(live_ids - bloom_ids) if bloom_ids else []
+    bloom_stale = sorted(bloom_ids - live_ids)
+
     return {
         "index": path,
-        "segments": len(manifest["segments"]),
+        "segments": len(live),
         "n_docs": n_docs,
         "n_terms": len(dic),
-        "content_fp": manifest["content_fp"],
+        "content_fp": stats["content_fp"],
+        "bloom_uncovered": bloom_uncovered,
+        "bloom_stale": bloom_stale,
         "status": "INDEX_OK",
     }
 

@@ -2,6 +2,7 @@
 must answer queries identically to a batch build over the same corpus
 (scores use global stats, so segmentation cannot affect ranks)."""
 
+import json
 import os
 import shutil
 import tempfile
@@ -325,6 +326,56 @@ def test_compaction_leaves_batch_segments_untouched(spark, dirs):
         for r in Index(spark, bix_out).match_docs(Term("merge")).collect()
     }
     assert got == want
+
+
+def test_fsck_on_stream_and_compacted_index(spark, dirs):
+    """The fsck validates stream-ingested and compacted layouts: green
+    after ingest+finalize, green after compaction, and it detects a
+    half-finished compaction (replaced file still on disk)."""
+    import importlib.util
+
+    spec_ = importlib.util.spec_from_file_location(
+        "verify_index",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "verify_index.py"),
+    )
+    vi = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(vi)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = dirs["stream_ix"]
+    for b in range(4):
+        ingest_batch(docs.filter(f"doc_id % 4 = {b}"), out, batch_id=b,
+                     num_segments=2)
+    finalize_index(spark, out)
+    rep = vi.verify(out)
+    assert rep["status"] == "INDEX_OK" and rep["segments"] == 8
+    assert rep["bloom_uncovered"] == [] and rep["bloom_stale"] == []
+
+    from chearch_spark.streaming.compact import compact_stream_segments
+
+    compact_stream_segments(spark, out, num_segments=2)
+    rep2 = vi.verify(out)
+    assert rep2["status"] == "INDEX_OK" and rep2["segments"] == 2
+    assert rep2["n_docs"] == rep["n_docs"]
+    assert rep2["bloom_stale"] == []
+
+    # simulate a half-finished compaction: resurrect one replaced file
+    import glob as glob_
+
+    mpath = sorted(glob_.glob(os.path.join(out, "manifest-compact-*.json")))[-1]
+    with open(mpath) as f:
+        replaced = json.load(f)["replaced"]
+    ghost = os.path.join(out, replaced[0])
+    os.makedirs(os.path.dirname(ghost), exist_ok=True)
+    with open(ghost, "wb") as f:
+        f.write(b"ghost")
+    with pytest.raises(vi.IndexCorruption, match="pending compaction"):
+        vi.verify(out)
+    os.remove(ghost)
+    assert vi.verify(out)["status"] == "INDEX_OK"
 
 
 def test_stream_empty_result_windows(spark, dirs):
