@@ -316,6 +316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": lambda s, sf: D.embedding_topk_pairs(
             _emb(s, sf), k=50
         ),
+        "embedding_dedup_keep": lambda s, sf: D.embedding_dedup_keep(
+            _emb(s, sf), tau=0.45
+        ),
         # --- similarity search ---------------------------------------
         "ann_topk": lambda s, sf: A.cosine_topk(
             _emb(s, sf), _ANN_QUERY_IDS, k=10
@@ -326,6 +329,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, sf), _ANN_QUERY_IDS, k=10
         ),
         "ann_ivf_topk": lambda s, sf: A.ivf_flat_topk(
+            _emb(s, sf), _ANN_QUERY_IDS, k=10
+        ),
+        # ANN quality instrumentation: per-query recall of the LSH path
+        # vs the exact top-k, computed in-plan (deterministic -> oracled)
+        "ann_lsh_recall": lambda s, sf: A.lsh_recall(
             _emb(s, sf), _ANN_QUERY_IDS, k=10
         ),
         # --- multimodal plumbing --------------------------------------
@@ -371,7 +379,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": D.simhash_signatures_sql(),
         "simhash_neardup": D.simhash_pairs_sql(max_hamming=3),
         "embedding_neardup": D.embedding_topk_pairs_sql(k=50),
+        "embedding_dedup_keep": D.embedding_dedup_keep_sql(tau=0.45),
         "ann_topk": A.cosine_topk_sql(_ANN_QUERY_IDS, k=10),
+        "ann_lsh_recall": A.lsh_recall_sql(_ANN_QUERY_IDS, k=10, dim=64),
         "ann_lsh_topk": A.lsh_ann_topk_sql(_ANN_QUERY_IDS, k=10, dim=64),
         "ann_ivf_topk": A.ivf_flat_topk_sql(_ANN_QUERY_IDS, k=10),
         "media_metadata": M.media_metadata_sql(),

@@ -596,6 +596,63 @@ def _plane_sql(p: int, dim: int) -> str:
     return "[" + ", ".join(repr(_plane_value(p, d)) for d in range(dim)) + "]"
 
 
+def lsh_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Recall instrumentation for the approximate path, computed
+    in-plan: per query, how much of the EXACT top-k the LSH ANN
+    recovered — (query_id, n_exact, n_hit, recall).  This is the
+    quality gate a production ANN deployment monitors; both inputs are
+    deterministic, so the whole measurement has an exact DuckDB mirror
+    (:func:`lsh_recall_sql`)."""
+    ex = cosine_topk(emb, query_ids, k, vec_col, id_col).select(
+        "query_id", "vec_id"
+    )
+    ap = lsh_ann_topk(emb, query_ids, k, vec_col, id_col, dim).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        ex.join(ap, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_hit") / F.col("n_exact"), 6)
+        )
+        .select("query_id", "n_exact", "n_hit", "recall")
+    )
+
+
+def lsh_recall_sql(
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of :func:`lsh_recall` — composes the exact and
+    LSH mirrors as derived tables."""
+    ex = cosine_topk_sql(query_ids, k, table)
+    ap = lsh_ann_topk_sql(query_ids, k, dim, table)
+    return f"""
+WITH ex AS (SELECT query_id, vec_id FROM ({ex})),
+ap AS (SELECT query_id, vec_id FROM ({ap}))
+SELECT ex.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(ap.vec_id) AS BIGINT) AS n_hit,
+       round(CAST(count(ap.vec_id) AS DOUBLE) / count(*), 6) AS recall
+FROM ex
+LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+GROUP BY ex.query_id
+"""
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query_ids: list[int],

@@ -604,6 +604,55 @@ def embedding_topk_pairs(
     )
 
 
+def embedding_dedup_keep(
+    emb: DataFrame, tau: float = 0.45, vec_col: str = "embedding"
+) -> DataFrame:
+    """Vector ids KEPT after embedding near-dup removal: for every
+    pair (vec_a < vec_b) with cosine ≥ tau the larger id is dropped —
+    the embedding analogue of :func:`minhash_dedup_keep` (greedy
+    keep-smallest canonicalization).  Exact all-pairs at verification
+    scale; the scale path applies the same keep rule to LSH/IVF
+    candidate pairs from :mod:`chearch_spark.operators.ann`."""
+    e = with_norm(emb.select("vec_id", vec_col), vec_col)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    cos = cosine_col(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    drop = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= tau)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.select("vec_id").join(drop, "vec_id", "left_anti")
+
+
+def embedding_dedup_keep_sql(
+    tau: float = 0.45, table: str = "embeddings"
+) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e
+), drop_ids AS (
+  SELECT DISTINCT b.vec_id
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {tau}
+)
+SELECT vec_id FROM {table}
+WHERE vec_id NOT IN (SELECT vec_id FROM drop_ids)
+"""
+
+
 def embedding_topk_pairs_sql(k: int = 50, table: str = "embeddings") -> str:
     return f"""
 WITH e AS (
