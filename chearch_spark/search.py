@@ -111,6 +111,7 @@ class Index:
         self._blooms: dict[int, tuple[int, bytes]] | None = None
         self._bloom_probe = None  # vectorized probe, built once
         self._all_segs: list[int] | None = None
+        self._replaced: set[int] | None = None
         self._dict_bounds: dict[str, tuple[str, str]] | None = None
         self._seg_df = None  # lazily cached segment DataFrame (file
         # listing + schema inference paid once per Index, not per query)
@@ -244,8 +245,15 @@ class Index:
         return self.spark.read.parquet(self.dict_dir)
 
     def docmap(self):
-        """(doc_id, seg_id, doc_index, doc_len, sha256)."""
-        return self.spark.read.parquet(self.map_dir)
+        """(doc_id, seg_id, doc_index, doc_len, sha256) — live segments
+        only (compaction ghosts excluded during a crash window)."""
+        dm = self.spark.read.parquet(self.map_dir)
+        dead = self._replaced_seg_ids()
+        if dead:
+            from pyspark.sql import functions as F
+
+            dm = dm.filter(~F.col("seg_id").isin([int(s) for s in dead]))
+        return dm
 
     # -- segment pruning (per-segment term Blooms) ------------------------
     def _load_blooms(self) -> dict[int, tuple[int, bytes]]:
@@ -265,15 +273,40 @@ class Index:
             self._blooms = blooms
         return self._blooms
 
+    def _replaced_seg_ids(self) -> set[int]:
+        """Segment ids retired by a compaction whose files may still be
+        on disk (crash between manifest publish and deletion).  Queries
+        must treat them as dead — scanning them would double-count every
+        doc that also lives in the compacted output."""
+        if self._replaced is None:
+            import glob
+
+            replaced: set[int] = set()
+            for mp in sorted(
+                glob.glob(os.path.join(self.path, "manifest-compact-*.json"))
+            ):
+                with open(mp) as f:
+                    m = json.load(f)
+                for rel in m.get("replaced", []):
+                    fn = os.path.basename(rel)
+                    if fn.startswith("segment-") and fn.endswith(".parquet"):
+                        replaced.add(int(fn[len("segment-"):-len(".parquet")]))
+            self._replaced = replaced
+        return self._replaced
+
     def _all_seg_ids(self) -> list[int]:
-        """Every segment id present on disk (filename-encoded), cached.
-        The authoritative fan-out set — bloom coverage is checked
-        against it, never assumed."""
+        """Every LIVE segment id present on disk (filename-encoded),
+        cached.  The authoritative fan-out set — bloom coverage is
+        checked against it, never assumed; compaction-replaced ghosts
+        are excluded even if their files linger."""
         if self._all_segs is None:
+            dead = self._replaced_seg_ids()
             segs = []
             for fn in os.listdir(self.seg_dir):
                 if fn.startswith("segment-") and fn.endswith(".parquet"):
-                    segs.append(int(fn[len("segment-"):-len(".parquet")]))
+                    sid = int(fn[len("segment-"):-len(".parquet")])
+                    if sid not in dead:
+                        segs.append(sid)
             self._all_segs = sorted(segs)
         return self._all_segs
 
@@ -288,11 +321,13 @@ class Index:
         the blooms-batch write, then resumed differently) is always
         included — pruning must never drop results, only file opens."""
         blooms = self._load_blooms()
-        if not blooms:
-            return None
+        dead = self._replaced_seg_ids()
         terms = node.terms()
-        if not terms:
-            return None
+        if not blooms or not terms:
+            # no pruning data: scan everything — but if compaction-
+            # replaced ghost files linger (crash window), "everything"
+            # must still mean the LIVE set, or docs double-count
+            return sorted(self._all_seg_ids()) if dead else None
         if self._bloom_probe is None:
             from chearch_spark.operators.bloom import BloomProbe
 
@@ -306,6 +341,8 @@ class Index:
         ]
         if uncovered:
             cand = sorted(set(cand) | set(uncovered))
+        if dead:
+            cand = [s for s in cand if s not in dead]
         return cand
 
     # -- scan -----------------------------------------------------------
@@ -481,12 +518,15 @@ class Index:
                 filter=ds.field("term") == META_TERM,
                 columns=["seg_id", "doc_ids", "tfs"],
             )
+            dead = self._replaced_seg_ids()
             meta = {}
             for seg_id, doc_ids, tfs in zip(
                 table.column("seg_id").to_pylist(),
                 table.column("doc_ids").to_pylist(),
                 table.column("tfs").to_pylist(),
             ):
+                if int(seg_id) in dead:
+                    continue  # compaction ghost (crash window)
                 meta[int(seg_id)] = (
                     codec.decode_postings(doc_ids).astype(np.int64),
                     codec.decode_varints(tfs).astype(np.int64),
@@ -694,6 +734,7 @@ class Index:
         scan = self._segment_scan(
             node.terms(),
             ["seg_id", "term", "doc_ids", "tfs", "pos_counts", "positions"],
+            segs=self.candidate_segments(node),
         ).toPandas()
         return self._parity_from_frame(scan, node, partition_limit)
 
@@ -732,6 +773,9 @@ class Index:
             [self._parity_cache[t] for t in set(terms) | {META_TERM}],
             ignore_index=True,
         )
+        dead = self._replaced_seg_ids()
+        if dead:
+            frame = frame[~frame["seg_id"].isin(list(dead))]
         return self._parity_from_frame(frame, node)
 
     def _parity_from_frame(

@@ -328,6 +328,65 @@ def test_compaction_leaves_batch_segments_untouched(spark, dirs):
     assert got == want
 
 
+def test_compaction_crash_window_ghosts_are_excluded(spark, dirs):
+    """Crash between compaction-manifest publish and old-file deletion
+    leaves 'ghost' segment files on disk.  Every query path must treat
+    them as dead (the manifest's replaced list is authoritative) — no
+    doc may be counted twice."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = dirs["stream_ix"]
+    for b in range(4):
+        ingest_batch(docs.filter(f"doc_id % 4 = {b}"), out, batch_id=b,
+                     num_segments=2)
+    finalize_index(spark, out)
+    ix0 = Index(spark, out)
+    q = (Term("merge") & Term("sort")) | Term("dup")
+    want = [(r.doc_id, round(r.score, 9)) for r in ix0.search(q, k=10).collect()]
+    want_docs = sorted(
+        r.doc_id for r in ix0.match_docs(Term("merge")).collect()
+    )
+
+    # snapshot the stream files, compact, then resurrect them (ghosts)
+    import tempfile as tf
+
+    snap = tf.mkdtemp(prefix="ghost_snap_")
+    for sub in ("segments", "docmap"):
+        os.makedirs(os.path.join(snap, sub))
+        for f in os.listdir(os.path.join(out, sub)):
+            shutil.copy2(os.path.join(out, sub, f),
+                         os.path.join(snap, sub, f))
+    from chearch_spark.streaming.compact import compact_stream_segments
+
+    compact_stream_segments(spark, out, num_segments=2)
+    for sub in ("segments", "docmap"):
+        for f in os.listdir(os.path.join(snap, sub)):
+            dst = os.path.join(out, sub, f)
+            if not os.path.exists(dst):
+                shutil.copy2(os.path.join(snap, sub, f), dst)
+    shutil.rmtree(snap, ignore_errors=True)
+
+    ghost_ix = Index(spark, out)
+    # doc sets: each doc exactly once (the ghost copies are ignored)
+    got_docs = [r.doc_id for r in ghost_ix.match_docs(Term("merge")).collect()]
+    assert sorted(got_docs) == want_docs  # no duplicates, same set
+    got = [
+        (r.doc_id, round(r.score, 9))
+        for r in ghost_ix.search(q, k=10).collect()
+    ]
+    assert got == want
+    # local path and forward-map projection also ghost-free
+    assert [
+        (d, round(s, 9)) for d, s in ghost_ix.local_search(q, k=10)
+    ] == want
+    meta = ghost_ix.search_with_meta(Term("merge") & Term("sort"), k=10)
+    ids = [r.doc_id for r in meta.collect()]
+    assert len(ids) == len(set(ids)) == 10
+    # rerunning compaction completes the deletion; fsck is green again
+    compact_stream_segments(spark, out, num_segments=2)
+
+
 def test_fsck_on_stream_and_compacted_index(spark, dirs):
     """The fsck validates stream-ingested and compacted layouts: green
     after ingest+finalize, green after compaction, and it detects a
