@@ -157,3 +157,58 @@ def candidate_segments(
     One-shot form; long-lived callers should hold a :class:`BloomProbe`
     to amortize the buffer concat and term-chain hashing."""
     return BloomProbe(blooms).candidates(terms, require_all)
+
+
+def probe_blooms_spark(
+    spark, bloom_dir: str, terms: list[str], require_all: bool
+) -> tuple[list[int], list[int]]:
+    """Distributed bloom probe for indexes whose filters exceed driver
+    RAM (the ~10^5-segment design point: 500k filters × a few KB each
+    is GBs).  The blooms parquet is scanned by a Spark job; each task
+    builds a :class:`BloomProbe` over ITS batch of (seg_id, m, bloom)
+    rows and tests the query terms' precomputed splitmix chains.  Only
+    ids come back to the driver — (candidate seg ids, all bloomed seg
+    ids) — 8 bytes each, never the filter bytes.
+
+    Trade-off vs the driver-resident probe: one Spark job (~0.1-0.5 s
+    scheduling) per probe instead of sub-ms — the right trade exactly
+    when the index is too big for one machine anyway.  ``Index``
+    switches automatically past ``DISTRIBUTED_PROBE_THRESHOLD``.
+    """
+    import pandas as pd
+
+    terms = list(terms)
+
+    def _kernel(batches):
+        for pdf in batches:
+            blooms = {
+                int(s): (int(m), bytes(b))
+                for s, m, b in zip(
+                    pdf["seg_id"], pdf["bloom_m"], pdf["bloom"]
+                )
+            }
+            probe = BloomProbe(blooms)
+            hits = set(probe.candidates(terms, require_all))
+            yield pd.DataFrame(
+                {
+                    "seg_id": pd.Series(sorted(blooms), dtype="int64"),
+                    "hit": pd.Series(
+                        [s in hits for s in sorted(blooms)], dtype="bool"
+                    ),
+                }
+            )
+
+    rows = (
+        spark.read.parquet(bloom_dir)
+        .select("seg_id", "bloom_m", "bloom")
+        .mapInPandas(_kernel, "seg_id long, hit boolean")
+        .collect()
+    )
+    cand = sorted(int(r.seg_id) for r in rows if r.hit)
+    bloomed = sorted(int(r.seg_id) for r in rows)
+    return cand, bloomed
+
+
+# Above this many segments, Index probes the blooms distributively
+# instead of holding every filter in driver RAM.
+DISTRIBUTED_PROBE_THRESHOLD = 100_000

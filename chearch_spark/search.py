@@ -319,31 +319,42 @@ class Index:
         Bloom coverage is ADVISORY per segment: a segment file with no
         bloom entry (e.g. ingest crashed between the segment write and
         the blooms-batch write, then resumed differently) is always
-        included — pruning must never drop results, only file opens."""
-        blooms = self._load_blooms()
+        included — pruning must never drop results, only file opens.
+
+        Past ``bloom.DISTRIBUTED_PROBE_THRESHOLD`` segments the probe
+        runs as a Spark job over the blooms parquet (filter bytes never
+        reach the driver); below it, the driver-resident vectorized
+        ``BloomProbe`` answers in sub-ms."""
+        from chearch_spark.operators import bloom as bloom_mod
+
         dead = self._replaced_seg_ids()
         terms = node.terms()
-        if not blooms or not terms:
-            # no pruning data: scan everything — but if compaction-
-            # replaced ghost files linger (crash window), "everything"
-            # must still mean the LIVE set, or docs double-count
-            return sorted(self._all_seg_ids()) if dead else None
-        if self._bloom_probe is None:
-            from chearch_spark.operators.bloom import BloomProbe
-
-            self._bloom_probe = BloomProbe(blooms)
+        all_segs = self._all_seg_ids()
+        live = sorted(all_segs) if dead else None
+        if not terms:
+            return live
         require_all = conjunctive_terms(node) is not None
-        cand = self._bloom_probe.candidates(terms, require_all)
-        uncovered = [
-            s
-            for s in self._all_seg_ids()
-            if s not in self._bloom_probe.seg_set
-        ]
-        if uncovered:
-            cand = sorted(set(cand) | set(uncovered))
-        if dead:
-            cand = [s for s in cand if s not in dead]
-        return cand
+        bloom_dir = os.path.join(self.path, "blooms")
+        if (
+            len(all_segs) > bloom_mod.DISTRIBUTED_PROBE_THRESHOLD
+            and self._blooms is None  # an already-loaded map stays hot
+            and os.path.isdir(bloom_dir)
+            and os.listdir(bloom_dir)
+        ):
+            cand_l, bloomed_l = bloom_mod.probe_blooms_spark(
+                self.spark, bloom_dir, terms, require_all
+            )
+            cand, bloomed = set(cand_l), set(bloomed_l)
+        else:
+            blooms = self._load_blooms()
+            if not blooms:
+                return live
+            if self._bloom_probe is None:
+                self._bloom_probe = bloom_mod.BloomProbe(blooms)
+            cand = set(self._bloom_probe.candidates(terms, require_all))
+            bloomed = self._bloom_probe.seg_set
+        seg_set = set(all_segs)  # live files only (ghosts excluded)
+        return sorted((cand & seg_set) | (seg_set - bloomed))
 
     # -- scan -----------------------------------------------------------
     def _segment_scan(

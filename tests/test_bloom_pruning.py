@@ -129,6 +129,46 @@ def test_probe_latency_at_10k_segments():
     assert per_query < 0.5, f"bloom probe too slow: {per_query:.3f}s/query"
 
 
+def test_distributed_probe_matches_driver_probe(spark, pruned_index, monkeypatch):
+    """probe_blooms_spark (the >10^5-segment path where filter bytes
+    never reach the driver) must return exactly the driver-resident
+    probe's candidates, and an Index past the threshold must answer
+    queries identically through it."""
+    import os
+
+    import chearch_spark.operators.bloom as bloom_mod
+
+    ix = pruned_index
+    bloom_dir = os.path.join(ix.path, "blooms")
+    blooms = ix._load_blooms()
+    for terms, require_all in (
+        (["uniq0042"], False),
+        (["common", "uniq0042"], True),
+        (["common", "uniq0001", "absent_zz"], False),
+    ):
+        cand, bloomed = bloom_mod.probe_blooms_spark(
+            spark, bloom_dir, terms, require_all
+        )
+        assert cand == bloom_mod.candidate_segments(blooms, terms, require_all)
+        assert set(bloomed) == set(blooms)
+
+    # Index auto-switch: fresh Index + threshold 0 -> every probe runs
+    # distributed; pruning and results unchanged
+    monkeypatch.setattr(bloom_mod, "DISTRIBUTED_PROBE_THRESHOLD", 0)
+    ix2 = Index(spark, ix.path)
+    assert ix2.candidate_segments(Term("uniq0042")) == ix.candidate_segments(
+        Term("uniq0042")
+    )
+    got = sorted(
+        r.doc_id for r in ix2.match_docs(Term("common") & Term("uniq0042")).collect()
+    )
+    want = sorted(
+        r.doc_id for r in ix.match_docs(Term("common") & Term("uniq0042")).collect()
+    )
+    assert got == want
+    assert ix2._blooms is None  # filters never loaded driver-side
+
+
 def test_segment_without_bloom_entry_is_always_scanned(
     spark, pruned_index, tmp_path_factory
 ):
