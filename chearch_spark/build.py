@@ -299,14 +299,14 @@ def write_dictionary(grouped_df, out_dir: str, n_files: int) -> None:
     write_dict_bounds(out_dir)
 
 
-def write_dict_bounds(out_dir: str) -> dict:
-    """(Re)build the dictionary bounds sidecar from the part files.
-    Build-time one-shot full read of the (small) dictionary — probes
-    then never list the directory again."""
+def compute_dict_bounds(dict_dir: str) -> dict[str, list[str]]:
+    """{part_file: [min_term, max_term]} read from the dictionary part
+    files — the ONE implementation behind the build-time sidecar, the
+    Index's legacy fallback, and the fsck's staleness check (three
+    consumers that must never disagree on bounds semantics)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    dict_dir = os.path.join(out_dir, "dictionary")
     bounds: dict[str, list[str]] = {}
     for fn in sorted(os.listdir(dict_dir)):
         if not fn.endswith(".parquet"):
@@ -317,6 +317,14 @@ def write_dict_bounds(out_dir: str) -> dict:
         if len(col) == 0:
             continue
         bounds[fn] = [pc.min(col).as_py(), pc.max(col).as_py()]
+    return bounds
+
+
+def write_dict_bounds(out_dir: str) -> dict:
+    """(Re)build the dictionary bounds sidecar from the part files.
+    Build-time one-shot full read of the (small) dictionary — probes
+    then never list the directory again."""
+    bounds = compute_dict_bounds(os.path.join(out_dir, "dictionary"))
     payload = {"files": bounds}
     p = os.path.join(out_dir, "dict_bounds.json")
     with open(p + ".tmp", "w") as f:

@@ -249,6 +249,12 @@ def ivf_query(
         .select("vec_id", vec_col, "norm")
         .toPandas()
     )
+    if len(qpdf) == 0:
+        # unknown query ids degrade to an empty result, like every
+        # other query path — not a numpy shape crash
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cos double, rank int"
+        )
     qx = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
     qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
     probes = np.argsort(-(qx @ c.T), axis=1)[:, :n_probe]

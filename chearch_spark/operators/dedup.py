@@ -367,7 +367,11 @@ def ngram_jaccard_pairs(
             .filter(F.col("sdf") <= max_shingle_df)
             .select("sh")
         )
-        sh = sh.join(keep, "sh").cache()
+        # no .cache(): the three downstream consumers reuse the join's
+        # shuffle exchange, and an unowned cache would pin corpus-sized
+        # storage for the whole session (the caller gets a plan back
+        # and has no unpersist point)
+        sh = sh.join(keep, "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh"))

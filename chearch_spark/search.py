@@ -119,30 +119,30 @@ class Index:
     # -- dictionary -----------------------------------------------------
     def _load_dict_bounds(self) -> dict[str, tuple[str, str]]:
         """{part_file: (min_term, max_term)} — from the build-time
-        ``dict_bounds.json`` sidecar; a legacy index without one is
-        scanned ONCE (footer-level) and cached for the Index lifetime."""
+        ``dict_bounds.json`` sidecar, VALIDATED against the directory
+        listing: a sidecar naming files that no longer exist (crash
+        between the dictionary overwrite and the sidecar rewrite, or a
+        concurrent finalize) is discarded and the bounds are recomputed
+        from the real files — a stale sidecar would silently resolve
+        present terms as absent.  A legacy index without a sidecar is
+        scanned ONCE and cached for the Index lifetime."""
         if self._dict_bounds is None:
+            from chearch_spark.build import compute_dict_bounds
+
+            bounds = None
             p = os.path.join(self.path, "dict_bounds.json")
             if os.path.exists(p):
                 with open(p) as f:
-                    self._dict_bounds = {
-                        fn: (b[0], b[1])
-                        for fn, b in json.load(f)["files"].items()
-                    }
-            else:
-                import pyarrow.compute as pc
-                import pyarrow.parquet as pq
-
-                bounds = {}
-                for fn in sorted(os.listdir(self.dict_dir)):
-                    if not fn.endswith(".parquet"):
-                        continue
-                    col = pq.read_table(
-                        os.path.join(self.dict_dir, fn), columns=["term"]
-                    ).column("term")
-                    if len(col):
-                        bounds[fn] = (pc.min(col).as_py(), pc.max(col).as_py())
-                self._dict_bounds = bounds
+                    raw = json.load(f)["files"]
+                on_disk = set(os.listdir(self.dict_dir))
+                if set(raw) <= on_disk:
+                    bounds = {fn: (b[0], b[1]) for fn, b in raw.items()}
+            if bounds is None:
+                bounds = {
+                    fn: (b[0], b[1])
+                    for fn, b in compute_dict_bounds(self.dict_dir).items()
+                }
+            self._dict_bounds = bounds
         return self._dict_bounds
 
     def _dict_files_for(self, terms: list[str]) -> list[str]:
@@ -273,25 +273,32 @@ class Index:
             self._blooms = blooms
         return self._blooms
 
-    def _replaced_seg_ids(self) -> set[int]:
-        """Segment ids retired by a compaction whose files may still be
-        on disk (crash between manifest publish and deletion).  Queries
-        must treat them as dead — scanning them would double-count every
-        doc that also lives in the compacted output."""
-        if self._replaced is None:
-            import glob
+    def refresh(self) -> None:
+        """Invalidate every cached view of the on-disk layout.  Call
+        after a compaction (or any maintenance that adds/removes
+        segment files) on a long-lived Index — the caches hold file
+        listings whose members compaction deletes."""
+        self._seg_df = None
+        self._all_segs = None
+        self._replaced = None
+        self._blooms = None
+        self._bloom_probe = None
+        self._dict_bounds = None
+        self._meta_cache = None
+        self._posting_cache = {}
+        self._stats_cache = {}
+        if hasattr(self, "_parity_cache"):
+            del self._parity_cache
 
-            replaced: set[int] = set()
-            for mp in sorted(
-                glob.glob(os.path.join(self.path, "manifest-compact-*.json"))
-            ):
-                with open(mp) as f:
-                    m = json.load(f)
-                for rel in m.get("replaced", []):
-                    fn = os.path.basename(rel)
-                    if fn.startswith("segment-") and fn.endswith(".parquet"):
-                        replaced.add(int(fn[len("segment-"):-len(".parquet")]))
-            self._replaced = replaced
+    def _replaced_seg_ids(self) -> set[int]:
+        """Segment ids queries must treat as dead even if files linger:
+        compaction-replaced inputs (crash between manifest publish and
+        deletion) AND orphan compaction outputs (crash before the
+        manifest) — scanning either would double-count docs."""
+        if self._replaced is None:
+            from chearch_spark.streaming.compact import replaced_seg_ids
+
+            self._replaced = replaced_seg_ids(self.path)
         return self._replaced
 
     def _all_seg_ids(self) -> list[int]:

@@ -24,13 +24,24 @@ group-assignment frame); tasks read their input segment files from
 shared storage — the same assumption under which the build kernel
 writes them.
 
-Crash-safety: new segment/docmap files are written first (atomic
-tmp→rename, idempotent by presence), then the compaction manifest +
-blooms, and only then are replaced files deleted.  A crash between
-manifest and deletion leaves duplicates visible to queries; rerunning
-:func:`compact_stream_segments` (or the fsck) completes the deletion
-using the manifest's ``replaced`` list.  Run compaction from the
-ingest maintenance path, not concurrently with itself.
+Crash-safety (two windows, both recoverable and both invisible to
+queries):
+
+* merge job done but MANIFEST not yet written → the outputs are
+  "orphans" (compact-range seg ids whose epoch has no manifest);
+  :func:`replaced_seg_ids` marks them dead, so readers ignore them,
+  and the next :func:`compact_stream_segments` rolls them back
+  (their inputs are all still live);
+* manifest written but old files not yet deleted → the manifest's
+  ``replaced`` list marks the inputs dead for readers, and the next
+  run (or the fsck) completes the deletion.
+
+Run compaction from the ingest maintenance path, never two
+compactions concurrently (concurrent ingest is fine: segments that
+land after the input snapshot are untouched, and bloom files are only
+deleted when every segment they cover was replaced).  Long-lived
+``Index`` handles cache file listings — call ``Index.refresh()`` (or
+reopen) after a compaction completes.
 """
 
 from __future__ import annotations
@@ -248,9 +259,61 @@ def _stream_seg_ids(seg_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _manifest_epochs(out_dir: str) -> set[int]:
+    import glob
+
+    out = set()
+    for mp in glob.glob(os.path.join(out_dir, "manifest-compact-*.json")):
+        out.add(int(os.path.basename(mp)[len("manifest-compact-"):-5]))
+    return out
+
+
+def _epoch_of(sid: int) -> int:
+    return (sid - COMPACT_SEG_BASE) // COMPACT_EPOCH_STRIDE
+
+
+def replaced_seg_ids(out_dir: str) -> set[int]:
+    """Segment ids that queries must treat as DEAD even if their files
+    are on disk: (a) ids listed as ``replaced`` by a published
+    compaction manifest (crash between publish and deletion), and
+    (b) ORPHAN compaction outputs — ids in the compact range whose
+    epoch has no published manifest (crash between the merge job and
+    the manifest write).  Without (b), a crashed compaction's outputs
+    would double-count every doc next to their un-replaced inputs.
+    Shared by ``Index`` and ``finalize_index``."""
+    import glob
+
+    dead: set[int] = set()
+    for mp in glob.glob(os.path.join(out_dir, "manifest-compact-*.json")):
+        with open(mp) as f:
+            m = json.load(f)
+        for rel in m.get("replaced", []):
+            fn = os.path.basename(rel)
+            if fn.startswith("segment-") and fn.endswith(".parquet"):
+                dead.add(int(fn[len("segment-"):-len(".parquet")]))
+    epochs = _manifest_epochs(out_dir)
+    seg_dir = os.path.join(out_dir, "segments")
+    if os.path.isdir(seg_dir):
+        for fn in os.listdir(seg_dir):
+            if fn.startswith("segment-") and fn.endswith(".parquet"):
+                sid = int(fn[len("segment-"):-len(".parquet")])
+                if (
+                    COMPACT_SEG_BASE <= sid < STREAM_SEG_BASE
+                    and _epoch_of(sid) not in epochs
+                ):
+                    dead.add(sid)
+    return dead
+
+
 def _complete_pending(out_dir: str) -> None:
-    """Finish a compaction interrupted between manifest write and old-
-    file deletion: delete every ``replaced`` file that still exists."""
+    """Finish (or roll back) an interrupted compaction before planning
+    a new one:
+
+    * crash between manifest write and old-file deletion → delete every
+      ``replaced`` file that still exists (roll FORWARD);
+    * crash between the merge job and the manifest write → delete the
+      orphan output files of the unpublished epoch (roll BACK — their
+      inputs are all still live, so nothing is lost)."""
     import glob
 
     for mp in sorted(glob.glob(os.path.join(out_dir, "manifest-compact-*.json"))):
@@ -260,6 +323,23 @@ def _complete_pending(out_dir: str) -> None:
             p = os.path.join(out_dir, rel)
             if os.path.exists(p):
                 os.remove(p)
+    epochs = _manifest_epochs(out_dir)
+    seg_dir = os.path.join(out_dir, "segments")
+    map_dir = os.path.join(out_dir, "docmap")
+    if os.path.isdir(seg_dir):
+        for fn in list(os.listdir(seg_dir)):
+            if fn.startswith("segment-") and fn.endswith(".parquet"):
+                sid = int(fn[len("segment-"):-len(".parquet")])
+                if (
+                    COMPACT_SEG_BASE <= sid < STREAM_SEG_BASE
+                    and _epoch_of(sid) not in epochs
+                ):
+                    os.remove(os.path.join(seg_dir, fn))
+                    mp = os.path.join(
+                        map_dir, f"docmap-{sid:09d}.parquet"
+                    )
+                    if os.path.exists(mp):
+                        os.remove(mp)
 
 
 def compact_stream_segments(
@@ -430,14 +510,27 @@ def compact_stream_segments(
         p = os.path.join(out_dir, rel)
         if os.path.exists(p):
             os.remove(p)
-    # drop bloom files whose entries now point at deleted segments
-    # (stale entries are harmless for correctness — pruning would list
-    # dead ids — but they bloat every probe)
-    for fn in os.listdir(bloom_dir):
-        if fn.startswith("blooms-batch-") or (
-            fn.startswith("blooms-compact-")
-            and fn != f"blooms-compact-{epoch:06d}.parquet"
+    # drop bloom files whose segments were ALL replaced by this pass
+    # (stale entries are harmless for correctness — candidate assembly
+    # intersects with live files — but they bloat every probe).  A
+    # bloom file written by an ingest that landed AFTER the input
+    # snapshot covers live segments and must survive.
+    import pyarrow.parquet as pq_
+
+    replaced_ids = {s for s in stream_ids}
+    for fn in list(os.listdir(bloom_dir)):
+        if fn == f"blooms-compact-{epoch:06d}.parquet" or not (
+            fn.startswith("blooms-batch-") or fn.startswith("blooms-compact-")
         ):
+            continue
+        ids = (
+            pq_.read_table(
+                os.path.join(bloom_dir, fn), columns=["seg_id"]
+            )
+            .column("seg_id")
+            .to_pylist()
+        )
+        if all(int(s) in replaced_ids for s in ids):
             os.remove(os.path.join(bloom_dir, fn))
     if finalize:
         return finalize_index(spark, out_dir)

@@ -208,9 +208,16 @@ def finalize_index(spark, out_dir: str) -> dict:
     from chearch_spark.build import META_TERM
 
     from chearch_spark.build import write_dictionary
+    from chearch_spark.streaming.compact import replaced_seg_ids
 
     seg_dir = os.path.join(out_dir, "segments")
     seg = spark.read.parquet(seg_dir)
+    # a crashed compaction may leave dead files (replaced inputs or
+    # unpublished orphan outputs); counting them would double stats
+    # and dictionary df/cf — same exclusion rule as every query path
+    dead = replaced_seg_ids(out_dir)
+    if dead:
+        seg = seg.filter(~F.col("seg_id").isin([int(s) for s in dead]))
     dictionary = (
         seg.filter(F.col("term") != META_TERM)
         .groupBy("term")

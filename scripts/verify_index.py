@@ -206,27 +206,21 @@ def verify(path: str) -> dict:
     # dict_bounds sidecar: a stale sidecar silently mis-prunes probes
     bounds_path = os.path.join(path, "dict_bounds.json")
     if os.path.exists(bounds_path):
-        import pyarrow.compute as pc
+        from chearch_spark.build import compute_dict_bounds
 
         with open(bounds_path) as f:
             bounds = json.load(f)["files"]
-        dict_dir = os.path.join(path, "dictionary")
-        for fn in sorted(os.listdir(dict_dir)):
-            if not fn.endswith(".parquet"):
-                continue
-            col = pq.read_table(
-                os.path.join(dict_dir, fn), columns=["term"]
-            ).column("term")
-            if len(col) == 0:
-                _check(fn not in bounds, f"bounds lists empty file {fn}")
-                continue
-            _check(fn in bounds, f"dictionary file {fn} missing from bounds")
-            lo, hi = pc.min(col).as_py(), pc.max(col).as_py()
-            _check(
-                bounds[fn] == [lo, hi],
-                f"stale dict bounds for {fn}: sidecar {bounds[fn]} != "
-                f"actual [{lo}, {hi}]",
-            )
+        actual = compute_dict_bounds(os.path.join(path, "dictionary"))
+        diverged = sorted(
+            fn
+            for fn in set(bounds) | set(actual)
+            if bounds.get(fn) != actual.get(fn)
+        )
+        _check(
+            not diverged,
+            f"stale dict bounds sidecar: diverging files {diverged[:4]} "
+            f"(sidecar {len(bounds)} files, recomputed {len(actual)})",
+        )
 
     # bloom coverage (advisory: the planner always scans uncovered
     # segments, but they indicate an interrupted ingest)

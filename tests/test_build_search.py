@@ -448,6 +448,17 @@ def test_dictionary_file_level_pruning(spark, tmp_path_factory):
     assert 1 <= len(pref_files) < n_files
     assert len(ix._prefix_terms("w039")) == 20
 
+    # STALE sidecar (names files that no longer exist — crash between
+    # dictionary overwrite and sidecar rewrite): must be discarded and
+    # recomputed, never silently resolve present terms as absent
+    import json as json_
+
+    stale = {"files": {"part-dead.parquet": ["a", "z"]}}
+    with open(os.path.join(out, "dict_bounds.json"), "w") as f:
+        json_.dump(stale, f)
+    ix_stale = Index(spark, out)
+    assert ix_stale.term_stats(["w0123a"]) == {"w0123a": (1, 1)}
+
     # legacy index (no sidecar): one-time footer scan, same answers
     os.remove(os.path.join(out, "dict_bounds.json"))
     ix2 = Index(spark, out)

@@ -280,6 +280,10 @@ def test_ivf_build_query_persisted(spark, tmp_path_factory):
     # repeated queries reuse the artifact (still no kernel, same rows)
     again = A.ivf_query(spark, out, qids, k=10, n_probe=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, want))
+    # unknown query ids degrade to empty, like every other query path
+    empty = A.ivf_query(spark, out, [999_999], k=10, n_probe=4)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "vec_id", "cos", "rank"]
 
 
 def test_null_text_rows_are_empty_documents(spark):

@@ -387,6 +387,76 @@ def test_compaction_crash_window_ghosts_are_excluded(spark, dirs):
     compact_stream_segments(spark, out, num_segments=2)
 
 
+def test_compaction_orphan_outputs_rolled_back_and_ignored(spark, dirs):
+    """Crash BEFORE the compaction manifest is published leaves orphan
+    output segments (compact-range ids with no manifest for their
+    epoch).  Readers and finalize must ignore them (their inputs are
+    all still live — counting both doubles docs), and the next
+    compaction run must roll them back."""
+    from chearch_spark.streaming.compact import (
+        COMPACT_EPOCH_STRIDE,
+        COMPACT_SEG_BASE,
+        compact_stream_segments,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = dirs["stream_ix"]
+    for b in range(3):
+        ingest_batch(docs.filter(f"doc_id % 3 = {b}"), out, batch_id=b,
+                     num_segments=2)
+    stats0 = finalize_index(spark, out)
+    ix0 = Index(spark, out)
+    want_docs = sorted(r.doc_id for r in ix0.match_docs(Term("merge")).collect())
+
+    # forge an orphan: a compact-range output whose epoch has no
+    # manifest (as if the merge job finished but the publish didn't) —
+    # content = a real segment, so scanning it WOULD double-count
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    seg_dir = os.path.join(out, "segments")
+    map_dir = os.path.join(out, "docmap")
+    src = sorted(f for f in os.listdir(seg_dir))[0]
+    src_id = int(src[len("segment-"):-len(".parquet")])
+    orphan_id = COMPACT_SEG_BASE + 0 * COMPACT_EPOCH_STRIDE + 7
+
+    def _clone_with_seg_id(src_path, dst_path):
+        t = pq.read_table(src_path)
+        sid_col = pa.array(
+            [orphan_id] * t.num_rows, type=t.schema.field("seg_id").type
+        )
+        t = t.set_column(t.schema.get_field_index("seg_id"), "seg_id", sid_col)
+        pq.write_table(t, dst_path)
+
+    _clone_with_seg_id(
+        os.path.join(seg_dir, src),
+        os.path.join(seg_dir, f"segment-{orphan_id:09d}.parquet"),
+    )
+    _clone_with_seg_id(
+        os.path.join(map_dir, f"docmap-{src_id:09d}.parquet"),
+        os.path.join(map_dir, f"docmap-{orphan_id:09d}.parquet"),
+    )
+
+    ghost_ix = Index(spark, out)
+    got = sorted(r.doc_id for r in ghost_ix.match_docs(Term("merge")).collect())
+    assert got == want_docs  # orphan not scanned, no duplicates
+    # finalize also ignores it (stats unchanged)
+    stats1 = finalize_index(spark, out)
+    assert stats1["n_docs"] == stats0["n_docs"]
+    assert stats1["content_fp"] == stats0["content_fp"]
+    # the next compaction rolls the orphan back, then compacts cleanly
+    compact_stream_segments(spark, out, num_segments=2)
+    assert not os.path.exists(
+        os.path.join(seg_dir, f"segment-{orphan_id:09d}.parquet")
+    )
+    ix2 = Index(spark, out)
+    assert sorted(
+        r.doc_id for r in ix2.match_docs(Term("merge")).collect()
+    ) == want_docs
+
+
 def test_fsck_on_stream_and_compacted_index(spark, dirs):
     """The fsck validates stream-ingested and compacted layouts: green
     after ingest+finalize, green after compaction, and it detects a
