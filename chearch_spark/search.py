@@ -289,6 +289,8 @@ class Index:
         self._stats_cache = {}
         if hasattr(self, "_parity_cache"):
             del self._parity_cache
+        if hasattr(self, "_docmap_files"):
+            del self._docmap_files
 
     def _replaced_seg_ids(self) -> set[int]:
         """Segment ids queries must treat as dead even if files linger:
@@ -381,9 +383,17 @@ class Index:
         return scan.select(*columns)
 
     # -- BM25 top-k -----------------------------------------------------
-    def search(self, query: Node | str, k: int = spec.DEFAULT_K):
+    def search(
+        self,
+        query: Node | str,
+        k: int = spec.DEFAULT_K,
+        with_seg: bool = False,
+    ):
         """Top-k DataFrame (doc_id long, score double), rank-identical
-        across parallelism levels; ties (score desc, doc_id asc)."""
+        across parallelism levels; ties (score desc, doc_id asc).
+        ``with_seg`` adds the owning seg_id column (internal: lets
+        :meth:`search_with_meta` fetch metadata by opening exactly the
+        hit segments' docmap files)."""
         node = self._prep(query)
         terms = node.terms()
         stats = self._cached_stats(terms)
@@ -397,36 +407,109 @@ class Index:
             segs=self.candidate_segments(node),
         )
 
-        def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            ext_ids, scores = _score_segment(pdf, node, idfs, avgdl, k)
-            return pd.DataFrame({"doc_id": ext_ids, "score": scores})
+        if with_seg:
 
-        local = scan.groupBy("seg_id").applyInPandas(
-            _kernel, "doc_id long, score double"
-        )
+            def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                ext_ids, scores = _score_segment(pdf, node, idfs, avgdl, k)
+                return pd.DataFrame(
+                    {
+                        "doc_id": ext_ids,
+                        "score": scores,
+                        "seg_id": np.full(
+                            len(ext_ids), int(pdf["seg_id"].iloc[0]),
+                            dtype=np.int64,
+                        ),
+                    }
+                )
+
+            schema = "doc_id long, score double, seg_id long"
+        else:
+
+            def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                ext_ids, scores = _score_segment(pdf, node, idfs, avgdl, k)
+                return pd.DataFrame({"doc_id": ext_ids, "score": scores})
+
+            schema = "doc_id long, score double"
+
+        local = scan.groupBy("seg_id").applyInPandas(_kernel, schema)
         from pyspark.sql import functions as F
 
         # global gather: TakeOrderedAndProject (single exchange)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # -- top-k with document metadata (E5 projection) ----------------------
-    def search_with_meta(self, query: Node | str, k: int = spec.DEFAULT_K):
+    def _docmap_file_of(self, seg_id: int) -> str:
+        """Docmap file path for a segment (filename-encoded id; the
+        listing is parsed once per Index)."""
+        if not hasattr(self, "_docmap_files"):
+            files: dict[int, str] = {}
+            for fn in os.listdir(self.map_dir):
+                if fn.startswith("docmap-") and fn.endswith(".parquet"):
+                    files[int(fn[len("docmap-"):-len(".parquet")])] = (
+                        os.path.join(self.map_dir, fn)
+                    )
+            self._docmap_files = files
+        return self._docmap_files[int(seg_id)]
+
+    def search_with_meta(
+        self,
+        query: Node | str,
+        k: int = spec.DEFAULT_K,
+        distributed: bool | None = None,
+    ):
         """Top-k joined with the forward map — the reference's final
         projection step (docIndex -> externalDocId + metadata,
         `memorysegment.chpl:294-312`): returns (doc_id, score, doc_len,
         sha256).
 
-        The top-k is materialized first (k rows on the driver) so the
-        doc ids become an explicit ``isin()`` predicate on the docmap
-        scan — Spark does NOT push broadcast-join keys into a parquet
-        scan of a data column, so without this the join would read the
-        whole (corpus-sized) docmap; with it, row-group min/max stats
-        skip everything but the k hits."""
+        Two plans, selected by result size (``distributed=None``):
+
+        * **driver path** (small k, the serving case): the scoring
+          kernel reports each hit's owning seg_id, so metadata comes
+          from opening exactly those ≤ k docmap FILES with a pushed
+          doc_id filter — O(k) file opens, independent of how many
+          segments the index has (a Spark scan would list every docmap
+          file just to plan).
+        * **distributed path** (large k / downstream DataFrame use):
+          the collected doc ids become an explicit ``isin()`` predicate
+          on the docmap scan — Spark does NOT push broadcast-join keys
+          into a parquet data column, so without it the join would
+          read the whole corpus-sized docmap; with it, row-group stats
+          skip everything but the hits."""
         from pyspark.sql import functions as F
 
-        rows = self.search(query, k).collect()
+        rows = self.search(query, k, with_seg=True).collect()
+        if distributed is None:
+            distributed = k > 10_000
+        if not distributed:
+            import pyarrow.dataset as ds
+
+            by_seg: dict[int, list] = {}
+            score_of = {}
+            for r in rows:
+                by_seg.setdefault(int(r.seg_id), []).append(int(r.doc_id))
+                score_of[int(r.doc_id)] = float(r.score)
+            out = []
+            for seg, ids in sorted(by_seg.items()):
+                t = ds.dataset(
+                    [self._docmap_file_of(seg)], format="parquet"
+                ).to_table(
+                    filter=ds.field("doc_id").isin(ids),
+                    columns=["doc_id", "doc_len", "sha256"],
+                )
+                for d, dl, sha in zip(
+                    t.column("doc_id").to_pylist(),
+                    t.column("doc_len").to_pylist(),
+                    t.column("sha256").to_pylist(),
+                ):
+                    out.append((int(d), score_of[int(d)], int(dl), sha))
+            out.sort(key=lambda x: (-x[1], x[0]))
+            return self.spark.createDataFrame(
+                out, "doc_id long, score double, doc_len int, sha256 string"
+            )
         top = self.spark.createDataFrame(
-            rows or [], "doc_id long, score double"
+            [(int(r.doc_id), float(r.score)) for r in rows] or [],
+            "doc_id long, score double",
         )
         ids = [int(r.doc_id) for r in rows]
         dm = self.docmap().select("doc_id", "doc_len", "sha256")

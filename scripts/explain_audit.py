@@ -188,14 +188,33 @@ def main() -> None:
     # scan as a pushed filter (broadcast-join keys alone do NOT push
     # into a parquet data column)
     audit(
-        "search_with_meta (forward-map projection)",
-        ix.search_with_meta(Term("merge") & Term("sort"), k=10),
+        "search_with_meta (forward-map projection, distributed form)",
+        ix.search_with_meta(Term("merge") & Term("sort"), k=10,
+                            distributed=True),
         [
             ("top-k ids pushed into the docmap scan",
              "PushedFilters: [In(doc_id"),
             ("k-row side broadcast", "BroadcastHashJoin"),
         ],
     )
+    # driver form (default for serving k): metadata comes from opening
+    # exactly the hit segments' docmap files — assert the touched-file
+    # bound rather than a Spark plan
+    rows = ix.search_with_meta(Term("merge") & Term("sort"), k=10).collect()
+    assert len(rows) == 10, "driver-form search_with_meta row count"
+    sections.append(
+        (
+            "search_with_meta (driver form)",
+            "driver path: scoring kernel reports each hit's seg_id; "
+            "metadata fetched by opening exactly the <= k hit docmap "
+            "files with a pushed doc_id filter (pytest "
+            "test_search_with_meta_driver_path_touches_k_files asserts "
+            "the file count).",
+            [("<= k docmap file opens, independent of segment count "
+              "(pytest-asserted)", "—")],
+        )
+    )
+    print("OK  search_with_meta (driver form): k rows via O(k) file opens")
 
     # persisted IVF query: partition-pruned candidate scan, no Python
     # kernel anywhere in the serving plan

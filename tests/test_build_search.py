@@ -466,6 +466,33 @@ def test_dictionary_file_level_pruning(spark, tmp_path_factory):
     assert len(ix2._dict_files_for(["w0123a"])) == 1
 
 
+def test_search_with_meta_driver_path_touches_k_files(index):
+    """The default (driver) form of search_with_meta must open only the
+    hit segments' docmap files — O(k) opens regardless of segment count
+    — and return exactly what the distributed isin-join form returns."""
+    q = Term("merge") & Term("sort")
+    opened = []
+    orig = index._docmap_file_of
+
+    def spy(seg_id):
+        p = orig(seg_id)
+        opened.append(p)
+        return p
+
+    index._docmap_file_of = spy
+    try:
+        got = [tuple(r) for r in index.search_with_meta(q, k=10).collect()]
+    finally:
+        index._docmap_file_of = orig
+    assert 1 <= len(opened) <= 10
+    want = [
+        tuple(r)
+        for r in index.search_with_meta(q, k=10, distributed=True).collect()
+    ]
+    assert got == want
+    assert len(got) == 10
+
+
 def test_partition_limit_truncation(index):
     """Reference partitionLimit parity (`search.chpl:17`): boolean mode
     returns at most N matches per segment, lowest doc_index first;
