@@ -1,0 +1,86 @@
+"""Property test: compacting N segments by posting algebra must be
+BYTE-IDENTICAL to building one segment directly from the union of the
+documents (Spark-free; both builders are pure pandas/numpy).
+
+This is the strongest possible statement about the merge: not just
+"queries agree", but every encoded column — posting deltas, varint tf
+streams, per-(term,doc) position delta groups, block-max triples, the
+meta row, the bloom, the docmap, the lineage summary — comes out
+exactly as if the documents had arrived in one batch.  Any drift in
+delta reset points, group-splitting offsets, or block layout fails the
+bytes comparison immediately.
+"""
+
+import string
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from chearch_spark.build import _build_segment_tables
+from chearch_spark.streaming.compact import _merge_segment_tables
+
+_WORDS = st.sampled_from(
+    ["merge", "sort", "dup", "alpha", "beta", "x1", "loop_var", "q"]
+)
+_texts = st.lists(_WORDS, min_size=0, max_size=300).map(" ".join)
+
+
+@st.composite
+def _corpora(draw):
+    n = draw(st.integers(min_value=0, max_value=24))
+    doc_ids = draw(
+        st.lists(
+            st.integers(min_value=-50, max_value=10_000),
+            min_size=n, max_size=n, unique=True,
+        )
+    )
+    texts = draw(st.lists(_texts, min_size=n, max_size=n))
+    n_parts = draw(st.integers(min_value=1, max_value=4))
+    assign = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=n_parts - 1),
+            min_size=n, max_size=n,
+        )
+    )
+    return doc_ids, texts, n_parts, assign
+
+
+@settings(max_examples=150, deadline=None)
+@given(_corpora(), st.booleans())
+def test_merge_equals_direct_build(corpus, store_positions):
+    doc_ids, texts, n_parts, assign = corpus
+    whole = pd.DataFrame(
+        {
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "text": pd.Series(texts, dtype="object"),
+        }
+    )
+    want_seg, want_map, want_sum = _build_segment_tables(
+        whole.copy(), seg_id=7, store_positions=store_positions
+    )
+
+    import numpy as np
+
+    inputs = []
+    for p in range(n_parts):
+        mask = np.array(assign, dtype="int64") == p if assign else np.zeros(
+            0, dtype=bool
+        )
+        part = whole[mask].reset_index(drop=True)
+        seg_pdf, map_pdf, _ = _build_segment_tables(
+            part, seg_id=100 + p, store_positions=store_positions
+        )
+        inputs.append((seg_pdf, map_pdf))
+    got_seg, got_map, got_sum = _merge_segment_tables(inputs, seg_id=7)
+
+    # long documents exercise the >255-position cap; short ones the
+    # empty-positions encoding — both must round-trip through the merge
+    assert list(got_seg.columns) == list(want_seg.columns)
+    for col in want_seg.columns:
+        assert got_seg[col].tolist() == want_seg[col].tolist(), col
+    for col in want_map.columns:
+        assert got_map[col].tolist() == want_map[col].tolist(), col
+    for key in ("n_docs", "n_terms", "n_tokens", "n_postings",
+                "content_fp", "bloom_m", "bloom"):
+        assert got_sum[key] == want_sum[key], key
