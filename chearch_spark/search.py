@@ -319,7 +319,9 @@ class Index:
             self._all_segs = sorted(segs)
         return self._all_segs
 
-    def candidate_segments(self, node: Node) -> list[int] | None:
+    def candidate_segments(
+        self, node: Node, allow_spark: bool = True
+    ) -> list[int] | None:
         """Segments that may answer `node`, via the per-segment term
         Blooms (operators/bloom.py): pure-AND requires every term,
         everything else requires ≥ 1 term.  None = no bloom data
@@ -345,7 +347,8 @@ class Index:
         require_all = conjunctive_terms(node) is not None
         bloom_dir = os.path.join(self.path, "blooms")
         if (
-            len(all_segs) > bloom_mod.DISTRIBUTED_PROBE_THRESHOLD
+            allow_spark  # driver-local callers never pay a Spark job
+            and len(all_segs) > bloom_mod.DISTRIBUTED_PROBE_THRESHOLD
             and self._blooms is None  # an already-loaded map stays hot
             and os.path.isdir(bloom_dir)
             and os.listdir(bloom_dir)
@@ -689,7 +692,7 @@ class Index:
         }
         meta = self._load_meta()
         self._load_postings(terms)
-        cand = self.candidate_segments(node)
+        cand = self.candidate_segments(node, allow_spark=False)
         cand_set = set(cand) if cand is not None else None
         all_ids, all_scores = [], []
         for seg_id in meta:
