@@ -128,7 +128,16 @@ def main() -> None:
                 corpus, max_hamming=3
             ).count(),
             "p_exact_dups": lambda: D.exact_duplicates(corpus).count(),
+            "p_ngram_jaccard": lambda: D.ngram_jaccard_pairs(
+                corpus, tau=0.5
+            ).count(),
             "p_ann_topk": lambda: A.cosine_topk(
+                emb, [0, 1, 2, 3, 4], k=k
+            ).count(),
+            "p_ann_lsh": lambda: A.lsh_ann_topk(
+                emb, [0, 1, 2, 3, 4], k=k
+            ).count(),
+            "p_ann_ivf": lambda: A.ivf_flat_topk(
                 emb, [0, 1, 2, 3, 4], k=k
             ).count(),
             "p_text_quality": lambda: T.quality_scores(corpus).count(),
@@ -141,6 +150,27 @@ def main() -> None:
                 fn()
                 best = min(best or 1e9, time.time() - t0)
             timings[name] = best
+
+        # streaming ingest + compaction (one pass, informational): 4
+        # micro-batches hash-split, merged back to `cpus` segments
+        from chearch_spark.streaming.compact import compact_stream_segments
+        from chearch_spark.streaming.ingest import finalize_index, ingest_batch
+
+        sdir = tempfile.mkdtemp(prefix="chearch_bench_stream_")
+        try:
+            t0 = time.time()
+            for b in range(4):
+                ingest_batch(
+                    corpus.filter(f"pmod(doc_id, 4) = {b}"), sdir,
+                    batch_id=b, num_segments=max(cpus // 4, 1),
+                )
+            finalize_index(spark, sdir)
+            timings["p_stream_ingest4"] = time.time() - t0
+            t0 = time.time()
+            compact_stream_segments(spark, sdir, num_segments=cpus)
+            timings["p_compact"] = time.time() - t0
+        finally:
+            shutil.rmtree(sdir, ignore_errors=True)
 
         # headline value: a single coherent pass (build + the six
         # distributed queries, raw wall time).  The local_* means and
