@@ -228,28 +228,23 @@ def finalize_index(spark, out_dir: str) -> dict:
         out_dir,
         max(spark.sparkContext.defaultParallelism // 8, 1),
     )
-    meta = (
-        seg.filter(F.col("term") == META_TERM)
-        .agg(
-            F.sum("df").alias("n_docs"),
-            F.sum("cf").alias("n_tokens"),
-            F.count("*").alias("n_segments"),
-        )
-        .collect()[0]
-    )
+    # one scan answers everything the stats need: totals from the meta
+    # rows, the live seg-id set, and store_positions detection (any
+    # non-empty positions payload — hardcoding it would desynchronize
+    # streamed indexes from batch-built ones)
+    is_meta = F.col("term") == META_TERM
+    meta = seg.agg(
+        F.sum(F.when(is_meta, F.col("df"))).alias("n_docs"),
+        F.sum(F.when(is_meta, F.col("cf"))).alias("n_tokens"),
+        F.count(F.when(is_meta, F.lit(1))).alias("n_segments"),
+        F.collect_set(F.when(is_meta, F.col("seg_id"))).alias("seg_ids"),
+        F.max(
+            F.when(~is_meta, F.length("positions")).otherwise(F.lit(0))
+        ).alias("max_pos_len"),
+    ).collect()[0]
     n_docs = int(meta.n_docs or 0)
     total_tokens = int(meta.n_tokens or 0)
-
-    # detect store_positions from the data (any non-empty positions
-    # payload) — hardcoding it would desynchronize streamed indexes
-    # from batch-built ones
-    has_pos = (
-        seg.filter(F.col("term") != META_TERM)
-        .filter(F.length("positions") > 0)
-        .limit(1)
-        .count()
-        > 0
-    )
+    has_pos = int(meta.max_pos_len or 0) > 0
     # Global content fingerprint: content_fp is an order-independent
     # modular SUM, so the global value is the sum of the per-segment
     # values already recorded in the (tiny, O(segments)) build and
@@ -260,12 +255,7 @@ def finalize_index(spark, out_dir: str) -> dict:
     # docmap rows, collecting one row per segment.
     import glob
 
-    seg_ids = [
-        int(r.seg_id)
-        for r in seg.filter(F.col("term") == META_TERM)
-        .select("seg_id")
-        .collect()
-    ]
+    seg_ids = sorted(int(s) for s in meta.seg_ids)
     fp_by_seg: dict[int, int] = {}
     manifests = []
     build_manifest = os.path.join(out_dir, "manifest.json")
