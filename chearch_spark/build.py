@@ -276,7 +276,28 @@ def _build_segment_tables(pdf: pd.DataFrame, seg_id: int, store_positions: bool)
     return seg_pdf, docmap_pdf, summary
 
 
-def write_dictionary(grouped_df, out_dir: str, n_files: int) -> None:
+def dictionary_agg(seg_scan):
+    """Dictionary merge aggregation: per term, global df/cf AND the
+    exact segment-id list (the term → segments DIRECTORY).  The input
+    rows are already pre-aggregated per (segment, term), so the
+    directory rides the same tiny shuffle as the stats; hot terms
+    (more than ``spec.DICT_SEGS_CAP`` segments) store NULL — their
+    list would be "everywhere" and prune nothing.  Query-time, one
+    pruned dictionary read returns stats and an EXACT candidate
+    segment set (no false positives, unlike the bloom path)."""
+    from pyspark.sql import functions as F
+
+    segs = F.sort_array(F.collect_set("seg_id"))
+    return seg_scan.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.when(F.size(segs) <= spec.DICT_SEGS_CAP, segs).alias("segs"),
+    )
+
+
+def write_dictionary(
+    grouped_df, out_dir: str, n_files: int, covered_seg_ids=None
+) -> None:
     """Write the merged dictionary RANGE-partitioned by term (each part
     file covers a contiguous term range, rows sorted within), then
     record each file's [min_term, max_term] in a ``dict_bounds.json``
@@ -297,6 +318,16 @@ def write_dictionary(grouped_df, out_dir: str, n_files: int) -> None:
     dict_dir = os.path.join(out_dir, "dictionary")
     d.sortWithinPartitions("term").write.mode("overwrite").parquet(dict_dir)
     write_dict_bounds(out_dir)
+    if covered_seg_ids is not None:
+        # which segments the directory describes: segments ingested
+        # AFTER this write are not in any segs list and must always be
+        # scanned (the same advisory rule as bloom coverage)
+        p = os.path.join(out_dir, "dict_coverage.json")
+        with open(p + ".tmp", "w") as f:
+            json.dump(
+                {"seg_ids": sorted(int(s) for s in covered_seg_ids)}, f
+            )
+        os.replace(p + ".tmp", p)
 
 
 def compute_dict_bounds(dict_dir: str) -> dict[str, list[str]]:
@@ -567,12 +598,15 @@ def build_index(
     # per-segment rows; segment id is the implicit salt — hot terms are
     # bounded at S input rows) ------------------------------------------
     seg_scan = spark.read.parquet(seg_dir).filter(F.col("term") != META_TERM)
-    dictionary = seg_scan.groupBy("term").agg(
-        F.sum("df").alias("df"), F.sum("cf").alias("cf")
-    )
     # range-partitioned by term + bounds sidecar: probes open O(1)
-    # files; row-group min/max stats prune within each file
-    write_dictionary(dictionary, out_dir, max(S // 8, 1))
+    # files; row-group min/max stats prune within each file.  The agg
+    # also carries the exact term -> segments directory.
+    write_dictionary(
+        dictionary_agg(seg_scan),
+        out_dir,
+        max(S // 8, 1),
+        covered_seg_ids=[int(r.seg_id) for r in summaries],
+    )
 
     n_docs = int(sum(r.n_docs for r in summaries))
     total_tokens = int(sum(r.n_tokens for r in summaries))

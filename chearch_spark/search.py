@@ -113,6 +113,9 @@ class Index:
         self._all_segs: list[int] | None = None
         self._replaced: set[int] | None = None
         self._dict_bounds: dict[str, tuple[str, str]] | None = None
+        self._dict_segs_flag: bool | None = None
+        self._dict_coverage: set[int] | None | bool = False  # False=unloaded
+        self._segs_cache: dict[str, list[int] | None] = {}
         self._seg_df = None  # lazily cached segment DataFrame (file
         # listing + schema inference paid once per Index, not per query)
 
@@ -165,6 +168,35 @@ class Index:
             if fmin < hi and fmax >= lo
         ]
 
+    def _dict_has_segs(self) -> bool:
+        """Does the dictionary carry the term → segments directory?"""
+        if self._dict_segs_flag is None:
+            import pyarrow.dataset as ds
+
+            try:
+                names = ds.dataset(
+                    self.dict_dir, format="parquet"
+                ).schema.names
+            except Exception:
+                names = []
+            self._dict_segs_flag = "segs" in names
+        return self._dict_segs_flag
+
+    def _load_dict_coverage(self) -> set[int] | None:
+        """Segments the directory describes (dict_coverage.json).
+        None = legacy dictionary — the directory cannot be trusted for
+        pruning because newer segments would be invisible to it."""
+        if self._dict_coverage is False:
+            p = os.path.join(self.path, "dict_coverage.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    self._dict_coverage = {
+                        int(s) for s in json.load(f)["seg_ids"]
+                    }
+            else:
+                self._dict_coverage = None
+        return self._dict_coverage
+
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """{term: (df, cf)} dictionary probe (the reference's hash-table
         probe, `memorysegment.chpl:254-265`).
@@ -174,7 +206,9 @@ class Index:
         probe result is tiny, and skipping the job roughly halves
         per-query latency.  File-level pruning via the range-bounds
         sidecar (only files whose [min, max] can contain a query term
-        are opened), then pyarrow row-group stats prune within them."""
+        are opened), then pyarrow row-group stats prune within them.
+        The same read fills the term → segments cache (exact segment
+        pruning rides the stats probe for free)."""
         import pyarrow.dataset as ds
 
         if not terms:
@@ -182,13 +216,23 @@ class Index:
         files = self._dict_files_for(list(terms))
         if not files:
             return {}
+        has_segs = self._dict_has_segs()
+        cols = ["term", "df", "cf"] + (["segs"] if has_segs else [])
         table = ds.dataset(files, format="parquet").to_table(
-            filter=ds.field("term").isin(list(terms))
+            filter=ds.field("term").isin(list(terms)), columns=cols
         )
         out: dict[str, tuple[int, int]] = {}
-        for t, df, cf in zip(*(table.column(c).to_pylist()
-                               for c in ("term", "df", "cf"))):
+        segs_col = table.column("segs").to_pylist() if has_segs else None
+        for i, (t, df, cf) in enumerate(
+            zip(*(table.column(c).to_pylist()
+                  for c in ("term", "df", "cf")))
+        ):
             out[t] = (int(df), int(cf))
+            if segs_col is not None:
+                sl = segs_col[i]
+                self._segs_cache[t] = (
+                    None if sl is None else [int(s) for s in sl]
+                )
         return out
 
     def _prefix_terms(self, prefix: str) -> list[str]:
@@ -287,6 +331,9 @@ class Index:
         self._meta_cache = None
         self._posting_cache = {}
         self._stats_cache = {}
+        self._segs_cache = {}
+        self._dict_segs_flag = None
+        self._dict_coverage = False
         if hasattr(self, "_parity_cache"):
             del self._parity_cache
         if hasattr(self, "_docmap_files"):
@@ -327,15 +374,23 @@ class Index:
         everything else requires ≥ 1 term.  None = no bloom data
         (older index) — scan everything.
 
-        Bloom coverage is ADVISORY per segment: a segment file with no
-        bloom entry (e.g. ingest crashed between the segment write and
-        the blooms-batch write, then resumed differently) is always
-        included — pruning must never drop results, only file opens.
+        Pruning sources, best first:
 
-        Past ``bloom.DISTRIBUTED_PROBE_THRESHOLD`` segments the probe
-        runs as a Spark job over the blooms parquet (filter bytes never
-        reach the driver); below it, the driver-resident vectorized
-        ``BloomProbe`` answers in sub-ms."""
+        * the term → segments DIRECTORY in the dictionary (exact, no
+          false positives, and the read is the same stats probe the
+          query performs anyway) — used when the dictionary has a
+          ``segs`` column and a coverage file; segments ingested after
+          the last finalize are outside the coverage and always
+          scanned;
+        * per-segment Blooms (probabilistic): legacy indexes, or
+          segments the directory doesn't cover.  Coverage is ADVISORY
+          in both schemes: an unlisted segment is always included —
+          pruning must never drop results, only file opens.
+
+        Past ``bloom.DISTRIBUTED_PROBE_THRESHOLD`` segments the bloom
+        probe runs as a Spark job over the blooms parquet (filter bytes
+        never reach the driver); below it, the driver-resident
+        vectorized ``BloomProbe`` answers in sub-ms."""
         from chearch_spark.operators import bloom as bloom_mod
 
         dead = self._replaced_seg_ids()
@@ -345,6 +400,29 @@ class Index:
         if not terms:
             return live
         require_all = conjunctive_terms(node) is not None
+
+        covered = self._load_dict_coverage()
+        if covered is not None and self._dict_has_segs():
+            stats = self._cached_stats(terms)
+            live_set = set(all_segs)
+            cov_live = covered & live_set
+            sets = []
+            for t in terms:
+                if t not in stats:
+                    sets.append(set())  # not in the dictionary at all
+                else:
+                    sl = self._segs_cache.get(t)
+                    # None = hot term over DICT_SEGS_CAP: everywhere
+                    sets.append(
+                        cov_live if sl is None else set(sl) & live_set
+                    )
+            cand = (
+                set.intersection(*sets) if require_all else set.union(*sets)
+            ) if sets else set()
+            # segments the directory doesn't describe (post-finalize
+            # ingest) are always scanned
+            return sorted(cand | (live_set - covered))
+
         bloom_dir = os.path.join(self.path, "blooms")
         if (
             allow_spark  # driver-local callers never pay a Spark job

@@ -42,6 +42,16 @@ DEFAULT_K = 10
 # reborn as scoring blocks, SURVEY §4.2).
 POSTING_BLOCK = 128
 
+# --- Term -> segments directory ------------------------------------------
+# The dictionary merge already aggregates one pre-aggregated row per
+# (segment, term); collecting the segment ids per term alongside df/cf
+# gives EXACT segment pruning for free (same shuffle, same probe read).
+# Lists are stored only for terms in <= this many segments: a hot term
+# is in (nearly) every segment, so its list carries no pruning value
+# and would cost O(num_segments) storage per such term — NULL means
+# "assume everywhere".
+DICT_SEGS_CAP = 4096
+
 # --- Exact n-gram Jaccard ----------------------------------------------
 # Pinned hot-shingle cap: shingles present in more than this many
 # documents (boilerplate headers, license blocks) are excluded from the

@@ -205,9 +205,11 @@ def finalize_index(spark, out_dir: str) -> dict:
     pre-aggregated term rows."""
     from pyspark.sql import functions as F
 
-    from chearch_spark.build import META_TERM
-
-    from chearch_spark.build import write_dictionary
+    from chearch_spark.build import (
+        META_TERM,
+        dictionary_agg,
+        write_dictionary,
+    )
     from chearch_spark.streaming.compact import replaced_seg_ids
 
     seg_dir = os.path.join(out_dir, "segments")
@@ -218,16 +220,6 @@ def finalize_index(spark, out_dir: str) -> dict:
     dead = replaced_seg_ids(out_dir)
     if dead:
         seg = seg.filter(~F.col("seg_id").isin([int(s) for s in dead]))
-    dictionary = (
-        seg.filter(F.col("term") != META_TERM)
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-    )
-    write_dictionary(
-        dictionary,
-        out_dir,
-        max(spark.sparkContext.defaultParallelism // 8, 1),
-    )
     # one scan answers everything the stats need: totals from the meta
     # rows, the live seg-id set, and store_positions detection (any
     # non-empty positions payload — hardcoding it would desynchronize
@@ -245,6 +237,12 @@ def finalize_index(spark, out_dir: str) -> dict:
     n_docs = int(meta.n_docs or 0)
     total_tokens = int(meta.n_tokens or 0)
     has_pos = int(meta.max_pos_len or 0) > 0
+    write_dictionary(
+        dictionary_agg(seg.filter(~is_meta)),
+        out_dir,
+        max(spark.sparkContext.defaultParallelism // 8, 1),
+        covered_seg_ids=[int(s) for s in meta.seg_ids],
+    )
     # Global content fingerprint: content_fp is an order-independent
     # modular SUM, so the global value is the sum of the per-segment
     # values already recorded in the (tiny, O(segments)) build and

@@ -167,17 +167,19 @@ def main() -> None:
     seg_scan = spark.read.parquet(os.path.join(out, "segments")).filter(
         F.col("term") != ""
     )
+    from chearch_spark.build import dictionary_agg
+
     dic = (
-        seg_scan.groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        dictionary_agg(seg_scan)
         .repartitionByRange(4, "term")
         .sortWithinPartitions("term")
     )
     audit(
-        "dictionary merge (build phase 2, range layout)",
+        "dictionary merge (build phase 2, range layout + term directory)",
         dic,
         [
             ("map-side partial agg", "partial_sum"),
+            ("map-side partial directory collection", "partial_collect_set"),
             ("meta-row pushdown", "PushedFilters: [IsNotNull(term), Not(EqualTo(term,))"),
             ("range partitioning for the bounds sidecar",
              "rangepartitioning|RangePartitioning"),

@@ -61,16 +61,17 @@ def test_pruned_results_identical(pruned_index):
         Term("uniq0001") | Term("uniq0199"),
     ):
         got = [(r.doc_id, round(r.score, 9)) for r in ix.search(q, k=10).collect()]
-        # disable pruning and compare
-        saved = ix._blooms
+        # disable BOTH pruning sources (directory + blooms) and compare
+        saved_blooms, saved_cov = ix._blooms, ix._dict_coverage
         ix._blooms = {}
+        ix._dict_coverage = None
         try:
             want = [
                 (r.doc_id, round(r.score, 9))
                 for r in ix.search(q, k=10).collect()
             ]
         finally:
-            ix._blooms = saved
+            ix._blooms, ix._dict_coverage = saved_blooms, saved_cov
         assert got == want, q
         local = [(d, round(s, 9)) for d, s in ix.local_search(q, k=10)]
         assert local == want, q
@@ -153,12 +154,14 @@ def test_distributed_probe_matches_driver_probe(spark, pruned_index, monkeypatch
         assert set(bloomed) == set(blooms)
 
     # Index auto-switch: fresh Index + threshold 0 -> every probe runs
-    # distributed; pruning and results unchanged
+    # distributed; pruning and results unchanged.  Coverage disabled so
+    # the BLOOM path (not the exact directory) is what's exercised.
     monkeypatch.setattr(bloom_mod, "DISTRIBUTED_PROBE_THRESHOLD", 0)
     ix2 = Index(spark, ix.path)
-    assert ix2.candidate_segments(Term("uniq0042")) == ix.candidate_segments(
+    ix2._dict_coverage = None
+    assert ix2.candidate_segments(
         Term("uniq0042")
-    )
+    ) == bloom_mod.candidate_segments(blooms, ["uniq0042"], False)
     got = sorted(
         r.doc_id for r in ix2.match_docs(Term("common") & Term("uniq0042")).collect()
     )
@@ -169,6 +172,71 @@ def test_distributed_probe_matches_driver_probe(spark, pruned_index, monkeypatch
     assert ix2._blooms is None  # filters never loaded driver-side
 
 
+def test_directory_pruning_is_exact(spark, pruned_index):
+    """The term → segments directory prunes EXACTLY: the candidate set
+    equals the true set of segments containing the term (no bloom
+    false positives), missing terms AND-prune to nothing, and hot
+    terms fan out everywhere."""
+    ix = pruned_index
+    seg_of = {
+        r.doc_id: r.seg_id
+        for r in ix.docmap().select("doc_id", "seg_id").collect()
+    }
+    # ground truth for uniq0042: exactly the segment holding doc 42
+    assert ix.candidate_segments(Term("uniq0042")) == [seg_of[42]]
+    assert ix.candidate_segments(Term("common")) == sorted(set(seg_of.values()))
+    assert ix.candidate_segments(Term("zz_nope_zz") & Term("common")) == []
+    assert ix.candidate_segments(
+        Term("common") & Term("uniq0042")
+    ) == [seg_of[42]]
+    assert sorted(
+        ix.candidate_segments(Term("uniq0001") | Term("uniq0199"))
+    ) == sorted({seg_of[1], seg_of[199]})
+
+
+def test_directory_hot_cap_falls_back_to_everywhere(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Terms over DICT_SEGS_CAP store NULL segs (list would be
+    'everywhere'); pruning degrades to the full covered set — a
+    correct superset, never a miss."""
+    import chearch_spark.spec as spec_mod
+
+    monkeypatch.setattr(spec_mod, "DICT_SEGS_CAP", 1)
+    rows = [(i, f"common uniq{i:04d}") for i in range(40)]
+    out = str(tmp_path_factory.mktemp("hot_ix"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    build_index(spark, df, out, num_segments=4, resume=False)
+    ix = Index(spark, out)
+    # 'common' is in all 4 segments (> cap) -> NULL -> everywhere
+    assert ix.candidate_segments(Term("common")) == [0, 1, 2, 3]
+    # each uniq term is in exactly 1 segment (<= cap) -> exact
+    assert len(ix.candidate_segments(Term("uniq0007"))) == 1
+    got = {r.doc_id for r in ix.match_docs(Term("common")).collect()}
+    assert got == set(range(40))
+
+
+def test_post_finalize_segments_always_scanned(spark, tmp_path_factory):
+    """Segments ingested AFTER the dictionary/directory was last built
+    are outside its coverage and must always be candidates — directory
+    pruning must never hide fresh data."""
+    from chearch_spark.streaming.ingest import ingest_batch
+
+    docs = [(i, "merge sort " + f"u{i}") for i in range(20)]
+    late = [(100 + i, "merge late_marker") for i in range(5)]
+    out = str(tmp_path_factory.mktemp("late_ix"))
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    build_index(spark, df, out, num_segments=2, resume=False)
+    ldf = spark.createDataFrame(pd.DataFrame(late, columns=["doc_id", "text"]))
+    ingest_batch(ldf, out, batch_id=0, num_segments=1)  # NO finalize
+    ix = Index(spark, out)
+    cand = ix.candidate_segments(Term("merge"))
+    assert cand is not None and len(cand) == 3  # 2 covered + 1 fresh
+    # late_marker exists only in the uncovered segment — still found
+    got = {r.doc_id for r in ix.match_docs(Term("late_marker")).collect()}
+    assert got == {100, 101, 102, 103, 104}
+
+
 def test_segment_without_bloom_entry_is_always_scanned(
     spark, pruned_index, tmp_path_factory
 ):
@@ -177,12 +245,14 @@ def test_segment_without_bloom_entry_is_always_scanned(
     every candidate list — silent result loss is the failure mode this
     guards against."""
     ix = pruned_index
-    # simulate a lost bloom entry for segment 3
+    # simulate a lost bloom entry for segment 3 (bloom path: no
+    # directory coverage, as in a legacy or mid-crash index)
     blooms = dict(ix._load_blooms())
     assert 3 in blooms
     del blooms[3]
     ix2 = Index(spark, ix.path)
     ix2._blooms = blooms
+    ix2._dict_coverage = None
     for q in (Term("uniq0042"), Term("zz_nope_zz") & Term("common")):
         cand = ix2.candidate_segments(q)
         assert cand is not None and 3 in cand, q
