@@ -85,6 +85,13 @@ def _fold_and(terms: list[str]) -> Node:
     return node
 
 
+def _fold_or(terms: list[str]) -> Node:
+    node: Node = Term(terms[0])
+    for t in terms[1:]:
+        node = Or(node, Term(t))
+    return node
+
+
 class Index:
     """Handle to a built index directory (segments/docmap/dictionary/
     stats/manifest)."""
@@ -318,10 +325,16 @@ class Index:
         return self._blooms
 
     def refresh(self) -> None:
-        """Invalidate every cached view of the on-disk layout.  Call
-        after a compaction (or any maintenance that adds/removes
-        segment files) on a long-lived Index — the caches hold file
-        listings whose members compaction deletes."""
+        """Invalidate every cached view of the on-disk layout AND
+        reload the global stats.  Call after a compaction/finalize (or
+        any maintenance that adds/removes segment files) on a
+        long-lived Index — the caches hold file listings whose members
+        maintenance deletes, and scoring with a stale n_docs/avgdl
+        would break rank-identity with a freshly opened Index."""
+        with open(os.path.join(self.path, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.n_docs = int(self.stats["n_docs"])
+        self.avgdl = float(self.stats["avgdl"])
         self._seg_df = None
         self._all_segs = None
         self._replaced = None
@@ -391,8 +404,6 @@ class Index:
         probe runs as a Spark job over the blooms parquet (filter bytes
         never reach the driver); below it, the driver-resident
         vectorized ``BloomProbe`` answers in sub-ms."""
-        from chearch_spark.operators import bloom as bloom_mod
-
         dead = self._replaced_seg_ids()
         terms = node.terms()
         all_segs = self._all_seg_ids()
@@ -401,10 +412,10 @@ class Index:
             return live
         require_all = conjunctive_terms(node) is not None
 
+        live_set = set(all_segs)
         covered = self._load_dict_coverage()
         if covered is not None and self._dict_has_segs():
             stats = self._cached_stats(terms)
-            live_set = set(all_segs)
             cov_live = covered & live_set
             sets = []
             for t in terms:
@@ -420,13 +431,37 @@ class Index:
                 set.intersection(*sets) if require_all else set.union(*sets)
             ) if sets else set()
             # segments the directory doesn't describe (post-finalize
-            # ingest) are always scanned
-            return sorted(cand | (live_set - covered))
+            # ingest): probe their BLOOMS — written per micro-batch, so
+            # fresh segments still prune; only bloom-less ones scan
+            # unconditionally
+            uncovered = live_set - covered
+            if uncovered:
+                bc = self._bloom_candidates(terms, require_all, allow_spark)
+                if bc is not None:
+                    bcand, bloomed = bc
+                    uncovered = (uncovered & bcand) | (uncovered - bloomed)
+            return sorted(cand | uncovered)
+
+        bc = self._bloom_candidates(terms, require_all, allow_spark)
+        if bc is None:
+            return live
+        bcand, bloomed = bc
+        return sorted((bcand & live_set) | (live_set - bloomed))
+
+    def _bloom_candidates(
+        self, terms: list[str], require_all: bool, allow_spark: bool
+    ) -> tuple[set[int], set[int]] | None:
+        """(candidate seg ids, bloomed seg ids) from the per-segment
+        Blooms, or None when no bloom data exists.  Driver-resident
+        vectorized probe below DISTRIBUTED_PROBE_THRESHOLD segments;
+        a Spark job over the blooms parquet above it (filter bytes
+        never reach the driver)."""
+        from chearch_spark.operators import bloom as bloom_mod
 
         bloom_dir = os.path.join(self.path, "blooms")
         if (
             allow_spark  # driver-local callers never pay a Spark job
-            and len(all_segs) > bloom_mod.DISTRIBUTED_PROBE_THRESHOLD
+            and len(self._all_seg_ids()) > bloom_mod.DISTRIBUTED_PROBE_THRESHOLD
             and self._blooms is None  # an already-loaded map stays hot
             and os.path.isdir(bloom_dir)
             and os.listdir(bloom_dir)
@@ -434,17 +469,16 @@ class Index:
             cand_l, bloomed_l = bloom_mod.probe_blooms_spark(
                 self.spark, bloom_dir, terms, require_all
             )
-            cand, bloomed = set(cand_l), set(bloomed_l)
-        else:
-            blooms = self._load_blooms()
-            if not blooms:
-                return live
-            if self._bloom_probe is None:
-                self._bloom_probe = bloom_mod.BloomProbe(blooms)
-            cand = set(self._bloom_probe.candidates(terms, require_all))
-            bloomed = self._bloom_probe.seg_set
-        seg_set = set(all_segs)  # live files only (ghosts excluded)
-        return sorted((cand & seg_set) | (seg_set - bloomed))
+            return set(cand_l), set(bloomed_l)
+        blooms = self._load_blooms()
+        if not blooms:
+            return None
+        if self._bloom_probe is None:
+            self._bloom_probe = bloom_mod.BloomProbe(blooms)
+        return (
+            set(self._bloom_probe.candidates(terms, require_all)),
+            self._bloom_probe.seg_set,
+        )
 
     # -- scan -----------------------------------------------------------
     def _segment_scan(
@@ -566,11 +600,9 @@ class Index:
             import pyarrow.dataset as ds
 
             by_seg: dict[int, list] = {}
-            score_of = {}
             for r in rows:
                 by_seg.setdefault(int(r.seg_id), []).append(int(r.doc_id))
-                score_of[int(r.doc_id)] = float(r.score)
-            out = []
+            meta_of: dict[tuple[int, int], tuple[int, str]] = {}
             for seg, ids in sorted(by_seg.items()):
                 t = ds.dataset(
                     [self._docmap_file_of(seg)], format="parquet"
@@ -583,7 +615,18 @@ class Index:
                     t.column("doc_len").to_pylist(),
                     t.column("sha256").to_pylist(),
                 ):
-                    out.append((int(d), score_of[int(d)], int(dl), sha))
+                    meta_of.setdefault((seg, int(d)), (int(dl), sha))
+            # one output row per TOP row, each with its OWN score —
+            # duplicate external ids (re-ingested docs) keep distinct
+            # scores instead of collapsing onto one
+            out = [
+                (
+                    int(r.doc_id),
+                    float(r.score),
+                    *meta_of[(int(r.seg_id), int(r.doc_id))],
+                )
+                for r in rows
+            ]
             out.sort(key=lambda x: (-x[1], x[0]))
             return self.spark.createDataFrame(
                 out, "doc_id long, score double, doc_len int, sha256 string"
@@ -633,13 +676,16 @@ class Index:
             if t in stats
         }
         avgdl = self.avgdl
-        # prune to segments some query may touch (union of per-query
-        # candidates; None from a bloom-less index disables pruning)
-        seg_sets = [self.candidate_segments(n) for n in nodes.values()]
-        if any(s is None for s in seg_sets):
-            segs = None
+        # prune to segments some query may touch: ONE probe on the
+        # OR-fold of the union terms (a superset of the per-query
+        # union; per-query probing would cost one probe — potentially
+        # one Spark job past the distributed-bloom threshold — per
+        # query, defeating the single-job batching this method exists
+        # for)
+        if union_terms:
+            segs = self.candidate_segments(_fold_or(union_terms))
         else:
-            segs = sorted({s for ss in seg_sets for s in ss})
+            segs = None
         scan = self._segment_scan(
             union_terms,
             ["seg_id", "term", "doc_ids", "tfs", "blocks"],

@@ -292,11 +292,13 @@ def replaced_seg_ids(out_dir: str) -> set[int]:
             if fn.startswith("segment-") and fn.endswith(".parquet"):
                 dead.add(int(fn[len("segment-"):-len(".parquet")]))
     epochs = _manifest_epochs(out_dir)
-    seg_dir = os.path.join(out_dir, "segments")
-    if os.path.isdir(seg_dir):
-        for fn in os.listdir(seg_dir):
-            if fn.startswith("segment-") and fn.endswith(".parquet"):
-                sid = int(fn[len("segment-"):-len(".parquet")])
+    for sub, prefix in (("segments", "segment-"), ("docmap", "docmap-")):
+        d = os.path.join(out_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        for fn in os.listdir(d):
+            if fn.startswith(prefix) and fn.endswith(".parquet"):
+                sid = int(fn[len(prefix):-len(".parquet")])
                 if (
                     COMPACT_SEG_BASE <= sid < STREAM_SEG_BASE
                     and _epoch_of(sid) not in epochs
@@ -334,12 +336,29 @@ def _complete_pending(out_dir: str) -> None:
                     COMPACT_SEG_BASE <= sid < STREAM_SEG_BASE
                     and _epoch_of(sid) not in epochs
                 ):
-                    os.remove(os.path.join(seg_dir, fn))
+                    # docmap FIRST: the orphan classification keys off
+                    # segment files, so deleting the segment first and
+                    # crashing would leave an undetectable ghost docmap
                     mp = os.path.join(
                         map_dir, f"docmap-{sid:09d}.parquet"
                     )
                     if os.path.exists(mp):
                         os.remove(mp)
+                    os.remove(os.path.join(seg_dir, fn))
+    # sweep ghost docmaps whose segment is already gone (crash inside
+    # the loop above, pre-fix layouts)
+    if os.path.isdir(map_dir):
+        for fn in list(os.listdir(map_dir)):
+            if fn.startswith("docmap-") and fn.endswith(".parquet"):
+                sid = int(fn[len("docmap-"):-len(".parquet")])
+                if (
+                    COMPACT_SEG_BASE <= sid < STREAM_SEG_BASE
+                    and _epoch_of(sid) not in epochs
+                    and not os.path.exists(
+                        os.path.join(seg_dir, f"segment-{sid:09d}.parquet")
+                    )
+                ):
+                    os.remove(os.path.join(map_dir, fn))
 
 
 def compact_stream_segments(
@@ -391,15 +410,33 @@ def compact_stream_segments(
         cap = docs_per_segment or DEFAULT_DOCS_PER_SEGMENT
         num_segments = max(1, -(-total_docs // cap))
     G = min(int(num_segments), len(stream_ids))
+    if G > COMPACT_EPOCH_STRIDE:
+        raise ValueError(
+            f"num_segments {G} exceeds the per-epoch id stride "
+            f"({COMPACT_EPOCH_STRIDE}); outputs would spill into the "
+            "next epoch's range and be classified as orphans"
+        )
 
+    # output id space: epoch = smallest slot with no published manifest
+    # and no live segment in its range (fully-applied manifests are
+    # garbage-collected below, so slots recycle and the id space never
+    # creeps toward STREAM_SEG_BASE)
+    live_epochs = {
+        _epoch_of(s)
+        for s in stream_ids
+        if COMPACT_SEG_BASE <= s < STREAM_SEG_BASE
+    }
+    used = live_epochs | _manifest_epochs(out_dir)
     epoch = 0
-    existing_compact = [
-        s for s in stream_ids if COMPACT_SEG_BASE <= s < STREAM_SEG_BASE
-    ]
-    if existing_compact:
-        epoch = (
-            max(existing_compact) - COMPACT_SEG_BASE
-        ) // COMPACT_EPOCH_STRIDE + 1
+    while epoch in used:
+        epoch += 1
+    max_epochs = (STREAM_SEG_BASE - COMPACT_SEG_BASE) // COMPACT_EPOCH_STRIDE
+    if epoch >= max_epochs:
+        raise ValueError(
+            f"compaction epoch {epoch} exhausts the compact id range "
+            f"({max_epochs} slots); rebuild the index (resume=False) to "
+            "reset segment ids"
+        )
     base = COMPACT_SEG_BASE + epoch * COMPACT_EPOCH_STRIDE
 
     def _fname(sid: int) -> tuple[str, str]:
@@ -510,6 +547,26 @@ def compact_stream_segments(
         p = os.path.join(out_dir, rel)
         if os.path.exists(p):
             os.remove(p)
+    # garbage-collect fully-applied OLDER compaction manifests: their
+    # outputs were this pass's inputs (now replaced and deleted), so
+    # keeping them would pin their epoch slots forever.  Only removed
+    # once every file they reference (outputs and replaced) is gone —
+    # until then they stay, and replaced_seg_ids keeps their ids dead.
+    import glob as glob_
+
+    for mp in sorted(
+        glob_.glob(os.path.join(out_dir, "manifest-compact-*.json"))
+    ):
+        e = int(os.path.basename(mp)[len("manifest-compact-"):-5])
+        if e == epoch:
+            continue
+        with open(mp) as f:
+            m = json.load(f)
+        refs = list(m.get("replaced", []))
+        for s in m.get("segments", []):
+            refs.extend(_fname(int(s["seg_id"])))
+        if all(not os.path.exists(os.path.join(out_dir, r)) for r in refs):
+            os.remove(mp)
     # drop bloom files whose segments were ALL replaced by this pass
     # (stale entries are harmless for correctness — candidate assembly
     # intersects with live files — but they bloat every probe).  A

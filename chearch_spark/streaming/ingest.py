@@ -220,23 +220,28 @@ def finalize_index(spark, out_dir: str) -> dict:
     dead = replaced_seg_ids(out_dir)
     if dead:
         seg = seg.filter(~F.col("seg_id").isin([int(s) for s in dead]))
-    # one scan answers everything the stats need: totals from the meta
-    # rows, the live seg-id set, and store_positions detection (any
-    # non-empty positions payload — hardcoding it would desynchronize
-    # streamed indexes from batch-built ones)
+    # stats from the META rows only (the term == '' filter pushes into
+    # the parquet reader — row-group stats skip every posting row), one
+    # agg for totals + the live seg-id set
     is_meta = F.col("term") == META_TERM
-    meta = seg.agg(
-        F.sum(F.when(is_meta, F.col("df"))).alias("n_docs"),
-        F.sum(F.when(is_meta, F.col("cf"))).alias("n_tokens"),
-        F.count(F.when(is_meta, F.lit(1))).alias("n_segments"),
-        F.collect_set(F.when(is_meta, F.col("seg_id"))).alias("seg_ids"),
-        F.max(
-            F.when(~is_meta, F.length("positions")).otherwise(F.lit(0))
-        ).alias("max_pos_len"),
+    meta = seg.filter(is_meta).agg(
+        F.sum("df").alias("n_docs"),
+        F.sum("cf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.collect_set("seg_id").alias("seg_ids"),
     ).collect()[0]
     n_docs = int(meta.n_docs or 0)
     total_tokens = int(meta.n_tokens or 0)
-    has_pos = int(meta.max_pos_len or 0) > 0
+    # store_positions detection: limit-1 early-exit probe, NOT a full
+    # positions-column scan (hardcoding the flag would desynchronize
+    # streamed indexes from batch-built ones)
+    has_pos = (
+        seg.filter(~is_meta)
+        .filter(F.length("positions") > 0)
+        .limit(1)
+        .count()
+        > 0
+    )
     write_dictionary(
         dictionary_agg(seg.filter(~is_meta)),
         out_dir,

@@ -235,6 +235,11 @@ def test_post_finalize_segments_always_scanned(spark, tmp_path_factory):
     # late_marker exists only in the uncovered segment — still found
     got = {r.doc_id for r in ix.match_docs(Term("late_marker")).collect()}
     assert got == {100, 101, 102, 103, 104}
+    # the fresh segment still has its per-batch BLOOM: a term absent
+    # from it is pruned there, not scanned unconditionally
+    cand_u7 = ix.candidate_segments(Term("u7"))
+    assert cand_u7 is not None and len(cand_u7) == 1
+    assert not any(c >= 1 << 29 for c in cand_u7)  # stream seg pruned
 
 
 def test_segment_without_bloom_entry_is_always_scanned(
