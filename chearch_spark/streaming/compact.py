@@ -417,16 +417,30 @@ def compact_stream_segments(
             "next epoch's range and be classified as orphans"
         )
 
-    # output id space: epoch = smallest slot with no published manifest
-    # and no live segment in its range (fully-applied manifests are
+    # output id space: epoch = smallest slot with no published manifest,
+    # no live segment in its range, AND no surviving manifest whose
+    # `replaced` list names ids in its range — writing into such a slot
+    # would resurrect paths a reader still treats as dead (and block
+    # that manifest's GC forever).  Fully-applied manifests are
     # garbage-collected below, so slots recycle and the id space never
-    # creeps toward STREAM_SEG_BASE)
+    # creeps toward STREAM_SEG_BASE.
     live_epochs = {
         _epoch_of(s)
         for s in stream_ids
         if COMPACT_SEG_BASE <= s < STREAM_SEG_BASE
     }
     used = live_epochs | _manifest_epochs(out_dir)
+    import glob as glob_
+
+    for mp in glob_.glob(os.path.join(out_dir, "manifest-compact-*.json")):
+        with open(mp) as f:
+            m = json.load(f)
+        for rel in m.get("replaced", []):
+            fn = os.path.basename(rel)
+            if fn.startswith("segment-") and fn.endswith(".parquet"):
+                sid = int(fn[len("segment-"):-len(".parquet")])
+                if COMPACT_SEG_BASE <= sid < STREAM_SEG_BASE:
+                    used.add(_epoch_of(sid))
     epoch = 0
     while epoch in used:
         epoch += 1
@@ -566,6 +580,24 @@ def compact_stream_segments(
         for s in m.get("segments", []):
             refs.extend(_fname(int(s["seg_id"])))
         if all(not os.path.exists(os.path.join(out_dir, r)) for r in refs):
+            os.remove(mp)
+    # ... and micro-batch manifests whose segments were all compacted
+    # away: once the compact manifest that marked them `replaced` is
+    # GC'd, a stale batch manifest would make the fsck expect files
+    # that are legitimately gone
+    for mp in sorted(
+        glob_.glob(os.path.join(out_dir, "manifest-batch-*.json"))
+    ):
+        with open(mp) as f:
+            m = json.load(f)
+        refs = [
+            rel
+            for s in m.get("segments", [])
+            for rel in _fname(int(s["seg_id"]))
+        ]
+        if refs and all(
+            not os.path.exists(os.path.join(out_dir, r)) for r in refs
+        ):
             os.remove(mp)
     # drop bloom files whose segments were ALL replaced by this pass
     # (stale entries are harmless for correctness — candidate assembly

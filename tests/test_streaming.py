@@ -507,6 +507,55 @@ def test_fsck_on_stream_and_compacted_index(spark, dirs):
     assert vi.verify(out)["status"] == "INDEX_OK"
 
 
+def test_repeated_compaction_cycles_keep_fsck_green(spark, dirs):
+    """ingest → compact → ingest → compact: epoch slots recycle,
+    fully-applied manifests (compact AND batch) are garbage-collected,
+    and the fsck stays green with correct totals after every cycle —
+    the long-running-stream maintenance loop."""
+    import importlib.util
+
+    spec_ = importlib.util.spec_from_file_location(
+        "verify_index",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "verify_index.py"),
+    )
+    vi = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(vi)
+
+    from chearch_spark.streaming.compact import compact_stream_segments
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = dirs["stream_ix"]
+    for b in range(2):
+        ingest_batch(docs.filter(f"doc_id % 4 = {b}"), out, batch_id=b,
+                     num_segments=2)
+    compact_stream_segments(spark, out, num_segments=2)
+    for b in range(2, 4):
+        ingest_batch(docs.filter(f"doc_id % 4 = {b}"), out, batch_id=b,
+                     num_segments=2)
+    stats = compact_stream_segments(spark, out, num_segments=2)
+    assert stats["n_docs"] == docs.count()
+    rep = vi.verify(out)
+    assert rep["status"] == "INDEX_OK" and rep["segments"] == 2
+    assert rep["n_docs"] == docs.count()
+    # one more cycle to prove slot recycling end-to-end
+    ingest_batch(
+        docs.filter("doc_id % 4 = 0").selectExpr(
+            "doc_id + 50000 as doc_id", "text"
+        ),
+        out, batch_id=4, num_segments=2,
+    )
+    stats2 = compact_stream_segments(spark, out, num_segments=2)
+    rep2 = vi.verify(out)
+    assert rep2["status"] == "INDEX_OK"
+    assert rep2["n_docs"] == stats2["n_docs"] == stats["n_docs"] + docs.count() // 4
+    ix = Index(spark, out)
+    got = {r.doc_id for r in ix.match_docs(Term("merge")).collect()}
+    assert len(got) > 0 and all(isinstance(d, int) for d in got)
+
+
 def test_stream_empty_result_windows(spark, dirs):
     """All input inside one window -> append mode emits nothing; the
     runner must return an empty typed frame, not crash."""
