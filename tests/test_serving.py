@@ -107,6 +107,46 @@ def test_tcp_server_truncates_at_8(served_index):
     assert len(recs) == min(len(node_rows), 8)
 
 
+def test_tcp_server_over_streamed_compacted_index(spark, tmp_path_factory):
+    """Full online lifecycle: micro-batch ingest → finalize → compact →
+    serve over the reference wire protocol.  The server must answer raw
+    reference-client bytes identically before and after compaction."""
+    from chearch_spark.streaming.compact import compact_stream_segments
+    from chearch_spark.streaming.ingest import finalize_index, ingest_batch
+
+    rows = [
+        (10, "alpha beta gamma"),
+        (15, "beta delta"),
+        (20, "alpha beta alpha"),
+        (25, "gamma delta"),
+    ]
+    out = str(tmp_path_factory.mktemp("srv_stream_ix"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for b in range(2):
+        ingest_batch(df.filter(f"doc_id % 2 = {b * 5 % 2}"), out,
+                     batch_id=b, num_segments=2)
+    finalize_index(spark, out)
+    srv = ChearchTCPServer(Index(spark, out))
+    srv.start()
+    try:
+        tid = srv.term_ids.id_of("alpha")
+        wire = bytes([5, 1]) + struct.pack(">I", tid)
+        before = _ask(srv.port, wire)
+        assert {(r[1], r[2]) for r in before} == {(0, 20), (2, 20), (0, 10)}
+    finally:
+        srv.stop()
+    compact_stream_segments(spark, out, num_segments=1)
+    srv2 = ChearchTCPServer(Index(spark, out))
+    srv2.start()
+    try:
+        tid = srv2.term_ids.id_of("alpha")
+        wire = bytes([5, 1]) + struct.pack(">I", tid)
+        after = _ask(srv2.port, wire)
+        assert {(r[1], r[2]) for r in after} == {(0, 20), (2, 20), (0, 10)}
+    finally:
+        srv2.stop()
+
+
 def test_local_parity_matches_spark_parity(served_index):
     from chearch_spark.plans.query import And, Or, Term
 
