@@ -556,6 +556,55 @@ def test_repeated_compaction_cycles_keep_fsck_green(spark, dirs):
     assert len(got) > 0 and all(isinstance(d, int) for d in got)
 
 
+@pytest.mark.parametrize("seed", [11, 29])
+def test_random_stream_lifecycle_vs_oracle(spark, dirs, seed):
+    """Randomized corpora through the FULL online lifecycle — random
+    micro-batch splits → ingest → finalize → compact — must be
+    rank-identical to the single-node oracle on every query shape,
+    exactly like the batch build is."""
+    import numpy as np
+    import pandas as pd
+
+    from chearch_spark.oracle import OracleIndex
+    from chearch_spark.streaming.compact import compact_stream_segments
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(50)] + ["hot"] * 10
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(0, 40))))
+        for i in range(300)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = dirs["stream_ix"]
+    n_batches = int(rng.integers(2, 5))
+    assign = rng.integers(0, n_batches, len(pdf))
+    df = spark.createDataFrame(pdf)
+    for b in range(n_batches):
+        batch_ids = [int(i) for i in pdf["doc_id"][assign == b]]
+        ingest_batch(
+            df.filter(df.doc_id.isin(batch_ids)), out, batch_id=b,
+            num_segments=int(rng.integers(1, 4)),
+        )
+    finalize_index(spark, out)
+    compact_stream_segments(spark, out, num_segments=3)
+    ix = Index(spark, out)
+    oracle = OracleIndex.from_rows(pdf.itertuples(index=False))
+    for q in (
+        Term("hot"),
+        Term("w1") & Term("w2"),
+        (Term("w1") & Term("hot")) | Term("w3"),
+        (Term("w1") | Term("w2")) & (Term("w3") | Term("hot")),
+    ):
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ix.search(q, k=15).collect()
+        ]
+        want = [(d, round(s, 9)) for d, s in oracle.search(q, k=15)]
+        assert got == want, q
+        local = [(d, round(s, 9)) for d, s in ix.local_search(q, k=15)]
+        assert local == want, q
+
+
 def test_stream_empty_result_windows(spark, dirs):
     """All input inside one window -> append mode emits nothing; the
     runner must return an empty typed frame, not crash."""
