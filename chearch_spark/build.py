@@ -594,37 +594,7 @@ def build_index(
         os.path.join(bloom_dir, "blooms-build.parquet"),
     )
 
-    # ---- global dictionary merge (tiny shuffle over pre-aggregated
-    # per-segment rows; segment id is the implicit salt — hot terms are
-    # bounded at S input rows) ------------------------------------------
-    seg_scan = spark.read.parquet(seg_dir).filter(F.col("term") != META_TERM)
-    # range-partitioned by term + bounds sidecar: probes open O(1)
-    # files; row-group min/max stats prune within each file.  The agg
-    # also carries the exact term -> segments directory.
-    write_dictionary(
-        dictionary_agg(seg_scan),
-        out_dir,
-        max(S // 8, 1),
-        covered_seg_ids=[int(r.seg_id) for r in summaries],
-    )
-
-    n_docs = int(sum(r.n_docs for r in summaries))
-    total_tokens = int(sum(r.n_tokens for r in summaries))
-    avgdl = (total_tokens / n_docs) if n_docs else 0.0
     content_fp = int(sum(r.content_fp for r in summaries) % (2**63))
-
-    stats = {
-        "spec_version": spec.SPEC_VERSION,
-        "n_docs": n_docs,
-        "total_tokens": total_tokens,
-        "avgdl": avgdl,
-        "num_segments": S,
-        "store_positions": store_positions,
-        "content_fp": content_fp,
-    }
-    with open(os.path.join(out_dir, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=1)
-
     manifest = {
         "spec_version": spec.SPEC_VERSION,
         "num_segments": S,
@@ -648,6 +618,55 @@ def build_index(
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
+
+    # segments this build does NOT own (stream ingest / compaction —
+    # ids >= 2^29, streaming.compact.COMPACT_SEG_BASE): queries serve
+    # their docs too, so batch-only stats/dictionary would be WRONG
+    # (stale N/avgdl shifts every BM25 score).  Delegate the snapshot
+    # to finalize_index, which scans everything; manifest.json was
+    # written first so the batch fingerprints resolve from lineage.
+    foreign = any(
+        int(fn[len("segment-"):-len(".parquet")]) >= 1 << 29
+        for fn in os.listdir(seg_dir)
+        if fn.startswith("segment-") and fn.endswith(".parquet")
+    )
+    if foreign:
+        from chearch_spark.streaming.ingest import finalize_index
+
+        stats = finalize_index(spark, out_dir)
+        n_docs = int(stats["n_docs"])
+        total_tokens = int(stats["total_tokens"])
+        avgdl = float(stats["avgdl"])
+    else:
+        # ---- global dictionary merge (tiny shuffle over pre-aggregated
+        # per-segment rows; segment id is the implicit salt — hot terms
+        # are bounded at S input rows) --------------------------------
+        seg_scan = spark.read.parquet(seg_dir).filter(
+            F.col("term") != META_TERM
+        )
+        # range-partitioned by term + bounds sidecar: probes open O(1)
+        # files; row-group min/max stats prune within each file.  The
+        # agg also carries the exact term -> segments directory.
+        write_dictionary(
+            dictionary_agg(seg_scan),
+            out_dir,
+            max(S // 8, 1),
+            covered_seg_ids=[int(r.seg_id) for r in summaries],
+        )
+        n_docs = int(sum(r.n_docs for r in summaries))
+        total_tokens = int(sum(r.n_tokens for r in summaries))
+        avgdl = (total_tokens / n_docs) if n_docs else 0.0
+        stats = {
+            "spec_version": spec.SPEC_VERSION,
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": avgdl,
+            "num_segments": S,
+            "store_positions": store_positions,
+            "content_fp": content_fp,
+        }
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=1)
 
     return BuildResult(
         path=out_dir,

@@ -605,6 +605,38 @@ def test_random_stream_lifecycle_vs_oracle(spark, dirs, seed):
         assert local == want, q
 
 
+def test_batch_resume_over_mixed_index_keeps_global_stats(spark, dirs):
+    """Re-running build_index(resume=True) on an index that ALSO holds
+    stream segments must not regress stats.json to batch-only totals —
+    queries scan every segment, so a batch-only N/avgdl would shift
+    every BM25 score."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = dirs["stream_ix"]
+    build_index(spark, docs.filter("doc_id < 250"), out, num_segments=4,
+                resume=False)
+    ingest_batch(docs.filter("doc_id >= 250"), out, batch_id=0,
+                 num_segments=2)
+    finalize_index(spark, out)
+    # batch resume (e.g. an orchestrator re-runs the build step): all
+    # batch segments skip, but the snapshot must still cover everything
+    r = build_index(spark, docs.filter("doc_id < 250"), out, resume=True)
+    assert r.skipped_segments == 4
+    assert r.n_docs == docs.count()  # 500, not 250
+    ix = Index(spark, out)
+    assert ix.n_docs == docs.count()
+    # scores equal a single batch build over the full corpus (global
+    # stats identical, segmentation irrelevant)
+    bix_out = dirs["batch_ix"]
+    build_index(spark, docs, bix_out, num_segments=4, resume=False)
+    bix = Index(spark, bix_out)
+    q = (Term("merge") & Term("sort")) | Term("dup")
+    got = [(r_.doc_id, round(r_.score, 9)) for r_ in ix.search(q, k=10).collect()]
+    want = [(r_.doc_id, round(r_.score, 9)) for r_ in bix.search(q, k=10).collect()]
+    assert got == want
+
+
 def test_stream_empty_result_windows(spark, dirs):
     """All input inside one window -> append mode emits nothing; the
     runner must return an empty typed frame, not crash."""
