@@ -22,6 +22,13 @@ Two paths, per the scale playbook:
 
 The reference engine has no vector path at all (SURVEY.md §2.5); this
 module is part of the training-data-pipeline extension surface.
+
+Public-literature basis: random-hyperplane LSH is Charikar (STOC
+2002); the IVF (inverted-file) coarse-quantizer layout follows
+Sivic & Zisserman's Video Google / the IVF-Flat shape popularized by
+FAISS (Johnson, Douze, Jégou, "Billion-scale similarity search with
+GPUs", 2017) — re-expressed as Spark plans (cell-partitioned parquet +
+partition-pruned probe joins) rather than an in-memory library.
 """
 
 from __future__ import annotations

@@ -34,6 +34,13 @@ Scale design (100 TB / 10^12 docs):
 
 No Python runs per row anywhere — tokenize/shingle/hash/band are all
 Catalyst expressions inside whole-stage codegen.
+
+Algorithms are the public classics: MinHash resemblance sketching
+(Broder, "On the resemblance and containment of documents", 1997) with
+LSH banding (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets
+ch. 3), and SimHash (Charikar, "Similarity estimation techniques from
+rounding algorithms", STOC 2002; Manku et al., WWW 2007 for the
+hamming-band dedup shape).
 """
 
 from __future__ import annotations
