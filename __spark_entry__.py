@@ -154,6 +154,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 _ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+# testdata embedding dimension, pinned once for BOTH the Spark queries
+# and the LSH oracle literals (passing it also skips the per-call
+# dimension-inference Spark job)
+_EMB_DIM = 64
 
 
 def _docs(spark, sf):
@@ -326,7 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approximate but DETERMINISTIC (pinned planes / seed centroids),
         # so both have exact DuckDB mirrors in oracle_sql()
         "ann_lsh_topk": lambda s, sf: A.lsh_ann_topk(
-            _emb(s, sf), _ANN_QUERY_IDS, k=10
+            _emb(s, sf), _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
         ),
         "ann_ivf_topk": lambda s, sf: A.ivf_flat_topk(
             _emb(s, sf), _ANN_QUERY_IDS, k=10
@@ -334,13 +338,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN quality instrumentation: per-query recall of the LSH path
         # vs the exact top-k, computed in-plan (deterministic -> oracled)
         "ann_lsh_recall": lambda s, sf: A.lsh_recall(
-            _emb(s, sf), _ANN_QUERY_IDS, k=10
+            _emb(s, sf), _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
         ),
         # --- multimodal plumbing --------------------------------------
         "media_metadata": lambda s, sf: M.media_metadata(
             M.attach_media(_docs(s, sf))
         ),
-        # rows-only (Arrow-kernel outputs of the stubbed decoder)
+        # Arrow-kernel outputs of the stubbed decoder — both mirrored
+        # in DuckDB (features via codepoint bytes, frames via digests)
         "media_features": lambda s, sf: M.extract_features(
             M.attach_media(_docs(s, sf))
         ),
@@ -381,8 +386,12 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": D.embedding_topk_pairs_sql(k=50),
         "embedding_dedup_keep": D.embedding_dedup_keep_sql(tau=0.45),
         "ann_topk": A.cosine_topk_sql(_ANN_QUERY_IDS, k=10),
-        "ann_lsh_recall": A.lsh_recall_sql(_ANN_QUERY_IDS, k=10, dim=64),
-        "ann_lsh_topk": A.lsh_ann_topk_sql(_ANN_QUERY_IDS, k=10, dim=64),
+        "ann_lsh_recall": A.lsh_recall_sql(
+            _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
+        ),
+        "ann_lsh_topk": A.lsh_ann_topk_sql(
+            _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
+        ),
         "ann_ivf_topk": A.ivf_flat_topk_sql(_ANN_QUERY_IDS, k=10),
         "media_metadata": M.media_metadata_sql(),
         "media_features": M.media_features_sql(),
@@ -443,13 +452,13 @@ SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'mer%'
 """,
         # positions capped at 255 (8-bit textLocation parity) — mirror
         # the cap so the oracle sees exactly what the index stores
-        "phrase_match": """
+        "phrase_match": f"""
 WITH tok0 AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text),
-                '[^a-z0-9_]+'), x -> x <> '')) AS term,
+                '{_SPLIT}'), x -> x <> '')) AS term,
          generate_subscripts(list_filter(regexp_split_to_array(lower(text),
-                '[^a-z0-9_]+'), x -> x <> ''), 1) - 1 AS pos
+                '{_SPLIT}'), x -> x <> ''), 1) - 1 AS pos
   FROM documents
 ), t AS (
   SELECT doc_id, term, pos FROM tok0 WHERE pos <= 255
@@ -481,11 +490,11 @@ FROM matched ORDER BY matched.score DESC, doc_id ASC LIMIT 10
         "bm25_topk_meta": (
             "WITH top AS ("
             + _bm25_sql(["merge", "sort"], "has_merge = 1 AND has_sort = 1")
-            + """)
+            + f""")
 , dl2 AS (
   SELECT doc_id,
          CAST(len(list_filter(regexp_split_to_array(lower(text),
-              '[^a-z0-9_]+'), x -> x <> '')) AS INTEGER) AS doc_len,
+              '{_SPLIT}'), x -> x <> '')) AS INTEGER) AS doc_len,
          sha256(text) AS sha256
   FROM documents
 )

@@ -74,10 +74,12 @@ def main() -> None:
         )
         timings["build"] = time.time() - t0
 
-        # compressed index footprint vs raw text (delta+varint + zstd)
+        # compressed index footprint vs raw text: EVERYTHING required
+        # to serve queries (segments + docmap + dictionary + blooms +
+        # sidecars), not just the posting files
         index_bytes = sum(
             os.path.getsize(os.path.join(dp, f))
-            for dp, _dn, fns in os.walk(os.path.join(out, "segments"))
+            for dp, _dn, fns in os.walk(out)
             for f in fns
         )
         corpus_bytes = int(

@@ -16,9 +16,10 @@ Two paths, per the scale playbook:
   corpus and queries are bucketed by band signature and joined on the
   bucket key, so the join touches candidates only.  Hyperplanes are
   pinned constants derived from md5 (deterministic across runs and
-  engines — no RNG state to ship).  Approximate: recall < 1 by design;
-  verified in tests against the exact baseline, and exposed to the
-  driver as a rows-only query (no SQL oracle, per contract).
+  engines — no RNG state to ship).  Approximate (recall < 1 by
+  design) yet fully deterministic, so it has an exact DuckDB mirror
+  (:func:`lsh_ann_topk_sql`) and a recall gauge (:func:`lsh_recall`),
+  both value-hash-verified by the driver gate.
 
 The reference engine has no vector path at all (SURVEY.md §2.5); this
 module is part of the training-data-pipeline extension surface.
@@ -44,6 +45,29 @@ from chearch_spark.operators.dedup import _dot, with_norm
 LSH_PLANES = 16
 LSH_BANDS = 4
 LSH_ROWS = LSH_PLANES // LSH_BANDS
+
+
+def _rank_topk(cand, k: int, vec_col: str = "embedding"):
+    """Shared tail of EVERY ANN query path (exact, IVF one-shot, IVF
+    persisted, IVF-flat, LSH): exact cosine over candidate rows
+    carrying (query_id, vec_id, vec_col, norm, qv, qn), per-query rank
+    with the pinned tie-break (cos desc, vec_id asc), 6-decimal
+    rounding, int rank.  One place to change ranking semantics — a
+    tweak applied to fewer than all paths would silently break their
+    rank parity."""
+    cos = _dot(F.col("qv"), F.col(vec_col)) / (F.col("qn") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
 
 
 def _plane_value(p: int, d: int) -> float:
@@ -75,22 +99,8 @@ def cosine_topk(
             F.col("norm").alias("qn"),
         )
     )
-    cos = _dot(F.col("qv"), F.col(vec_col)) / (F.col("qn") * F.col("norm"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("vec_id")
-    )
-    return (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "vec_id",
-            F.round("cos", 6).alias("cos"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    cand = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    return _rank_topk(cand, k, vec_col)
 
 
 def cosine_topk_sql(
@@ -287,19 +297,7 @@ def ivf_query(
         .join(F.broadcast(q), "query_id")
         .filter(F.col("vec_id") != F.col("query_id"))
     )
-    cos = _dot(F.col("qv"), F.col(vec_col)) / (F.col("qn") * F.col("norm"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        cand.withColumn("cos", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "vec_id",
-            F.round("cos", 6).alias("cos"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _rank_topk(cand, k, vec_col)
 
 
 def ivf_ann_topk(
@@ -358,19 +356,7 @@ def ivf_ann_topk(
         .join(F.broadcast(q), "query_id")
         .filter(F.col("vec_id") != F.col("query_id"))
     )
-    cos = _dot(F.col("qv"), F.col(vec_col)) / (F.col("qn") * F.col("norm"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        cand.withColumn("cos", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "vec_id",
-            F.round("cos", 6).alias("cos"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _rank_topk(cand, k, vec_col)
 
 
 def ivf_flat_topk(
@@ -445,19 +431,7 @@ def ivf_flat_topk(
         .join(F.broadcast(q), "query_id")
         .filter(F.col("vec_id") != F.col("query_id"))
     )
-    cos = _dot(F.col("qv"), F.col(vec_col)) / (F.col("qn") * F.col("norm"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        cand.withColumn("cos", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "vec_id",
-            F.round("cos", 6).alias("cos"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _rank_topk(cand, k, vec_col)
 
 
 def ivf_flat_topk_sql(
@@ -712,16 +686,4 @@ def lsh_ann_topk(
         .select("query_id", "vec_id", vec_col, "norm", "qv", "qn")
         .distinct()
     )
-    cos = _dot(F.col("qv"), F.col(vec_col)) / (F.col("qn") * F.col("norm"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        cand.withColumn("cos", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "vec_id",
-            F.round("cos", 6).alias("cos"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _rank_topk(cand, k, vec_col)

@@ -89,11 +89,12 @@ def media_features_sql(table: str = "documents", text_col: str = "text") -> str:
     (the payload is the text's utf-8 bytes); a non-ASCII corpus would
     need a blob-level byte iterator instead."""
     kinds = ", ".join(f"'{k}'" for k in KINDS)
-    codes = f"list_transform(string_split({text_col}, ''), c -> ascii(c))"
+    t = f"coalesce({text_col}, '')"
+    codes = f"list_transform(string_split({t}, ''), c -> ascii(c))"
     return f"""
 SELECT doc_id,
        [{kinds}][CAST(((doc_id % 3) + 3) % 3 + 1 AS INTEGER)] AS kind,
-       CAST(octet_length(encode({text_col})) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode({t})) AS BIGINT) AS n_bytes,
        CAST(CASE WHEN length({text_col}) > 0
             THEN list_sum({codes}) ELSE 0 END AS BIGINT) AS byte_sum,
        CAST(CASE WHEN length({text_col}) > 0

@@ -113,6 +113,11 @@ def verify(path: str) -> dict:
     # 2. disk <-> manifest file-set equality (both directions: a stale
     # extra segment would be served by queries but escape a
     # manifest-only walk)
+    for sub in ("segments", "docmap", "dictionary"):
+        _check(
+            os.path.isdir(os.path.join(path, sub)),
+            f"index directory {sub}/ is missing",
+        )
     want_segs = {os.path.basename(e["file"]) for e in live.values()}
     want_maps = {os.path.basename(e["docmap"]) for e in live.values()}
     have_segs = set(os.listdir(os.path.join(path, "segments")))
@@ -234,7 +239,9 @@ def verify(path: str) -> dict:
             .to_pylist()
         )
     live_ids = set(live)
-    bloom_uncovered = sorted(live_ids - bloom_ids) if bloom_ids else []
+    # no bloom data at all = zero coverage, the most extreme form of
+    # the interrupted-ingest signal this field exists to surface
+    bloom_uncovered = sorted(live_ids - bloom_ids)
     bloom_stale = sorted(bloom_ids - live_ids)
 
     return {
@@ -250,4 +257,8 @@ def verify(path: str) -> dict:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) != 2:
+        print("usage: python scripts/verify_index.py <index_dir>",
+              file=sys.stderr)
+        sys.exit(2)
     print(json.dumps(verify(sys.argv[1])))
