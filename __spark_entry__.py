@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from chearch_spark.functions import text as T
     from chearch_spark.operators import ann as A
     from chearch_spark.operators import dedup as D
+    from chearch_spark.operators import pipeline as P
     from chearch_spark.plans.query import Term
     from chearch_spark.sources import multimodal as M
     from chearch_spark.streaming import events as EV
@@ -308,6 +309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_keep": lambda s, sf: D.minhash_dedup_keep(
             _docs(s, sf), tau=0.5
         ),
+        # full cleaning pipeline (quality -> exact dedup -> near dedup)
+        # as ONE gated composition
+        "pipeline_clean_keep": lambda s, sf: P.clean_keep(_docs(s, sf)),
         "ngram_jaccard": lambda s, sf: D.ngram_jaccard_pairs(
             _docs(s, sf), tau=0.5
         ),
@@ -366,6 +370,7 @@ def oracle_sql() -> dict[str, str]:
     from chearch_spark.functions import text as T
     from chearch_spark.operators import ann as A
     from chearch_spark.operators import dedup as D
+    from chearch_spark.operators import pipeline as P
     from chearch_spark.sources import multimodal as M
     from chearch_spark.streaming import events as EV
     from chearch_spark.streaming import sessions as SES
@@ -380,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": D.minhash_signatures_sql(),
         "minhash_neardup": D.minhash_lsh_pairs_sql(tau=0.5),
         "minhash_dedup_keep": D.minhash_dedup_keep_sql(tau=0.5),
+        "pipeline_clean_keep": P.clean_keep_sql(),
         "ngram_jaccard": D.ngram_jaccard_pairs_sql(tau=0.5),
         "simhash_signatures": D.simhash_signatures_sql(),
         "simhash_neardup": D.simhash_pairs_sql(max_hamming=3),
