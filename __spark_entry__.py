@@ -129,6 +129,41 @@ def _get_index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
+def _get_stream_index(spark, sf_dir):
+    """Index built through the ONLINE lifecycle — micro-batch ingest →
+    finalize → compaction — so the driver gate verifies the streaming
+    path against DuckDB directly, not only transitively through the
+    stream==batch pytest equivalence."""
+    from chearch_spark.search import Index
+    from chearch_spark.streaming.compact import compact_stream_segments
+    from chearch_spark.streaming.ingest import finalize_index, ingest_batch
+
+    key = "stream:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        import hashlib
+
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        fp = hashlib.md5(
+            f"{key}|{st.st_size}|{st.st_mtime_ns}".encode()
+        ).hexdigest()[:16]
+        out = os.path.join(
+            tempfile.gettempdir(), f"chearch_entry_six_v1_{fp}"
+        )
+        if not os.path.exists(os.path.join(out, "stats.json")):
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            )
+            for b in range(3):
+                ingest_batch(
+                    docs.filter(f"pmod(doc_id, 3) = {b}"), out,
+                    batch_id=b, num_segments=3,
+                )
+            finalize_index(spark, out)
+            compact_stream_segments(spark, out, num_segments=4)
+        _INDEX_CACHE[key] = Index(spark, out)
+    return _INDEX_CACHE[key]
+
+
 def _search(spark, sf_dir, node, k=10):
     from pyspark.sql import functions as F
 
@@ -273,8 +308,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query", "doc_id", F.round("score", 6).alias("score")
         )
 
+    def term_lookup_streamed(spark, sf):
+        """Same doc-set semantics, served by the STREAM-built,
+        compacted index — gated against the same oracle."""
+        return _get_stream_index(spark, sf).match_docs(Term("merge"))
+
+    def bm25_topk_streamed(spark, sf):
+        ix = _get_stream_index(spark, sf)
+        return ix.search(Term("merge") & Term("sort"), k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+
     return {
         "term_lookup": term_lookup,
+        "term_lookup_streamed": term_lookup_streamed,
+        "bm25_topk_streamed": bm25_topk_streamed,
         "term_lookup_missing": term_lookup_missing,
         "bool_and": bool_and,
         "bool_or": bool_or,
@@ -406,6 +454,12 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": SES.sessionize_batch_sql(),
         # --- inverted index / BM25 -------------------------------------
         "term_lookup": _docset_sql(["merge"], "has_merge = 1"),
+        # the STREAMED index must answer identically to the batch one,
+        # so it shares the batch oracles verbatim
+        "term_lookup_streamed": _docset_sql(["merge"], "has_merge = 1"),
+        "bm25_topk_streamed": _bm25_sql(
+            ["merge", "sort"], "has_merge = 1 AND has_sort = 1"
+        ),
         "term_lookup_missing": _docset_sql(
             ["zz_missing_zz"], "has_zz_missing_zz = 1"
         ),
