@@ -150,16 +150,29 @@ def _get_stream_index(spark, sf_dir):
             tempfile.gettempdir(), f"chearch_entry_six_v1_{fp}"
         )
         if not os.path.exists(os.path.join(out, "stats.json")):
+            # process-safe: build into a per-process dir, then one
+            # atomic rename publishes it — two concurrent gate/bench
+            # processes can otherwise both miss stats.json and run
+            # compact_stream_segments over the SAME directory,
+            # violating compaction's no-concurrent-compactions rule
+            build_dir = f"{out}.build.{os.getpid()}"
             docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
                 "doc_id", "text"
             )
             for b in range(3):
                 ingest_batch(
-                    docs.filter(f"pmod(doc_id, 3) = {b}"), out,
+                    docs.filter(f"pmod(doc_id, 3) = {b}"), build_dir,
                     batch_id=b, num_segments=3,
                 )
-            finalize_index(spark, out)
-            compact_stream_segments(spark, out, num_segments=4)
+            finalize_index(spark, build_dir)
+            compact_stream_segments(spark, build_dir, num_segments=4)
+            try:
+                os.rename(build_dir, out)
+            except OSError:
+                # lost the race: a complete index is already published
+                import shutil
+
+                shutil.rmtree(build_dir, ignore_errors=True)
         _INDEX_CACHE[key] = Index(spark, out)
     return _INDEX_CACHE[key]
 

@@ -506,9 +506,11 @@ class Index:
     ):
         """Top-k DataFrame (doc_id long, score double), rank-identical
         across parallelism levels; ties (score desc, doc_id asc).
-        ``with_seg`` adds the owning seg_id column (internal: lets
-        :meth:`search_with_meta` fetch metadata by opening exactly the
-        hit segments' docmap files)."""
+        ``with_seg`` adds the owning (seg_id, doc_index) columns
+        (internal: lets :meth:`search_with_meta` fetch each hit's
+        metadata by its unique in-segment identity — exact even for
+        duplicate external ids — from exactly the hit segments' docmap
+        files)."""
         node = self._prep(query)
         terms = node.terms()
         stats = self._cached_stats(terms)
@@ -525,7 +527,9 @@ class Index:
         if with_seg:
 
             def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-                ext_ids, scores = _score_segment(pdf, node, idfs, avgdl, k)
+                ext_ids, scores, d_idx = _score_segment(
+                    pdf, node, idfs, avgdl, k
+                )
                 return pd.DataFrame(
                     {
                         "doc_id": ext_ids,
@@ -534,14 +538,15 @@ class Index:
                             len(ext_ids), int(pdf["seg_id"].iloc[0]),
                             dtype=np.int64,
                         ),
+                        "doc_index": d_idx,
                     }
                 )
 
-            schema = "doc_id long, score double, seg_id long"
+            schema = "doc_id long, score double, seg_id long, doc_index long"
         else:
 
             def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-                ext_ids, scores = _score_segment(pdf, node, idfs, avgdl, k)
+                ext_ids, scores, _ = _score_segment(pdf, node, idfs, avgdl, k)
                 return pd.DataFrame({"doc_id": ext_ids, "score": scores})
 
             schema = "doc_id long, score double"
@@ -590,7 +595,12 @@ class Index:
           on the docmap scan — Spark does NOT push broadcast-join keys
           into a parquet data column, so without it the join would
           read the whole corpus-sized docmap; with it, row-group stats
-          skip everything but the hits."""
+          skip everything but the hits.
+
+        Both paths key metadata by each hit's (seg_id, doc_index) —
+        the docmap's unique key — so duplicate external doc_ids
+        (re-ingested docs) get their OWN row's doc_len/sha256 and the
+        two plans return identical rows."""
         from pyspark.sql import functions as F
 
         rows = self.search(query, k, with_seg=True).collect()
@@ -601,29 +611,29 @@ class Index:
 
             by_seg: dict[int, list] = {}
             for r in rows:
-                by_seg.setdefault(int(r.seg_id), []).append(int(r.doc_id))
+                by_seg.setdefault(int(r.seg_id), []).append(int(r.doc_index))
             meta_of: dict[tuple[int, int], tuple[int, str]] = {}
-            for seg, ids in sorted(by_seg.items()):
+            for seg, idxs in sorted(by_seg.items()):
                 t = ds.dataset(
                     [self._docmap_file_of(seg)], format="parquet"
                 ).to_table(
-                    filter=ds.field("doc_id").isin(ids),
-                    columns=["doc_id", "doc_len", "sha256"],
+                    filter=ds.field("doc_index").isin(idxs),
+                    columns=["doc_index", "doc_len", "sha256"],
                 )
-                for d, dl, sha in zip(
-                    t.column("doc_id").to_pylist(),
+                for di, dl, sha in zip(
+                    t.column("doc_index").to_pylist(),
                     t.column("doc_len").to_pylist(),
                     t.column("sha256").to_pylist(),
                 ):
-                    meta_of.setdefault((seg, int(d)), (int(dl), sha))
-            # one output row per TOP row, each with its OWN score —
-            # duplicate external ids (re-ingested docs) keep distinct
-            # scores instead of collapsing onto one
+                    meta_of[(seg, int(di))] = (int(dl), sha)
+            # one output row per TOP row, each with its OWN score and
+            # its OWN metadata — duplicate external ids (re-ingested
+            # docs) never collapse onto one docmap row
             out = [
                 (
                     int(r.doc_id),
                     float(r.score),
-                    *meta_of[(int(r.seg_id), int(r.doc_id))],
+                    *meta_of[(int(r.seg_id), int(r.doc_index))],
                 )
                 for r in rows
             ]
@@ -632,17 +642,27 @@ class Index:
                 out, "doc_id long, score double, doc_len int, sha256 string"
             )
         top = self.spark.createDataFrame(
-            [(int(r.doc_id), float(r.score)) for r in rows] or [],
-            "doc_id long, score double",
+            [
+                (int(r.doc_id), float(r.score), int(r.seg_id),
+                 int(r.doc_index))
+                for r in rows
+            ] or [],
+            "doc_id long, score double, seg_id long, doc_index long",
         )
         ids = [int(r.doc_id) for r in rows]
-        dm = self.docmap().select("doc_id", "doc_len", "sha256")
+        dm = self.docmap()
         if ids:
             dm = dm.filter(F.col("doc_id").isin(ids))
         else:
             dm = dm.filter(F.lit(False))
+        dm = dm.select(
+            F.col("seg_id").cast("long").alias("seg_id"),
+            F.col("doc_index").cast("long").alias("doc_index"),
+            "doc_len",
+            "sha256",
+        )
         return (
-            dm.join(F.broadcast(top), "doc_id")
+            dm.join(F.broadcast(top), ["seg_id", "doc_index"])
             .select("doc_id", "score", "doc_len", "sha256")
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
@@ -696,7 +716,7 @@ class Index:
             postings, meta_ids, doc_lens, blocks = _decode_segment(pdf)
             out = {"query": [], "doc_id": [], "score": []}
             for name, node in nodes.items():
-                ids, scores = _score_decoded(
+                ids, scores, _ = _score_decoded(
                     node, postings, meta_ids, doc_lens, blocks, idfs,
                     avgdl, k,
                 )
@@ -833,7 +853,7 @@ class Index:
             if not postings:
                 continue
             ext_ids, doc_lens = meta[seg_id]
-            ids, scores = _score_decoded(
+            ids, scores, _ = _score_decoded(
                 node, postings, ext_ids, doc_lens, blocks, idfs,
                 self.avgdl, k,
             )
@@ -1150,8 +1170,20 @@ def _score_segment(pdf: pd.DataFrame, node: Node, idfs, avgdl, k):
 
 def _score_decoded(node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k):
     """Score pre-decoded postings (shared by the distributed kernel and
-    the driver-local cache path)."""
-    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    the driver-local cache path).
+
+    Returns (ext_ids, scores, doc_indexes): the doc_index ride-along
+    uniquely identifies each hit inside its segment even when external
+    ids are duplicated (re-ingested docs), so metadata joins can be
+    per-hit-exact.  Top-k tie-break runs on doc_index, which refines
+    the pinned (score desc, doc_id asc) order deterministically:
+    meta_ids is ascending, so doc_index order == doc_id order, plus a
+    stable tiebreak WITHIN a duplicated external id."""
+    empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.float64),
+        np.empty(0, np.int64),
+    )
 
     dis = disjunctive_terms(node)
     if dis is not None:
@@ -1166,7 +1198,7 @@ def _score_decoded(node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k):
             avgdl,
             k,
         )
-        return meta_ids[d], s
+        return meta_ids[d], s, d
 
     con = conjunctive_terms(node)
     if con is not None:
@@ -1194,5 +1226,5 @@ def _score_decoded(node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k):
             idfs[term] * tf * (spec.BM25_K1 + 1.0) / (tf + denom_norm),
             0.0,
         )
-    ext = meta_ids[cand]
-    return local_topk_scores(ext, scores, k)
+    d, s = local_topk_scores(cand, scores, k)
+    return meta_ids[d], s, d

@@ -71,6 +71,58 @@ COMPACT_SEG_BASE = 1 << 29
 COMPACT_EPOCH_STRIDE = 100_000
 
 
+def _decode_posting_rows(sp: pd.DataFrame):
+    """Batch-decode EVERY posting row of one segment table (META row
+    excluded by the caller) with ONE varint decode per column — the
+    vectorized mirror of the build kernel's one-encode-per-column
+    (`build._encode_groups`).  LEB128 streams are self-delimiting, so
+    concatenating all rows' bytes and decoding once yields the same
+    values as per-row decodes, in row order.
+
+    Returns (df, doc_idx, tf, pc, pos):
+      df       int64[n_rows]        posting count per row
+      doc_idx  int64[sum df]        ABSOLUTE doc indexes (delta undone)
+      tf       int64[sum df]
+      pc       int64[sum df]        per-(term,doc) kept-position counts
+      pos      int64[sum pc]        position DELTAS (reset per group —
+                                    groups reorder freely, so deltas
+                                    stay valid through the merge)
+    """
+    n = len(sp)
+    df = sp["df"].to_numpy(np.int64)
+    total = int(df.sum())
+    if n == 0 or total == 0:
+        z = np.empty(0, np.int64)
+        return df, z, z.copy(), z.copy(), z.copy()
+
+    doc_deltas = codec.decode_varints(
+        b"".join(sp["doc_ids"])
+    ).astype(np.int64)
+    tf = codec.decode_varints(b"".join(sp["tfs"])).astype(np.int64)
+    # per-row delta -> absolute: global cumsum minus each row's base
+    starts = np.concatenate(([0], np.cumsum(df)))[:-1]
+    c = np.cumsum(doc_deltas)
+    base = c[starts] - doc_deltas[starts]
+    doc_idx = c - np.repeat(base, df)
+
+    # pos_counts: rows without positions store b"" (contributing df
+    # zeros), rows with positions store exactly df varints — scatter
+    # the decoded values back to the full (sum df) layout
+    pc_bins = sp["pos_counts"].to_numpy(object)
+    has_pc = np.fromiter(
+        (len(b) > 0 for b in pc_bins), dtype=bool, count=n
+    )
+    pc = np.zeros(total, dtype=np.int64)
+    if has_pc.any():
+        vals = codec.decode_varints(
+            b"".join(pc_bins[has_pc])
+        ).astype(np.int64)
+        sel = np.repeat(has_pc, df)
+        pc[sel] = vals
+    pos = codec.decode_varints(b"".join(sp["positions"])).astype(np.int64)
+    return df, doc_idx, tf, pc, pos
+
+
 def _merge_segment_tables(
     inputs: list[tuple[pd.DataFrame, pd.DataFrame]], seg_id: int
 ):
@@ -106,30 +158,29 @@ def _merge_segment_tables(
     n_docs = len(new_ext)
     n_tokens = int(new_len.sum())
 
-    # gather every posting row across inputs into flat group arrays
-    row_terms: list[str] = []
-    doc_arrs, tf_arrs, pc_arrs, pos_arrs = [], [], [], []
+    # gather every posting row across inputs into flat group arrays —
+    # ONE batched decode per column per input (no per-term Python; the
+    # merge kernel matches the build kernel's vectorization so that
+    # compaction, the job actually run at 100x scale, stays
+    # numpy-bound instead of interpreter-bound)
+    term_arrs: list[np.ndarray] = []
+    df_arrs, doc_arrs, tf_arrs, pc_arrs, pos_arrs = [], [], [], [], []
     for i, (sp, _) in enumerate(inputs):
-        for row in sp.itertuples(index=False):
-            if row.term == META_TERM:
-                continue
-            docs = codec.decode_postings(row.doc_ids).astype(np.int64)
-            tfs = codec.decode_varints(row.tfs).astype(np.int64)
-            if row.pos_counts:
-                pc = codec.decode_varints(row.pos_counts).astype(np.int64)
-                pdl = codec.decode_varints(row.positions).astype(np.int64)
-            else:
-                pc = np.zeros(len(docs), dtype=np.int64)
-                pdl = np.empty(0, dtype=np.int64)
-            row_terms.append(row.term)
-            doc_arrs.append(remap[offsets[i] + docs])
-            tf_arrs.append(tfs)
-            pc_arrs.append(pc)
-            pos_arrs.append(pdl)
+        rows = sp[sp["term"] != META_TERM]
+        df_i, doc_i, tf_i, pc_i, pos_i = _decode_posting_rows(rows)
+        term_arrs.append(rows["term"].to_numpy(object))
+        df_arrs.append(df_i)
+        doc_arrs.append(remap[offsets[i] + doc_i])
+        tf_arrs.append(tf_i)
+        pc_arrs.append(pc_i)
+        pos_arrs.append(pos_i)
 
-    if row_terms:
-        codes, uniques = pd.factorize(np.array(row_terms, object), sort=True)
-        g_term = np.repeat(codes, [len(d) for d in doc_arrs])
+    row_terms = (
+        np.concatenate(term_arrs) if term_arrs else np.empty(0, object)
+    )
+    if len(row_terms):
+        codes, uniques = pd.factorize(row_terms, sort=True)
+        g_term = np.repeat(codes, np.concatenate(df_arrs))
         g_doc = np.concatenate(doc_arrs)
         g_tf = np.concatenate(tf_arrs)
         g_pc = np.concatenate(pc_arrs)
@@ -459,7 +510,9 @@ def compact_stream_segments(
             f"docmap/docmap-{sid:09d}.parquet",
         )
 
-    # contiguous grouping of inputs (sorted by seg_id) into G groups
+    # strided (round-robin) split of the seg_id-sorted inputs into G
+    # groups — which segments merge together is irrelevant to output
+    # bytes because each merge re-sorts docs by external id
     groups: list[tuple[int, list[int]]] = [
         (g, stream_ids[g::G]) for g in range(G)
     ]

@@ -295,7 +295,19 @@ def finalize_index(spark, out_dir: str) -> dict:
         )
         for r in rows:
             fp_by_seg[int(r.seg_id)] = int(r.fp)
-    fp = sum(fp_by_seg.get(s, 0) for s in seg_ids) % (2**63)
+    still_missing = [s for s in seg_ids if s not in fp_by_seg]
+    if still_missing:
+        # a live segment with no manifest fingerprint AND no docmap
+        # rows is corruption (a half-written index): writing a silent
+        # 0 into the global fp would defer the failure to the next
+        # fsck with no pointer back to the cause
+        raise ValueError(
+            f"finalize_index: live segments {still_missing[:8]} have no "
+            "content fingerprint in any manifest and no docmap rows; "
+            "the index is missing docmap files — run "
+            "scripts/verify_index.py for details"
+        )
+    fp = sum(fp_by_seg[s] for s in seg_ids) % (2**63)
     stats = {
         "spec_version": spec.SPEC_VERSION,
         "n_docs": n_docs,

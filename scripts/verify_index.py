@@ -102,12 +102,50 @@ def verify(path: str) -> dict:
     live, replaced, batch_manifest = _gather_manifests(path)
     _check(bool(live), "no manifests describe any segments")
 
-    # 1. half-finished compaction: replaced files must be gone
+    # 1. half-finished compaction, both crash windows (each recoverable
+    # by rerunning compact_stream_segments, and invisible to queries —
+    # Index treats both id classes as dead):
+    #   1a. manifest published but replaced inputs still on disk
+    #       (roll FORWARD: delete them);
+    #   1b. orphan outputs — compact-range seg ids whose epoch has no
+    #       published manifest (crash between the merge job and the
+    #       manifest write; roll BACK: delete the outputs, their
+    #       inputs are all still live).
     still = [r for r in replaced if os.path.exists(os.path.join(path, r))]
     _check(
         not still,
         f"pending compaction: replaced files still on disk {still[:4]} — "
         "rerun compact_stream_segments to complete",
+    )
+    from chearch_spark.streaming.compact import (
+        COMPACT_SEG_BASE,
+        _epoch_of,
+        _manifest_epochs,
+    )
+    from chearch_spark.streaming.ingest import STREAM_SEG_BASE
+
+    epochs = _manifest_epochs(path)
+    seg_listing = (
+        os.listdir(os.path.join(path, "segments"))
+        if os.path.isdir(os.path.join(path, "segments"))
+        else []
+    )
+    orphans = sorted(
+        int(fn[len("segment-"):-len(".parquet")])
+        for fn in seg_listing
+        if fn.startswith("segment-") and fn.endswith(".parquet")
+        and COMPACT_SEG_BASE
+        <= int(fn[len("segment-"):-len(".parquet")])
+        < STREAM_SEG_BASE
+        and _epoch_of(int(fn[len("segment-"):-len(".parquet")]))
+        not in epochs
+    )
+    _check(
+        not orphans,
+        f"pending compaction: orphan outputs {orphans[:4]} (compact-range "
+        "segments whose epoch has no published manifest — a compaction "
+        "crashed between its merge job and the manifest write); queries "
+        "already ignore them; rerun compact_stream_segments to roll back",
     )
 
     # 2. disk <-> manifest file-set equality (both directions: a stale

@@ -46,6 +46,55 @@ def _corpora(draw):
     return doc_ids, texts, n_parts, assign
 
 
+def test_merge_many_term_segments():
+    """Deterministic large-vocabulary merge (the 100x-scale shape the
+    vectorized kernel exists for): 4 input segments, ~8k distinct
+    terms, every posting column exercised — byte-identical to the
+    direct build, and fast enough that a per-term Python loop regression
+    is caught by the wall-clock bound (the old itertuples kernel is
+    >10x slower here)."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_docs, vocab = 600, 8000
+    words = [f"w{i:05d}" for i in range(vocab)]
+    texts = [
+        " ".join(
+            words[j]
+            for j in rng.integers(0, vocab, size=int(rng.integers(5, 120)))
+        )
+        for _ in range(n_docs)
+    ]
+    doc_ids = rng.permutation(n_docs * 3)[:n_docs].astype("int64")
+    whole = pd.DataFrame(
+        {"doc_id": doc_ids, "text": pd.Series(texts, dtype="object")}
+    )
+    want_seg, want_map, want_sum = _build_segment_tables(
+        whole.copy(), seg_id=7, store_positions=True
+    )
+    assign = rng.integers(0, 4, size=n_docs)
+    inputs = []
+    for p in range(4):
+        part = whole[assign == p].reset_index(drop=True)
+        seg_pdf, map_pdf, _ = _build_segment_tables(
+            part, seg_id=100 + p, store_positions=True
+        )
+        inputs.append((seg_pdf, map_pdf))
+    t0 = time.time()
+    got_seg, got_map, got_sum = _merge_segment_tables(inputs, seg_id=7)
+    wall = time.time() - t0
+    for col in want_seg.columns:
+        assert got_seg[col].tolist() == want_seg[col].tolist(), col
+    for col in want_map.columns:
+        assert got_map[col].tolist() == want_map[col].tolist(), col
+    assert got_sum == want_sum
+    # generous bound (CI boxes are noisy); the point is catching a
+    # return to interpreter-bound per-term merging, not micro-tuning
+    assert wall < 5.0, f"many-term merge took {wall:.2f}s"
+
+
 @settings(max_examples=150, deadline=None)
 @given(_corpora(), st.booleans())
 def test_merge_equals_direct_build(corpus, store_positions):
