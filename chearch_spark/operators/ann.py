@@ -204,6 +204,7 @@ def ivf_build(
     iters: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    lookup_files: int | None = None,
 ) -> dict:
     """Build and PERSIST an IVF index: k-means centroids (driver-side
     deterministic sample) + the full-corpus cell assignment, written as
@@ -212,7 +213,15 @@ def ivf_build(
     from the persisted artifact with a partition-pruned scan of only
     the probed cells — recomputing the assignment per query (the old
     ``ivf_ann_topk`` convenience shape) turns every ANN query into a
-    corpus scan at 100× scale."""
+    corpus scan at 100× scale.
+
+    Also writes a ``vectors/`` LOOKUP sidecar: the same rows
+    RANGE-partitioned and sorted by ``vec_id``, with each file's
+    [min, max] id recorded in ``vec_bounds.json``.  The cell layout is
+    right for the candidate scan but gives a vec_id probe nothing to
+    prune on; the id-sorted sidecar makes the query-by-id vector fetch
+    an O(1)-file driver read (same design as the dictionary's
+    ``dict_bounds.json``)."""
     import json
     import os
 
@@ -222,6 +231,22 @@ def ivf_build(
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(out_dir, "assigned")
     )
+    spark = emb.sparkSession
+    if lookup_files is None:
+        lookup_files = max(spark.sparkContext.defaultParallelism, 1)
+    vdir = os.path.join(out_dir, "vectors")
+    (
+        spark.read.parquet(os.path.join(out_dir, "assigned"))
+        .repartitionByRange(lookup_files, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(vdir)
+    )
+    bounds = _vec_bounds(vdir)
+    bp = os.path.join(out_dir, "vec_bounds.json")
+    with open(bp + ".tmp", "w") as f:
+        json.dump({"files": bounds}, f)
+    os.replace(bp + ".tmp", bp)
     meta = {
         "n_centroids": int(n_centroids),
         "dim": int(len(c[0])),
@@ -235,25 +260,102 @@ def ivf_build(
     return meta
 
 
+def _vec_bounds(vdir: str) -> dict[str, list[int]]:
+    """{part_file: [min_vec_id, max_vec_id]} from the lookup sidecar's
+    parquet footers (build-time one-shot; probes then never list or
+    footer-read the directory)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    bounds: dict[str, list[int]] = {}
+    for fn in sorted(os.listdir(vdir)):
+        if not fn.endswith(".parquet"):
+            continue
+        col = pq.read_table(
+            os.path.join(vdir, fn), columns=["vec_id"]
+        ).column("vec_id")
+        if len(col) == 0:
+            continue
+        bounds[fn] = [int(pc.min(col).as_py()), int(pc.max(col).as_py())]
+    return bounds
+
+
+def fetch_query_vectors(
+    out_dir: str, query_ids: list[int], vec_col: str
+) -> tuple["object", int]:
+    """Driver-side fetch of (vec_id, vec, norm) for a FEW query ids
+    from the id-sorted ``vectors/`` sidecar: the bounds file prunes to
+    the O(|ids|) part files whose range can contain a query id, and
+    row-group min/max on the sorted vec_id column prunes within them.
+    Returns (pandas frame, number of files opened) — the file count is
+    what `scripts/explain_audit.py` asserts stays O(ids), independent
+    of corpus size."""
+    import json
+    import os
+
+    import pandas as pd
+    import pyarrow.dataset as ds
+
+    vdir = os.path.join(out_dir, "vectors")
+    bp = os.path.join(out_dir, "vec_bounds.json")
+    with open(bp) as f:
+        bounds = json.load(f)["files"]
+    ids = sorted(int(q) for q in query_ids)
+    files = [
+        os.path.join(vdir, fn)
+        for fn, (lo, hi) in sorted(bounds.items())
+        if any(lo <= q <= hi for q in ids)
+    ]
+    if not files:
+        return (
+            pd.DataFrame({"vec_id": [], vec_col: [], "norm": []}),
+            0,
+        )
+    t = ds.dataset(files, format="parquet").to_table(
+        filter=ds.field("vec_id").isin(ids),
+        columns=["vec_id", vec_col, "norm"],
+    )
+    return t.to_pandas(), len(files)
+
+
 def ivf_query(
     spark,
     out_dir: str,
-    query_ids: list[int],
+    query_ids: list[int] | None = None,
     k: int = 10,
     n_probe: int = 4,
+    query_vectors=None,
 ) -> DataFrame:
     """Query a persisted IVF index (:func:`ivf_build`).  No assignment
     job runs: centroids load from the tiny sidecar, probe cells are a
     driver-side numpy argsort over n_centroids, and the candidate scan
     is partition-pruned to the probed cells (``PartitionFilters`` on
     the cell directory layout) — ~n_probe/n_centroids of the corpus
-    per query batch, no Python kernel anywhere in the plan."""
+    per query batch, no Python kernel anywhere in the plan.
+
+    Query vectors come from (exactly one of):
+
+    * ``query_vectors`` — a ``{query_id: vector}`` mapping or an
+      iterable of ``(query_id, vector)`` pairs.  The serving-time
+      reality: queries are usually EXTERNAL vectors that were never
+      indexed.  Norms are computed with the same sequential fold as
+      the stored ``norm`` column, so an external copy of an indexed
+      vector scores identically.  Self-matches are excluded by id.
+    * ``query_ids`` — indexed vectors, fetched by id from the
+      id-sorted ``vectors/`` lookup sidecar via
+      :func:`fetch_query_vectors` — O(|ids|) file opens; the
+      cell-partitioned ``assigned`` table is NEVER scanned for this
+      (a vec_id predicate prunes nothing on a cell layout, so that
+      scan approaches a full corpus read at scale).  Legacy indexes
+      without the sidecar fall back to the assigned scan."""
     import json
     import os
 
     import numpy as np
 
-    from pyspark.sql import Window
+    import pandas as pd
 
     with open(os.path.join(out_dir, "ivf_meta.json")) as f:
         meta = json.load(f)
@@ -261,11 +363,46 @@ def ivf_query(
     vec_col = meta["vec_col"]
     assigned = spark.read.parquet(os.path.join(out_dir, "assigned"))
 
-    qpdf = (
-        assigned.filter(F.col("vec_id").isin(list(query_ids)))
-        .select("vec_id", vec_col, "norm")
-        .toPandas()
-    )
+    if (query_vectors is None) == (query_ids is None):
+        raise ValueError(
+            "pass exactly one of query_ids / query_vectors"
+        )
+    if query_vectors is not None:
+        pairs = (
+            list(query_vectors.items())
+            if isinstance(query_vectors, dict)
+            else list(query_vectors)
+        )
+        # norm via the same sequential left fold as with_norm/_dot
+        # (float32 -> double per element), bit-identical to the stored
+        # norms for identical vectors
+        def _fold_norm(vec) -> float:
+            acc = 0.0
+            for x in vec:
+                xf = float(np.float32(x))
+                acc += xf * xf
+            return float(np.sqrt(acc))
+
+        qpdf = pd.DataFrame(
+            {
+                "vec_id": [int(i) for i, _ in pairs],
+                vec_col: [
+                    [float(np.float32(x)) for x in v] for _, v in pairs
+                ],
+                "norm": [_fold_norm(v) for _, v in pairs],
+            }
+        )
+    elif os.path.exists(os.path.join(out_dir, "vec_bounds.json")):
+        qpdf, _ = fetch_query_vectors(
+            out_dir, list(query_ids), vec_col
+        )
+    else:
+        # legacy index (pre-sidecar layout): corpus-shaped fallback
+        qpdf = (
+            assigned.filter(F.col("vec_id").isin(list(query_ids)))
+            .select("vec_id", vec_col, "norm")
+            .toPandas()
+        )
     if len(qpdf) == 0:
         # unknown query ids degrade to an empty result, like every
         # other query path — not a numpy shape crash

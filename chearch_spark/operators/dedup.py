@@ -163,10 +163,29 @@ def _shingles_cte(table: str, text_col: str) -> str:
 # MinHash signatures + LSH near-dup pairs
 # ======================================================================
 
+def doc_shingle_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, hx) rows where hx = md5-derived 60-bit hash of
+    the token 3-gram.  The MinHash path's working representation: every
+    downstream exchange (signature groupBy, band self-join input,
+    verification joins) shuffles an 8-byte long instead of a ~50-byte
+    shingle string — the 100 TB shuffle-bytes lever.  Set identity via
+    hx is pinned semantics: collisions are ~2^-60 per shingle pair
+    (cryptographically negligible), and BOTH engines (Spark and the
+    DuckDB oracle) compute the same hash, so results stay value-exact
+    across engines by construction."""
+    toks = df.select("doc_id", tokens_col(F.col(text_col)).alias("toks"))
+    ex = toks.select(
+        "doc_id", F.explode(shingles_col(F.col("toks"))).alias("sh")
+    )
+    return ex.select(
+        "doc_id", md5_long(F.col("sh")).alias("hx")
+    ).distinct()
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, m0..m15) MinHash signature per doc (docs with ≥ 1
     shingle).  One explode + one groupBy(doc_id) shuffle."""
-    return minhash_signatures_from_shingles(doc_shingles(df, text_col))
+    return minhash_signatures_from_shingles(doc_shingle_hashes(df, text_col))
 
 
 def minhash_signatures_sql(
@@ -186,11 +205,14 @@ FROM x GROUP BY doc_id
 
 
 def _band_struct(sig_cols: list[str]) -> Column:
-    """Array of (band, band_hash) structs from signature columns."""
+    """Array of (band, band_hash) structs from signature columns.  The
+    band hash is md5-derived but carried as a LONG (not the 32-char
+    md5 string): the band self-join is the operator's widest exchange,
+    and 8-byte keys shuffle ~4x fewer bytes than hex strings."""
     bands = []
     for b in range(MINHASH_BANDS):
         cols = sig_cols[b * MINHASH_ROWS:(b + 1) * MINHASH_ROWS]
-        bh = F.md5(F.concat_ws(",", *[F.col(c) for c in cols]))
+        bh = md5_long(F.concat_ws(",", *[F.col(c) for c in cols]))
         bands.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
     return F.array(*bands)
 
@@ -201,12 +223,15 @@ def minhash_lsh_pairs(
     """LSH candidate pairs verified by exact Jaccard ≥ tau:
     (doc_a, doc_b, jaccard).  Semantics are pinned as
     "band-collision AND J ≥ tau" (deterministic, oracle-mirrorable);
-    the probabilistic part is recall of the banding scheme only."""
+    the probabilistic part is recall of the banding scheme only.
+    Jaccard is computed over the md5-derived shingle-hash sets
+    (:func:`doc_shingle_hashes`) — every exchange in the chain carries
+    longs, never shingle strings."""
     # cached: sh feeds the signature build AND both verification joins;
     # cand feeds the intersection join and the final left join.  Spark
     # evicts these under memory pressure; long-lived sessions running
     # many dedup passes can spark.catalog.clearCache() between them.
-    sh = doc_shingles(df, text_col).cache()
+    sh = doc_shingle_hashes(df, text_col).cache()
     sig = minhash_signatures_from_shingles(sh)
     sig_cols = [f"m{i}" for i in range(NUM_MINHASH)]
     bands = sig.select(
@@ -230,7 +255,9 @@ def minhash_lsh_pairs(
 
 
 def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
-    xm = (md5_long(F.col("sh")) % PM).alias("xm")
+    """Signatures from distinct (doc_id, hx) shingle-hash rows — the
+    universal hashes permute the pre-reduced hx % PM value."""
+    xm = (F.col("hx") % PM).alias("xm")
     return (
         sh.select("doc_id", xm)
         .groupBy("doc_id")
@@ -245,14 +272,14 @@ def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, tau: float) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hx").alias("hx_a"))
+    sb = sh.select(F.col("doc_id").alias("db"), F.col("hx").alias("hx_b"))
     inter = (
         cand.join(sa, "doc_a")
         .join(
             sb,
             (F.col("doc_b") == F.col("db"))
-            & (F.col("sh_a") == F.col("sh_b")),
+            & (F.col("hx_a") == F.col("hx_b")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
@@ -283,14 +310,16 @@ def minhash_lsh_pairs_sql(
             f"m{i}"
             for i in range(b * MINHASH_ROWS, (b + 1) * MINHASH_ROWS)
         )
+        bh_sql = md5_long_sql(f"concat_ws(',', {cols})")
         band_rows.append(
-            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bh"
-            " FROM sig"
+            f"SELECT doc_id, {b} AS band, {bh_sql} AS bh FROM sig"
         )
     bands = "\n  UNION ALL\n  ".join(band_rows)
     return f"""{_shingles_cte(table, text_col)}
-, x AS (
-  SELECT doc_id, {md5_long_sql('sh')} % {PM} AS xm FROM sh
+, shd AS (
+  SELECT DISTINCT doc_id, {md5_long_sql('sh')} AS hx FROM sh
+), x AS (
+  SELECT doc_id, hx % {PM} AS xm FROM shd
 ), sig AS (
   SELECT doc_id, {mins} FROM x GROUP BY doc_id
 ), bands AS (
@@ -300,12 +329,12 @@ def minhash_lsh_pairs_sql(
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 ), sizes AS (
-  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+  SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id
 ), inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS i
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  JOIN shd sa ON sa.doc_id = c.doc_a
+  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.hx = sa.hx
   GROUP BY c.doc_a, c.doc_b
 ), scored AS (
   SELECT c.doc_a, c.doc_b,

@@ -63,6 +63,17 @@ DICT_SEGS_CAP = 4096
 # verbatim in the DuckDB oracle.
 NGRAM_MAX_SHINGLE_DF = 256
 
+# --- ANN quality floors --------------------------------------------------
+# Regression tripwires for the approximate paths, asserted by pytest on
+# the synthetic testdata embeddings (500 vectors, 10 planted clusters):
+# a parameter change (plane count, band layout, n_probe, quantizer
+# seed) that silently craters recall must fail CI, not ship.  Measured
+# on 2026-08-16: LSH mean recall 0.36 (sf0.001) / 0.58 (sf0.01); IVF
+# k-means n_probe=4 0.87; IVF-flat 0.92 — floors sit ~0.05-0.15 below
+# the measured values (tripwire, not a quality target).
+LSH_RECALL_FLOOR = 0.30
+IVF_RECALL_FLOOR = 0.70
+
 SPEC_VERSION = "1"
 
 

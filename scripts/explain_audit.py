@@ -228,15 +228,33 @@ def main() -> None:
     assert "ArrowEvalPython" not in p and "MapInPandas" not in p, (
         "ivf_query: Python kernel in serving plan"
     )
+    # query-vector fetch: O(|ids|) file opens against the id-sorted
+    # vectors/ sidecar — never a scan of the corpus-sized cell layout
+    qpdf, n_files = A.fetch_query_vectors(ivf_dir, [0, 1, 2], "embedding")
+    n_sidecar_files = len(
+        [f for f in os.listdir(os.path.join(ivf_dir, "vectors"))
+         if f.endswith(".parquet")]
+    )
+    assert len(qpdf) == 3, "ivf query-vector fetch: wrong row count"
+    assert n_files <= 3, (
+        f"ivf query-vector fetch opened {n_files} files for 3 ids"
+    )
+    assert n_sidecar_files >= 4, (
+        "audit needs a multi-file sidecar to prove pruning"
+    )
     sections.append(
         (
             "IVF query over the persisted index",
             p,
             [("cell-partition-pruned candidate scan; no Python kernel "
-              "in the plan (both verified)", "—")],
+              "in the plan (both verified)", "—"),
+             (f"query-vector fetch opened {n_files}/{n_sidecar_files} "
+              "sidecar files for 3 ids (bounds-pruned, no assigned "
+              "scan — asserted)", "—")],
         )
     )
-    print("OK  IVF query over the persisted index: partition-pruned, kernel-free")
+    print("OK  IVF query over the persisted index: partition-pruned, "
+          f"kernel-free, vector fetch {n_files}/{n_sidecar_files} files")
 
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(

@@ -259,6 +259,38 @@ def test_ivf_ann_recall_on_clustered_vectors(spark):
     assert sorted(map(tuple, ivf)) == sorted(map(tuple, again))
 
 
+def test_ann_recall_floors(spark):
+    """Pinned quality floors for BOTH approximate ANN paths
+    (spec.LSH_RECALL_FLOOR / spec.IVF_RECALL_FLOOR): the contract gate
+    verifies their VALUES are deterministic, but nothing else fails if
+    a parameter change (planes, bands, n_probe, quantizer seed) drops
+    recall to noise — this does."""
+    from chearch_spark import spec
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(10))
+    rec = A.lsh_recall(emb, qids, k=10, dim=64).collect()
+    mean_lsh = sum(r.recall for r in rec) / len(rec)
+    assert mean_lsh >= spec.LSH_RECALL_FLOOR, mean_lsh
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in A.cosine_topk(emb, qids, 10).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in A.ivf_ann_topk(
+            emb, qids, 10, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    assert len(exact & ivf) / len(exact) >= spec.IVF_RECALL_FLOOR
+    flat = {
+        (r.query_id, r.vec_id)
+        for r in A.ivf_flat_topk(emb, qids, 10).collect()
+    }
+    assert len(exact & flat) / len(exact) >= spec.IVF_RECALL_FLOOR
+
+
 def test_ivf_build_query_persisted(spark, tmp_path_factory):
     """ivf_build persists centroids + cell assignment; ivf_query must
     (a) return exactly what the one-shot ivf_ann_topk computes with
@@ -284,6 +316,29 @@ def test_ivf_build_query_persisted(spark, tmp_path_factory):
     empty = A.ivf_query(spark, out, [999_999], k=10, n_probe=4)
     assert empty.count() == 0
     assert empty.columns == ["query_id", "vec_id", "cos", "rank"]
+
+    # the query-by-id vector fetch must come from the id-sorted
+    # vectors/ sidecar with O(|ids|) file opens — NEVER a scan of the
+    # cell-partitioned assigned table (no pruning on vec_id there)
+    qpdf, n_files = A.fetch_query_vectors(out, qids, "embedding")
+    assert sorted(qpdf["vec_id"].tolist()) == qids
+    assert n_files <= len(qids)
+
+    # serving form: EXTERNAL query vectors (the common production
+    # case) — passing copies of indexed vectors must score identically
+    # to the by-id path, norms included (same sequential fold)
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for _, r in qpdf.iterrows()
+    }
+    ext = A.ivf_query(
+        spark, out, k=10, n_probe=4, query_vectors=vecs
+    ).collect()
+    assert sorted(map(tuple, ext)) == sorted(map(tuple, want))
+    with pytest.raises(ValueError):
+        A.ivf_query(spark, out, qids, query_vectors=vecs)
+    with pytest.raises(ValueError):
+        A.ivf_query(spark, out)
 
 
 def test_null_text_rows_are_empty_documents(spark):
