@@ -123,6 +123,7 @@ class Index:
         self._dict_segs_flag: bool | None = None
         self._dict_coverage: set[int] | None | bool = False  # False=unloaded
         self._segs_cache: dict[str, list[int] | None] = {}
+        self._tomb: np.ndarray | None = None  # sorted deleted ext ids
         self._seg_df = None  # lazily cached segment DataFrame (file
         # listing + schema inference paid once per Index, not per query)
 
@@ -347,10 +348,22 @@ class Index:
         self._segs_cache = {}
         self._dict_segs_flag = None
         self._dict_coverage = False
+        self._tomb = None
         if hasattr(self, "_parity_cache"):
             del self._parity_cache
         if hasattr(self, "_docmap_files"):
             del self._docmap_files
+
+    def _tombstones(self) -> np.ndarray:
+        """Sorted external doc ids deleted via
+        :func:`chearch_spark.tombstones.delete_docs` — excluded from
+        every query result until a compaction purges them physically.
+        Cached per Index; ``refresh()`` reloads."""
+        if self._tomb is None:
+            from chearch_spark.tombstones import load_tombstones
+
+            self._tomb = load_tombstones(self.path)
+        return self._tomb
 
     def _replaced_seg_ids(self) -> set[int]:
         """Segment ids queries must treat as dead even if files linger:
@@ -518,6 +531,7 @@ class Index:
             t: spec.idf(self.n_docs, stats[t][0]) for t in terms if t in stats
         }
         n_docs, avgdl = self.n_docs, self.avgdl
+        tomb = self._tombstones()
         scan = self._segment_scan(
             terms,
             ["seg_id", "term", "df", "doc_ids", "tfs", "blocks"],
@@ -528,7 +542,7 @@ class Index:
 
             def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                 ext_ids, scores, d_idx = _score_segment(
-                    pdf, node, idfs, avgdl, k
+                    pdf, node, idfs, avgdl, k, tomb
                 )
                 return pd.DataFrame(
                     {
@@ -546,7 +560,9 @@ class Index:
         else:
 
             def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-                ext_ids, scores, _ = _score_segment(pdf, node, idfs, avgdl, k)
+                ext_ids, scores, _ = _score_segment(
+                    pdf, node, idfs, avgdl, k, tomb
+                )
                 return pd.DataFrame({"doc_id": ext_ids, "score": scores})
 
             schema = "doc_id long, score double"
@@ -706,6 +722,7 @@ class Index:
             segs = self.candidate_segments(_fold_or(union_terms))
         else:
             segs = None
+        tomb = self._tombstones()
         scan = self._segment_scan(
             union_terms,
             ["seg_id", "term", "doc_ids", "tfs", "blocks"],
@@ -714,6 +731,9 @@ class Index:
 
         def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             postings, meta_ids, doc_lens, blocks = _decode_segment(pdf)
+            postings, blocks = _drop_tombstoned(
+                postings, blocks, meta_ids, tomb
+            )
             out = {"query": [], "doc_id": [], "score": []}
             for name, node in nodes.items():
                 ids, scores, _ = _score_decoded(
@@ -836,6 +856,7 @@ class Index:
         }
         meta = self._load_meta()
         self._load_postings(terms)
+        tomb = self._tombstones()
         cand = self.candidate_segments(node, allow_spark=False)
         cand_set = set(cand) if cand is not None else None
         all_ids, all_scores = [], []
@@ -853,6 +874,9 @@ class Index:
             if not postings:
                 continue
             ext_ids, doc_lens = meta[seg_id]
+            postings, blocks = _drop_tombstoned(
+                postings, blocks, ext_ids, tomb
+            )
             ids, scores, _ = _score_decoded(
                 node, postings, ext_ids, doc_lens, blocks, idfs,
                 self.avgdl, k,
@@ -880,6 +904,7 @@ class Index:
         top-k semantics."""
         node = self._prep(query)
         terms = node.terms()
+        tomb = self._tombstones()
         scan = self._segment_scan(
             terms,
             ["seg_id", "term", "doc_ids"],
@@ -888,6 +913,7 @@ class Index:
 
         def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             postings, meta_ids, _, _ = _decode_segment(pdf)
+            postings, _b = _drop_tombstoned(postings, {}, meta_ids, tomb)
             cand = _eval_docset(node, postings)
             if partition_limit is not None:
                 cand = cand[:partition_limit]  # sorted by doc_index asc
@@ -916,6 +942,7 @@ class Index:
             segs=self.candidate_segments(_fold_and(terms)),
         )
         phrase = list(terms)
+        tomb = self._tombstones()
 
         def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
@@ -960,9 +987,10 @@ class Index:
                 if len(keys) == 0:
                     break
             hit_docs = np.unique(keys // 1024)
-            return pd.DataFrame(
-                {"doc_id": ext_ids[hit_docs].astype("int64")}
-            )
+            hits = ext_ids[hit_docs].astype("int64")
+            if tomb is not None and len(tomb):
+                hits = hits[~np.isin(hits, tomb)]
+            return pd.DataFrame({"doc_id": hits})
 
         return scan.groupBy("seg_id").applyInPandas(_kernel, "doc_id long")
 
@@ -1041,11 +1069,17 @@ class Index:
         )
 
         out: list[tuple[str, int, int]] = []
+        tomb = self._tombstones()
         for _, seg in scan.groupby("seg_id", sort=True):
             occ: dict[str, list[tuple[int, int]]] = {}
             meta = seg[seg["term"] == META_TERM]
             ext_ids = codec.decode_postings(meta["doc_ids"].iloc[0]).astype(
                 np.int64
+            )
+            dead_idx = (
+                set(np.flatnonzero(np.isin(ext_ids, tomb)).tolist())
+                if len(tomb)
+                else set()
             )
             for _, row in seg[seg["term"] != META_TERM].iterrows():
                 docs = codec.decode_postings(row["doc_ids"]).astype(np.int64)
@@ -1061,6 +1095,7 @@ class Index:
                 occ[row["term"]] = [
                     (int(docs[gi]), int(p))
                     for gi in range(len(docs))
+                    if int(docs[gi]) not in dead_idx
                     for p in abs_pos[starts[gi]: starts[gi] + counts[gi]]
                 ]
 
@@ -1124,6 +1159,36 @@ def _decode_segment(pdf: pd.DataFrame):
     return postings, meta_ids, doc_lens, blocks
 
 
+def _drop_tombstoned(postings: dict, blocks: dict, meta_ids, tomb):
+    """Remove deleted docs from decoded postings (tombstone exclusion).
+
+    Terms whose lists shrank LOSE their block-max metadata: block
+    bounds are positional (entry i belongs to block i // POSTING_BLOCK),
+    so a shortened list would map survivors into earlier blocks whose
+    bound may undercut their true score — no longer an upper bound,
+    and WAND could prune a winner.  Dropping the blocks falls back to
+    the exact per-doc bound, which stays admissible.  Unchanged terms
+    keep their blocks."""
+    if tomb is None or len(tomb) == 0 or len(meta_ids) == 0:
+        return postings, blocks
+    dead_idx = np.flatnonzero(np.isin(meta_ids, tomb))
+    if len(dead_idx) == 0:
+        return postings, blocks
+    out_p, out_b = {}, {}
+    for t, (docs, tfs) in postings.items():
+        keep = ~np.isin(docs, dead_idx)
+        if keep.all():
+            out_p[t] = (docs, tfs)
+            if t in blocks:
+                out_b[t] = blocks[t]
+        else:
+            out_p[t] = (
+                docs[keep],
+                tfs[keep] if len(tfs) == len(docs) else tfs,
+            )
+    return out_p, out_b
+
+
 def _eval_docset(node: Node, postings: dict) -> np.ndarray:
     """AST -> sorted doc_index array (vectorized sorted-set algebra —
     the reference's merge operands, `operands.chpl:52-160`, minus the
@@ -1150,7 +1215,7 @@ def _eval_docset(node: Node, postings: dict) -> np.ndarray:
     raise TypeError(node)
 
 
-def _score_segment(pdf: pd.DataFrame, node: Node, idfs, avgdl, k):
+def _score_segment(pdf: pd.DataFrame, node: Node, idfs, avgdl, k, tomb=None):
     """Per-segment candidates + BM25 scores + local top-k.
 
     Fast paths (identical results, fewer scored candidates):
@@ -1163,6 +1228,7 @@ def _score_segment(pdf: pd.DataFrame, node: Node, idfs, avgdl, k):
     Mixed trees fall back to full doc-set algebra.
     """
     postings, meta_ids, doc_lens, blocks = _decode_segment(pdf)
+    postings, blocks = _drop_tombstoned(postings, blocks, meta_ids, tomb)
     return _score_decoded(
         node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k
     )

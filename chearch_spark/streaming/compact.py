@@ -10,6 +10,11 @@ engine never faces this (segments are fixed per locale); it is the
 cost of the durable, snapshot-isolated file layout, and compaction is
 the standard LSM answer.
 
+Compaction is also where tombstoned deletes (:mod:`chearch_spark.
+tombstones`) are applied PHYSICALLY: purged docs leave the docmap,
+postings, dictionary and stats, making the output byte-equivalent to
+a build over the surviving docs.
+
 How: segments are merged by *direct posting algebra* — no original
 text needed.  External doc ids from the input docmaps define the
 merged doc_index order; per-term posting lists are decoded, remapped,
@@ -124,13 +129,21 @@ def _decode_posting_rows(sp: pd.DataFrame):
 
 
 def _merge_segment_tables(
-    inputs: list[tuple[pd.DataFrame, pd.DataFrame]], seg_id: int
+    inputs: list[tuple[pd.DataFrame, pd.DataFrame]],
+    seg_id: int,
+    drop_ext: np.ndarray | None = None,
 ):
     """Merge N (segment_pdf, docmap_pdf) pairs into one segment.
 
     Pure pandas/numpy (runs inside the Arrow kernel; unit-testable
     without Spark).  Returns (segment_pdf, docmap_pdf, summary_dict)
     with the same shapes as ``build._build_segment_tables``.
+
+    ``drop_ext`` (sorted external doc ids — the tombstone set) purges
+    those docs PHYSICALLY: they leave the docmap, their posting
+    entries and position groups are dropped, and df/cf/blocks are
+    recomputed over survivors — the output is byte-equivalent to a
+    direct build over the surviving docs.
     """
     exts, lens, shas = [], [], []
     for _, mp in inputs:
@@ -150,11 +163,15 @@ def _merge_segment_tables(
     # stable: duplicate external ids (re-ingested docs) stay distinct
     # entries in input order — engine semantics preserved, not deduped
     order = np.argsort(ext_all, kind="stable")
+    if drop_ext is not None and len(drop_ext) and len(ext_all):
+        keep = ~np.isin(ext_all, drop_ext)
+        order = order[keep[order]]
     new_ext = ext_all[order]
     new_len = len_all[order]
     new_sha = sha_all[order]
-    remap = np.empty(len(ext_all), dtype=np.int64)
-    remap[order] = np.arange(len(ext_all))
+    # purged docs remap to -1; their posting entries are dropped below
+    remap = np.full(len(ext_all), -1, dtype=np.int64)
+    remap[order] = np.arange(len(order))
     n_docs = len(new_ext)
     n_tokens = int(new_len.sum())
 
@@ -185,6 +202,16 @@ def _merge_segment_tables(
         g_tf = np.concatenate(tf_arrs)
         g_pc = np.concatenate(pc_arrs)
         pos_all = np.concatenate(pos_arrs) if pos_arrs else np.empty(0, np.int64)
+        if (g_doc < 0).any():
+            # purge tombstoned docs' posting entries and their whole
+            # position groups (deltas reset per group, so removal of a
+            # whole group leaves the stream decodable)
+            keep_e = g_doc >= 0
+            if pos_all.size:
+                pos_all = pos_all[np.repeat(keep_e, g_pc)]
+            g_term, g_doc, g_tf, g_pc = (
+                g_term[keep_e], g_doc[keep_e], g_tf[keep_e], g_pc[keep_e],
+            )
         ord2 = np.lexsort((g_doc, g_term))
         # reorder the variable-length position groups along with their
         # (term, doc) entries: gather indexes = per-group ranges
@@ -431,11 +458,16 @@ def compact_stream_segments(
     from chearch_spark.build import DEFAULT_DOCS_PER_SEGMENT
     from chearch_spark.streaming.ingest import finalize_index
 
+    from chearch_spark.tombstones import load_tombstones
+
     seg_dir = os.path.join(out_dir, "segments")
     map_dir = os.path.join(out_dir, "docmap")
     _complete_pending(out_dir)
     stream_ids = _stream_seg_ids(seg_dir)
-    if len(stream_ids) <= 1:
+    tombs = load_tombstones(out_dir)
+    # a single segment is still worth "merging" when tombstones are
+    # pending: the pass-through rewrite is what purges them physically
+    if len(stream_ids) == 0 or (len(stream_ids) == 1 and not len(tombs)):
         return None
 
     # doc counts: manifests first, docmap footers as fallback
@@ -521,6 +553,8 @@ def compact_stream_segments(
     ]
     out_abs = os.path.abspath(out_dir)
 
+    drop_ext = np.sort(tombs.astype(np.int64)) if len(tombs) else None
+
     def _kernel(batches):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -548,7 +582,9 @@ def compact_stream_segments(
                             ).to_pandas(),
                         )
                     )
-                seg_pdf, map_pdf, s = _merge_segment_tables(inputs, sid)
+                seg_pdf, map_pdf, s = _merge_segment_tables(
+                    inputs, sid, drop_ext=drop_ext
+                )
                 nbytes = _atomic_write_parquet(seg_pdf, seg_path)
                 nbytes += _atomic_write_parquet(map_pdf, map_path)
                 yield pa.RecordBatch.from_pylist(

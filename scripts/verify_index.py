@@ -282,6 +282,13 @@ def verify(path: str) -> dict:
     bloom_uncovered = sorted(live_ids - bloom_ids)
     bloom_stale = sorted(bloom_ids - live_ids)
 
+    # tombstones: files must decode (a corrupt tombstone silently
+    # un-deletes); the count is advisory — pending purges are normal
+    # between compactions
+    from chearch_spark.tombstones import load_tombstones
+
+    n_tombstones = int(len(load_tombstones(path)))
+
     return {
         "index": path,
         "segments": len(live),
@@ -290,6 +297,7 @@ def verify(path: str) -> dict:
         "content_fp": stats["content_fp"],
         "bloom_uncovered": bloom_uncovered,
         "bloom_stale": bloom_stale,
+        "tombstones_pending": n_tombstones,
         "status": "INDEX_OK",
     }
 

@@ -261,3 +261,161 @@ def test_segment_without_bloom_entry_is_always_scanned(
     for q in (Term("uniq0042"), Term("zz_nope_zz") & Term("common")):
         cand = ix2.candidate_segments(q)
         assert cand is not None and 3 in cand, q
+
+
+def test_candidate_segments_10k_mixed_lifecycle(tmp_path_factory):
+    """Exact + advisory pruning over a SYNTHETIC 10k-segment layout
+    spanning all three lifecycles (batch build, compaction output,
+    post-finalize stream ingest) plus orphan compaction outputs:
+
+    * 8,000 batch + 1,500 compacted segments are covered by the
+      dictionary's term -> segments directory (exact pruning);
+    * 500 stream segments landed AFTER the finalize (outside
+      dict_coverage): 400 carry per-batch blooms (advisory pruning,
+      false positives computed exactly from the deterministic filters),
+      100 have no bloom entry (always scanned — advisory coverage must
+      never drop results);
+    * 30 orphan compact-range files with no published manifest epoch
+      are DEAD and must never appear in any candidate list.
+
+    candidate_segments reads only metadata (listing, dictionary,
+    blooms, manifests), so segment files are stubs and the whole 10k
+    layout builds in seconds; the warm probe wall-time bound is the
+    500k-segment design claim scaled down.  Spark-free (Index(None,.)).
+    """
+    import json
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chearch_spark.build import write_dict_bounds
+    from chearch_spark.streaming.compact import COMPACT_SEG_BASE
+    from chearch_spark.streaming.ingest import STREAM_SEG_BASE
+
+    out = str(tmp_path_factory.mktemp("synth10k"))
+    seg_dir = os.path.join(out, "segments")
+    os.makedirs(seg_dir)
+    os.makedirs(os.path.join(out, "docmap"))
+
+    batch_ids = list(range(8000))
+    compact_ids = [COMPACT_SEG_BASE + i for i in range(1500)]
+    stream_ids = [STREAM_SEG_BASE + i for i in range(500)]
+    orphan_ids = [COMPACT_SEG_BASE + 100_000 + i for i in range(30)]
+    for sid in batch_ids:
+        open(os.path.join(seg_dir, f"segment-{sid:05d}.parquet"), "wb").close()
+    for sid in compact_ids + stream_ids + orphan_ids:
+        open(os.path.join(seg_dir, f"segment-{sid:09d}.parquet"), "wb").close()
+    # epoch 0 manifest keeps the 1500 compacted segments LIVE; the 30
+    # epoch-1 files have no manifest -> orphans, dead to readers
+    with open(os.path.join(out, "manifest-compact-000000.json"), "w") as f:
+        json.dump(
+            {
+                "epoch": 0,
+                "segments": [
+                    {"seg_id": s, "n_docs": 1, "n_terms": 1,
+                     "n_tokens": 1, "n_postings": 1, "content_fp": 0}
+                    for s in compact_ids
+                ],
+                "replaced": [],
+            },
+            f,
+        )
+    with open(os.path.join(out, "stats.json"), "w") as f:
+        json.dump(
+            {"n_docs": 10_000, "total_tokens": 10_000, "avgdl": 1.0,
+             "num_segments": 10_000, "store_positions": False,
+             "content_fp": 0}, f,
+        )
+
+    # dictionary with the term -> segments directory
+    rare_segs = [5, 77, COMPACT_SEG_BASE + 7]
+    med_segs = [10, 11, 12]
+    dict_dir = os.path.join(out, "dictionary")
+    os.makedirs(dict_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "term": ["hot", "medium", "rare"],
+                "df": [9000, 3, 3],
+                "cf": [90000, 3, 3],
+                "segs": pa.array(
+                    [None, med_segs, rare_segs],
+                    type=pa.list_(pa.int32()),
+                ),
+            }
+        ),
+        os.path.join(dict_dir, "part-00000.parquet"),
+    )
+    write_dict_bounds(out)
+    covered = batch_ids + compact_ids
+    with open(os.path.join(out, "dict_coverage.json"), "w") as f:
+        json.dump({"seg_ids": covered}, f)
+
+    # blooms for 400 of the 500 stream segments: 50 contain
+    # {rare, hot}, 350 contain {other, hot}; 100 have no entry
+    m_rare, b_rare = make_bloom(["rare", "hot"])
+    m_oth, b_oth = make_bloom(["other", "hot"])
+    bloom_dir = os.path.join(out, "blooms")
+    os.makedirs(bloom_dir)
+    bloomed = stream_ids[:400]
+    entries = {
+        s: (m_rare, b_rare) if i < 50 else (m_oth, b_oth)
+        for i, s in enumerate(bloomed)
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "seg_id": list(entries),
+                "bloom_m": [v[0] for v in entries.values()],
+                "bloom": [v[1] for v in entries.values()],
+            }
+        ),
+        os.path.join(bloom_dir, "blooms-synth.parquet"),
+    )
+
+    ix = Index(None, out)  # metadata-only: no SparkSession needed
+    unbloomed = set(stream_ids[400:])
+    # expected bloom behavior computed EXACTLY from the deterministic
+    # filters (false positives included)
+    fp_rare = {
+        s for s, (m, b) in entries.items() if bloom_contains(b, m, "rare")
+    }
+    assert set(bloomed[:50]) <= fp_rare
+    assert len(fp_rare) <= 50 + 15  # ~1% FP over 350 'other' blooms
+
+    cand = ix.candidate_segments(Term("rare"), allow_spark=False)
+    assert set(cand) == set(rare_segs) | fp_rare | unbloomed
+    # 10k-segment fan-out pruned to ~150 candidates for a rare term
+    assert len(cand) <= len(rare_segs) + 65 + len(unbloomed)
+
+    # hot term (segs NULL = over DICT_SEGS_CAP): every covered segment
+    # plus the advisory uncovered handling — and NEVER an orphan
+    cand_hot = ix.candidate_segments(Term("hot"), allow_spark=False)
+    fp_hot = {
+        s for s, (m, b) in entries.items() if bloom_contains(b, m, "hot")
+    }
+    assert set(cand_hot) == set(covered) | fp_hot | unbloomed
+    assert not (set(cand_hot) & set(orphan_ids))
+
+    # pure AND intersects the exact directory sets
+    cand_and = ix.candidate_segments(
+        Term("rare") & Term("medium"), allow_spark=False
+    )
+    assert set(cand_and) <= (set(rare_segs) & set(med_segs)) | set(
+        stream_ids
+    )
+    # missing term: nothing covered; only the advisory uncovered tail
+    cand_miss = ix.candidate_segments(Term("zz_nope_zz"), allow_spark=False)
+    assert set(cand_miss) <= set(stream_ids)
+    assert unbloomed <= set(cand_miss)
+
+    # warm probe latency: pure in-memory set algebra + one cached
+    # bloom probe — the "sub-ms per probe at 500k segments" design
+    # claim, scaled to 10k and bounded loosely for CI noise
+    t0 = time.time()
+    for _ in range(20):
+        ix.candidate_segments(Term("rare"), allow_spark=False)
+    per_probe = (time.time() - t0) / 20
+    assert per_probe < 0.05, f"warm probe {per_probe * 1e3:.1f}ms"
