@@ -24,11 +24,16 @@ _INDEX_CACHE: dict[str, object] = {}
 _K1, _B = _spec.BM25_K1, _spec.BM25_B
 _SPLIT = _spec.TOKEN_SPLIT_RE
 
-_BASE_CTE = f"""
+def _base_cte(src: str = "documents") -> str:
+    """Tokenize/tf/dl/stats/df CTE chain over ``src`` — a table name or
+    a parenthesized subquery (the deleted-docs oracles pass the live
+    subset, which also shrinks N/avgdl/df exactly like the engine's
+    post-purge finalize does)."""
+    return f"""
 WITH tok AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(lower(coalesce(text, '')), '{_SPLIT}')) AS term
-  FROM documents
+  FROM {src} AS d_src
 ), tf AS (
   SELECT doc_id, term, count(*) AS tf
   FROM tok WHERE term <> '' GROUP BY doc_id, term
@@ -36,13 +41,16 @@ WITH tok AS (
   SELECT doc_id, count(*) AS dl
   FROM tok WHERE term <> '' GROUP BY doc_id
 ), stats AS (
-  SELECT (SELECT count(*) FROM documents) AS n,
+  SELECT (SELECT count(*) FROM {src} AS s1) AS n,
          (SELECT CAST(sum(dl) AS BIGINT) FROM dl) * 1.0
-           / (SELECT count(*) FROM documents) AS avgdl
+           / (SELECT count(*) FROM {src} AS s2) AS avgdl
 ), dfs AS (
   SELECT term, count(*) AS df FROM tf GROUP BY term
 )
 """
+
+
+_BASE_CTE = _base_cte()
 
 
 def _sql_terms(terms: list[str]) -> str:
@@ -50,7 +58,10 @@ def _sql_terms(terms: list[str]) -> str:
 
 
 def _bm25_sql(
-    terms: list[str], require: str, score_terms: list[str] | None = None
+    terms: list[str],
+    require: str,
+    score_terms: list[str] | None = None,
+    src: str = "documents",
 ) -> str:
     """Top-10 BM25 in DuckDB SQL; `require` filters the doc set (e.g.
     'has_merge AND has_sort' for conjunctions) over per-term flags;
@@ -61,7 +72,7 @@ def _bm25_sql(
         for t in terms
     )
     scorable = _sql_terms(score_terms if score_terms is not None else terms)
-    return f"""{_BASE_CTE}
+    return f"""{_base_cte(src)}
 , matched AS (
   SELECT tf.doc_id,
          sum( CASE WHEN tf.term IN ({scorable})
@@ -85,18 +96,30 @@ LIMIT 10
 """
 
 
-def _docset_sql(terms: list[str], require: str) -> str:
+def _docset_sql(
+    terms: list[str], require: str, src: str = "documents"
+) -> str:
     flags = ",\n         ".join(
         f"max(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS has_{t}"
         for t in terms
     )
-    return f"""{_BASE_CTE}
+    return f"""{_base_cte(src)}
 , flags AS (
   SELECT doc_id, {flags}
   FROM tf WHERE term IN ({_sql_terms(terms)}) GROUP BY doc_id
 )
 SELECT doc_id FROM flags WHERE {require}
 """
+
+
+# external ids deleted from the tombstone-lifecycle contract index
+# (arbitrary but pinned; present at every sf) and the oracle-side
+# live-subset source expression
+_DELETED_IDS = [1, 2, 3, 5, 8]
+_LIVE_SRC = (
+    "(SELECT * FROM documents WHERE doc_id NOT IN "
+    f"({', '.join(str(i) for i in _DELETED_IDS)}))"
+)
 
 
 def _get_index(spark: SparkSession, sf_dir: str):
@@ -170,6 +193,53 @@ def _get_stream_index(spark, sf_dir):
                 os.rename(build_dir, out)
             except OSError:
                 # lost the race: a complete index is already published
+                import shutil
+
+                shutil.rmtree(build_dir, ignore_errors=True)
+        _INDEX_CACHE[key] = Index(spark, out)
+    return _INDEX_CACHE[key]
+
+
+def _get_deleted_index(spark, sf_dir):
+    """Index driven through the FULL delete lifecycle — micro-batch
+    ingest → finalize → delete_docs → compaction (physical purge +
+    stats refinalize) → tombstone GC — so the driver gate verifies
+    deletes end-to-end against a DuckDB oracle over the live subset
+    (which shrinks N/avgdl/df exactly like the engine's post-purge
+    finalize)."""
+    from chearch_spark.search import Index
+    from chearch_spark.streaming.compact import compact_stream_segments
+    from chearch_spark.streaming.ingest import finalize_index, ingest_batch
+    from chearch_spark.tombstones import delete_docs, gc_tombstones
+
+    key = "deleted:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        import hashlib
+
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        fp = hashlib.md5(
+            f"{key}|{st.st_size}|{st.st_mtime_ns}".encode()
+        ).hexdigest()[:16]
+        out = os.path.join(
+            tempfile.gettempdir(), f"chearch_entry_dix_v1_{fp}"
+        )
+        if not os.path.exists(os.path.join(out, "stats.json")):
+            build_dir = f"{out}.build.{os.getpid()}"
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            )
+            for b in range(3):
+                ingest_batch(
+                    docs.filter(f"pmod(doc_id, 3) = {b}"), build_dir,
+                    batch_id=b, num_segments=3,
+                )
+            finalize_index(spark, build_dir)
+            delete_docs(build_dir, _DELETED_IDS)
+            compact_stream_segments(spark, build_dir, num_segments=4)
+            gc_tombstones(spark, build_dir)
+            try:
+                os.rename(build_dir, out)
+            except OSError:
                 import shutil
 
                 shutil.rmtree(build_dir, ignore_errors=True)
@@ -332,10 +402,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("score", 6).alias("score")
         )
 
+    def term_lookup_deleted(spark, sf):
+        """Doc set after the full delete lifecycle (ingest → delete →
+        compaction purge → gc) — gated against the live-subset oracle."""
+        return _get_deleted_index(spark, sf).match_docs(Term("merge"))
+
+    def bm25_topk_deleted(spark, sf):
+        """Top-k post-purge: scores must reflect the RECOMPUTED global
+        stats (N/avgdl/df over survivors), not just a filtered list."""
+        ix = _get_deleted_index(spark, sf)
+        return ix.search(Term("merge") & Term("sort"), k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+
     return {
         "term_lookup": term_lookup,
         "term_lookup_streamed": term_lookup_streamed,
         "bm25_topk_streamed": bm25_topk_streamed,
+        "term_lookup_deleted": term_lookup_deleted,
+        "bm25_topk_deleted": bm25_topk_deleted,
         "term_lookup_missing": term_lookup_missing,
         "bool_and": bool_and,
         "bool_or": bool_or,
@@ -472,6 +557,16 @@ def oracle_sql() -> dict[str, str]:
         "term_lookup_streamed": _docset_sql(["merge"], "has_merge = 1"),
         "bm25_topk_streamed": _bm25_sql(
             ["merge", "sort"], "has_merge = 1 AND has_sort = 1"
+        ),
+        # delete lifecycle: the oracle runs over the LIVE subset, so a
+        # purge that forgot to refinalize stats (stale N/avgdl/df) or
+        # left posting entries behind hash-mismatches here
+        "term_lookup_deleted": _docset_sql(
+            ["merge"], "has_merge = 1", src=_LIVE_SRC
+        ),
+        "bm25_topk_deleted": _bm25_sql(
+            ["merge", "sort"], "has_merge = 1 AND has_sort = 1",
+            src=_LIVE_SRC,
         ),
         "term_lookup_missing": _docset_sql(
             ["zz_missing_zz"], "has_zz_missing_zz = 1"
