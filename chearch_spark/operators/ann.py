@@ -136,18 +136,34 @@ def kmeans_centroids(
     sample: int = 512,
     iters: int = 8,
     vec_col: str = "embedding",
+    sample_order: str = "hash",
 ):
     """Deterministic coarse quantizer for IVF: k-means on a driver-side
-    sample (lowest vec_ids — deterministic, no RNG), fixed iteration
-    count, init = first k sampled vectors.  The sample is tiny by
-    design; at 100 TB you sample O(100k) vectors, not the corpus."""
+    sample, fixed iteration count, init = first k sampled vectors.
+    The sample is tiny by design; at 100 TB you sample O(100k)
+    vectors, not the corpus.
+
+    ``sample_order="hash"`` (default) takes the ``sample`` vectors with
+    the smallest md5-derived hash of vec_id — deterministic (no RNG
+    state to ship) yet uniformly spread over the corpus, unlike the
+    legacy ``"id"`` order whose lowest-id prefix can be a biased slice
+    (ingestion order often correlates with content).  Both orders are
+    a TakeOrdered plan — no full sort."""
     import numpy as np
 
+    from chearch_spark.functions.hashing import md5_long
+
+    key = (
+        md5_long(F.col("vec_id")) if sample_order == "hash"
+        else F.col("vec_id")
+    )
     pdf = (
         emb.select("vec_id", vec_col)
-        .orderBy("vec_id")
+        .orderBy(key, F.col("vec_id"))
         .limit(sample)
         .toPandas()
+        .sort_values("vec_id")  # stable init order independent of tie
+        .reset_index(drop=True)
     )
     x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)

@@ -59,6 +59,14 @@ SWEEP = tuple(
 # The sandbox VM has noisy neighbors: take the best of N trials per
 # level (the least-interference estimate of the machine's capability).
 TRIALS = int(os.environ.get("SCALING_TRIALS", "3"))
+# ... and run the WHOLE sweep ROUNDS times, merging per level by best
+# build/query time.  Within-session trials share one noise draw (a
+# slow neighbor burst spans all three back-to-back builds); outer
+# rounds sample each level at well-separated times, which is what
+# actually bounds the draw-luck of the 1-thread baseline (observed
+# single-round headline spread 0.63-1.01 on 2026-08-16; per-level-best
+# merge across rounds lands where the repeated samples agree).
+ROUNDS = int(os.environ.get("SCALING_ROUNDS", "2"))
 # Headline pair N=1 -> 4N=4: the least neighbor-contention-sensitive
 # pair on this shared VM (measured 0.85-1.02 across every run today,
 # while 2->8 swung 0.52-0.93 with tenant noise at the higher levels).
@@ -247,14 +255,28 @@ def main() -> None:
         raise SystemExit(
             f"SCALING_SWEEP must include the headline levels {HEADLINE}"
         )
-    levels = {c: run_level(c) for c in SWEEP}
+    rounds = [{c: run_level(c) for c in SWEEP} for _ in range(ROUNDS)]
+
+    def _merge(per_round):
+        best = dict(per_round[0])
+        for lv in per_round[1:]:
+            if lv["build_sec"] < best["build_sec"]:
+                for key in ("build_sec", "docs_per_sec", "tokens_per_sec"):
+                    best[key] = lv[key]
+            best["query_sec"] = {
+                q: round(min(best["query_sec"][q], lv["query_sec"][q]), 3)
+                for q in lv["query_sec"]
+            }
+        return best
+
+    levels = {c: _merge([r[c] for r in rounds]) for c in SWEEP}
 
     lo, hi = levels[HEADLINE[0]], levels[HEADLINE[1]]
     speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
     eff = speedup / (HEADLINE[1] / HEADLINE[0])
-    base = levels[SWEEP[0]]["results"]
+    base = rounds[0][SWEEP[0]]["results"]
     rank_identical = all(
-        lv["results"] == base for lv in levels.values()
+        r[c]["results"] == base for r in rounds for c in SWEEP
     )
     control = hardware_control()
     ctl_eff_1_4 = round(control[4] / control[1] / 4, 3)
@@ -322,8 +344,11 @@ def main() -> None:
         "coordination-free).  On a real N -> 4N *executor* scale-out each "
         "executor brings its own cores and memory bus — the regime the "
         "2 -> 8 measurement (taken where this box still has bandwidth "
-        "headroom) represents.  Measurements are best-of-"
-        f"{TRIALS} per level; this sandbox VM has noisy neighbors.",
+        "headroom) represents.  Measurements are per-level best over "
+        f"{ROUNDS} independent sweep rounds x {TRIALS} trials each "
+        "(within-session trials share one noise draw; separated rounds "
+        "bound the draw-luck of the 1-thread baseline — single-round "
+        "headlines swung 0.63-1.01 on this shared VM).",
         "",
     ]
     _replace_section(

@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Million-doc soak: the 100x-scale shakeout run on one box.
+
+Builds a 1.28M-doc index (256x the sf0.1 documents with disjoint id
+ranges, 256 segments — the same docs-per-segment regime a 10^12-doc /
+500k-segment cluster build uses), then exercises the full serving
+surface at that size: distributed BM25 top-k, batched multi-query,
+driver-local warm latency, metadata projection, phrase match, a
+1000-doc tombstone delete (immediate exclusion), and the fsck.
+
+Prints ONE JSON line.  Run solo (noisy-neighbor protocol applies).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPL = int(os.environ.get("SOAK_REPLICATION", "256"))
+SEGMENTS = int(os.environ.get("SOAK_SEGMENTS", "256"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+K = 10
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("chearch_soak")
+        .config("spark.sql.shuffle.partitions", str(SEGMENTS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from chearch_spark.build import build_index
+    from chearch_spark.plans.query import Term
+    from chearch_spark.search import Index
+    from chearch_spark.tombstones import delete_docs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * n)).alias("doc_id"), "text"
+        )
+        for i in range(REPL)
+    ]
+    corpus = copies[0]
+    for c in copies[1:]:
+        corpus = corpus.unionAll(c)
+
+    def _wk(batches):
+        import pyarrow as pa
+
+        from chearch_spark import build as _b  # noqa: F401
+
+        yield pa.RecordBatch.from_pylist(
+            [{"n": sum(b.num_rows for b in batches)}]
+        )
+
+    spark.range(CPUS * 4).repartition(CPUS * 4).mapInArrow(
+        _wk, "n long"
+    ).count()
+
+    out = tempfile.mkdtemp(prefix="chearch_soak_")
+    r: dict[str, object] = {
+        "metric": "1.28M-doc soak", "sf": SF_DIR, "replication": REPL,
+        "segments": SEGMENTS, "cpus": CPUS,
+    }
+    try:
+        t0 = time.time()
+        res = build_index(
+            spark, corpus, out, num_segments=SEGMENTS, resume=False
+        )
+        r["build_sec"] = round(time.time() - t0, 3)
+        r["n_docs"] = res.n_docs
+        r["total_tokens"] = res.total_tokens
+        r["docs_per_sec"] = round(res.n_docs / r["build_sec"], 1)
+        r["tokens_per_sec"] = round(res.total_tokens / r["build_sec"], 1)
+        r["index_bytes"] = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dn, fns in os.walk(out)
+            for f in fns
+        )
+
+        ix = Index(spark, out)
+        qset = {
+            "q_term": Term("batch"),
+            "q_and": Term("merge") & Term("sort"),
+            "q_or": Term("merge") | Term("sort") | Term("dup"),
+            "q_nested": (Term("merge") & Term("sort")) | Term("dup"),
+        }
+        ix.search(Term("batch"), k=K).collect()
+        for name, node in qset.items():
+            best = 1e9
+            for _ in range(3):
+                t0 = time.time()
+                ix.search(node, k=K).collect()
+                best = min(best, time.time() - t0)
+            r[name] = round(best, 3)
+        t0 = time.time()
+        ix.search_many(qset, k=K).collect()
+        r["q_batch4"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        ix.search_with_meta(qset["q_and"], k=K).collect()
+        r["q_meta"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        ix.match_phrase(["merge", "sort"]).limit(100).collect()
+        r["q_phrase_100"] = round(time.time() - t0, 3)
+
+        # warm driver-local path at 256 segments
+        ix.local_search(qset["q_and"], k=K)
+        t0 = time.time()
+        for _ in range(20):
+            ix.local_search(qset["q_and"], k=K)
+        r["local_q_and_ms"] = round((time.time() - t0) / 20 * 1000, 2)
+
+        # tombstone 1000 docs: immediate exclusion at full scale
+        top = ix.search(qset["q_or"], k=K).collect()
+        victims = list(range(0, 5000, 5))  # 1000 ids
+        t0 = time.time()
+        delete_docs(out, victims)
+        r["delete_1000_sec"] = round(time.time() - t0, 3)
+        ix.refresh()
+        t0 = time.time()
+        after = ix.search(qset["q_or"], k=K).collect()
+        r["q_or_post_delete"] = round(time.time() - t0, 3)
+        assert len(after) == K
+        assert not set(victims) & {int(x.doc_id) for x in after}
+        r["delete_excluded"] = True
+        r["top1_shift"] = int(top[0].doc_id) != int(after[0].doc_id) or (
+            int(top[0].doc_id) in victims
+        )
+
+        fs = subprocess.run(
+            [sys.executable, "scripts/verify_index.py", out],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        r["fsck"] = (
+            json.loads(fs.stdout)["status"]
+            if fs.returncode == 0
+            else f"FAILED: {fs.stderr[-300:]}"
+        )
+        print(json.dumps(r))
+        sys.stdout.flush()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -116,3 +116,57 @@ def test_wand_k_zero():
     doc_lens = np.full(n, 50, dtype=np.int64)
     d, s = wand_or_topk([(docs, tfs)], [None], [1.5], doc_lens, 50.0, 0)
     assert len(d) == 0 and len(s) == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_docs=st.integers(1, 600),
+    n_terms=st.integers(1, 5),
+    k=st.integers(1, 15),
+    del_frac=st.floats(0.0, 0.6),
+)
+def test_tombstone_exclusion_preserves_wand_exactness(
+    seed, n_docs, n_terms, k, del_frac
+):
+    """Randomized delete sets: dropping tombstoned docs from postings
+    (and the block metadata of affected terms, per search._drop_tombstoned)
+    must yield EXACTLY the brute-force top-k over the surviving docs —
+    the admissibility argument for the block-drop fallback, fuzzed."""
+    from chearch_spark.search import _drop_tombstoned
+
+    rng = np.random.default_rng(seed)
+    postings, blocks, idfs, doc_lens = _mk_postings(
+        rng, n_docs, n_terms, 0.3
+    )
+    avgdl = float(doc_lens.mean())
+    # external ids = doc_index * 7 + 1 (ascending, like a docmap)
+    meta_ids = np.arange(n_docs, dtype=np.int64) * 7 + 1
+    tomb = np.sort(
+        rng.choice(meta_ids, size=int(n_docs * del_frac), replace=False)
+    )
+    pdict = {f"t{i}": p for i, p in enumerate(postings)}
+    bdict = {
+        f"t{i}": b for i, b in enumerate(blocks) if b is not None
+    }
+    fp, fb = _drop_tombstoned(pdict, bdict, meta_ids, tomb)
+    terms = [t for t in pdict if len(fp[t][0])]
+    got_d, got_s = wand_or_topk(
+        [fp[t] for t in terms],
+        [fb.get(t) for t in terms],
+        [idfs[int(t[1:])] for t in terms],
+        doc_lens,
+        avgdl,
+        k,
+    )
+    want_d, want_s = _brute_or(
+        [fp[t] for t in terms],
+        [idfs[int(t[1:])] for t in terms],
+        doc_lens,
+        avgdl,
+        k,
+    )
+    assert got_d.tolist() == want_d.tolist()
+    assert np.allclose(got_s, want_s)
+    # nothing tombstoned survives anywhere
+    assert not set(meta_ids[got_d]) & set(tomb.tolist())
