@@ -354,6 +354,20 @@ class Index:
         if hasattr(self, "_docmap_files"):
             del self._docmap_files
 
+    def delete(self, doc_ids) -> int:
+        """Tombstone external doc ids on THIS index and make the
+        handle see them at once (only the tombstone cache is
+        invalidated — no file-listing/bloom/dictionary reload, so the
+        next query pays ~nothing extra).  Returns the number of newly
+        deleted ids.  Physical purge happens at the next
+        ``compact_stream_segments``."""
+        from chearch_spark.tombstones import delete_docs
+
+        n = delete_docs(self.path, doc_ids)
+        if n:
+            self._tomb = None
+        return n
+
     def _tombstones(self) -> np.ndarray:
         """Sorted external doc ids deleted via
         :func:`chearch_spark.tombstones.delete_docs` — excluded from

@@ -111,6 +111,20 @@ def test_delete_excludes_everywhere_and_refills(spark, batch_index):
     assert rep["tombstones_pending"] == 4
 
 
+def test_index_delete_wrapper_no_full_refresh(spark, batch_index):
+    """Index.delete() makes the live handle exclude at once without
+    rebuilding the listing/bloom/dictionary caches."""
+    ix = batch_index
+    before = ix.search(Term("alpha"), k=5).collect()
+    blooms_obj = ix._load_blooms()
+    assert ix.delete([int(before[0].doc_id)]) == 1
+    assert ix.delete([int(before[0].doc_id)]) == 0
+    after = ix.search(Term("alpha"), k=5).collect()
+    assert int(before[0].doc_id) not in {int(r.doc_id) for r in after}
+    # caches survived (same objects — no refresh storm)
+    assert ix._load_blooms() is blooms_obj
+
+
 def test_wand_exclusion_is_exact(spark, batch_index):
     """Deleting docs invalidates block-max metadata for their terms;
     the kernel must fall back to admissible bounds — top-k over a
