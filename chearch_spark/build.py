@@ -424,11 +424,25 @@ def build_index(
     if not resume:
         # fresh build: stale files from a previous (possibly
         # differently-partitioned) build would otherwise be served by
-        # queries, since readers scan the whole directory
+        # queries, since readers scan the whole directory.  The
+        # dictionary/coverage/stats snapshot and tombstones go too —
+        # seg ids are reused, so a stale dict_coverage.json would let
+        # an incremental finalize merge the OLD contents' term rows,
+        # and old tombstones would silently delete from the new corpus
         import shutil
 
-        for d in (seg_dir, map_dir, bloom_dir_):
+        for d in (
+            seg_dir, map_dir, bloom_dir_,
+            os.path.join(out_dir, "dictionary"),
+            os.path.join(out_dir, "tombstones"),
+        ):
             shutil.rmtree(d, ignore_errors=True)
+        for f in (
+            "dict_coverage.json", "dict_bounds.json", "stats.json",
+        ):
+            p = os.path.join(out_dir, f)
+            if os.path.exists(p):
+                os.remove(p)
     os.makedirs(seg_dir, exist_ok=True)
     os.makedirs(map_dir, exist_ok=True)
 

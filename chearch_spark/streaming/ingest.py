@@ -198,11 +198,191 @@ def ingest_batch(
     return summaries
 
 
-def finalize_index(spark, out_dir: str) -> dict:
+def _seg_files(seg_dir: str) -> dict[int, str]:
+    """{seg_id: absolute segment file path} from one listing."""
+    out: dict[int, str] = {}
+    for fn in os.listdir(seg_dir):
+        if fn.startswith("segment-") and fn.endswith(".parquet"):
+            out[int(fn[len("segment-"):-len(".parquet")])] = os.path.join(
+                seg_dir, fn
+            )
+    return out
+
+
+def _manifest_totals(out_dir: str) -> dict[int, tuple[int, int]]:
+    """{seg_id: (n_docs, n_tokens)} across all manifest kinds (later
+    manifests win — a compaction re-describes its output ids)."""
+    import glob
+
+    totals: dict[int, tuple[int, int]] = {}
+    manifests = []
+    bm = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(bm):
+        manifests.append(bm)
+    manifests += sorted(
+        glob.glob(os.path.join(out_dir, "manifest-batch-*.json"))
+    ) + sorted(glob.glob(os.path.join(out_dir, "manifest-compact-*.json")))
+    for mp in manifests:
+        with open(mp) as f:
+            m = json.load(f)
+        for s in m.get("segments", []):
+            if "n_docs" in s and "n_tokens" in s:
+                totals[int(s["seg_id"])] = (
+                    int(s["n_docs"]), int(s["n_tokens"]),
+                )
+    return totals
+
+
+def _finalize_incremental(spark, out_dir: str, live: set[int]) -> dict | None:
+    """O(new-segments) finalize: scan ONLY the segments the current
+    dictionary does not cover, merge their pre-aggregated term rows
+    with the existing dictionary (an O(vocabulary) union-agg), and
+    derive totals/fingerprints from the immutable manifests.  The
+    result is EXACTLY what the full re-aggregation produces — the
+    hot-term NULL cap merges soundly because a term's segment count
+    only grows (old NULL ⟹ still over cap; union over cap ⟹ NULL).
+
+    Returns None (caller falls back to the full path) unless every
+    precondition holds: stats.json + dict_coverage.json + a `segs`
+    dictionary present, every covered segment still live (a compaction
+    retires covered ids → the old rows are stale), and every live
+    segment described by a manifest (totals/fp provenance)."""
+    from pyspark.sql import functions as F
+
+    from chearch_spark.build import (
+        META_TERM,
+        dictionary_agg,
+        write_dictionary,
+    )
+
+    stats_path = os.path.join(out_dir, "stats.json")
+    cov_path = os.path.join(out_dir, "dict_coverage.json")
+    dict_dir = os.path.join(out_dir, "dictionary")
+    if not (
+        os.path.exists(stats_path)
+        and os.path.exists(cov_path)
+        and os.path.isdir(dict_dir)
+    ):
+        return None
+    with open(stats_path) as f:
+        old_stats = json.load(f)
+    with open(cov_path) as f:
+        covered = {int(s) for s in json.load(f)["seg_ids"]}
+    if not covered <= live:
+        return None  # covered segments died (compaction): stale rows
+    totals = _manifest_totals(out_dir)
+    if not live <= set(totals):
+        return None  # a live segment has no manifest lineage
+    import pyarrow.dataset as ds
+
+    try:
+        has_segs = "segs" in ds.dataset(
+            dict_dir, format="parquet"
+        ).schema.names
+    except Exception:
+        has_segs = False
+    if not has_segs:
+        return None
+
+    files = _seg_files(os.path.join(out_dir, "segments"))
+    new = sorted(live - covered)
+    n_docs = sum(totals[s][0] for s in live)
+    n_tokens = sum(totals[s][1] for s in live)
+    n_files = max(spark.sparkContext.defaultParallelism // 8, 1)
+    has_pos = bool(old_stats.get("store_positions", False))
+
+    if new:
+        new_scan = spark.read.parquet(*[files[s] for s in new])
+        not_meta = F.col("term") != META_TERM
+        if not has_pos:
+            has_pos = (
+                new_scan.filter(not_meta)
+                .filter(F.length("positions") > 0)
+                .limit(1)
+                .count()
+                > 0
+            )
+        # old dictionary must be MATERIALIZED before write_dictionary
+        # overwrites the directory it is being read from
+        old_dict = spark.read.parquet(dict_dir).localCheckpoint(eager=True)
+        union = old_dict.select("term", "df", "cf", "segs").unionAll(
+            dictionary_agg(new_scan.filter(not_meta))
+        )
+        merged = (
+            union.groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.max(
+                    F.when(F.col("segs").isNull(), 1).otherwise(0)
+                ).alias("anynull"),
+                F.flatten(F.collect_list("segs")).alias("segs_all"),
+            )
+            .select(
+                "term",
+                "df",
+                "cf",
+                F.when(
+                    (F.col("anynull") == 0)
+                    & (F.size("segs_all") <= spec.DICT_SEGS_CAP),
+                    F.sort_array("segs_all"),
+                ).alias("segs"),
+            )
+        )
+        write_dictionary(
+            merged, out_dir, n_files, covered_seg_ids=sorted(live)
+        )
+
+    fp = sum(_manifest_fps(out_dir).get(s, 0) for s in live) % (2**63)
+    stats = {
+        "spec_version": spec.SPEC_VERSION,
+        "n_docs": n_docs,
+        "total_tokens": n_tokens,
+        "avgdl": (n_tokens / n_docs) if n_docs else 0.0,
+        "num_segments": len(live),
+        "store_positions": has_pos,
+        "content_fp": fp,
+    }
+    tmp = stats_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f, indent=1)
+    os.replace(tmp, stats_path)
+    return stats
+
+
+def _manifest_fps(out_dir: str) -> dict[int, int]:
+    """{seg_id: content_fp} across all manifest kinds (later wins)."""
+    import glob
+
+    fps: dict[int, int] = {}
+    manifests = []
+    bm = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(bm):
+        manifests.append(bm)
+    manifests += sorted(
+        glob.glob(os.path.join(out_dir, "manifest-batch-*.json"))
+    ) + sorted(glob.glob(os.path.join(out_dir, "manifest-compact-*.json")))
+    for mp in manifests:
+        with open(mp) as f:
+            m = json.load(f)
+        for s in m.get("segments", []):
+            if "content_fp" in s:
+                fps[int(s["seg_id"])] = int(s["content_fp"])
+    return fps
+
+
+def finalize_index(spark, out_dir: str, incremental: bool = True) -> dict:
     """Merge all segments (batch- or stream-written) into a queryable
     snapshot: rebuild the global dictionary and stats.json.  Same
     merge shape as the batch build: a tiny shuffle over per-segment
-    pre-aggregated term rows."""
+    pre-aggregated term rows.
+
+    ``incremental=True`` (default) scans ONLY segments the current
+    dictionary does not cover when the snapshot provenance allows it
+    (see :func:`_finalize_incremental`) — at scale, finalize cost then
+    tracks the new data, not the index size; any precondition failure
+    (first finalize, post-compaction, legacy layout) falls back to the
+    full re-aggregation below, which is always correct."""
     from pyspark.sql import functions as F
 
     from chearch_spark.build import (
@@ -213,6 +393,12 @@ def finalize_index(spark, out_dir: str) -> dict:
     from chearch_spark.streaming.compact import replaced_seg_ids
 
     seg_dir = os.path.join(out_dir, "segments")
+    if incremental:
+        dead0 = replaced_seg_ids(out_dir)
+        live0 = {s for s in _seg_files(seg_dir) if s not in dead0}
+        got = _finalize_incremental(spark, out_dir, live0)
+        if got is not None:
+            return got
     seg = spark.read.parquet(seg_dir)
     # a crashed compaction may leave dead files (replaced inputs or
     # unpublished orphan outputs); counting them would double stats
@@ -256,23 +442,8 @@ def finalize_index(spark, out_dir: str) -> dict:
     # Segments not covered by any manifest (e.g. a legacy index) are
     # fingerprinted distributively: one applyInPandas over their
     # docmap rows, collecting one row per segment.
-    import glob
-
     seg_ids = sorted(int(s) for s in meta.seg_ids)
-    fp_by_seg: dict[int, int] = {}
-    manifests = []
-    build_manifest = os.path.join(out_dir, "manifest.json")
-    if os.path.exists(build_manifest):
-        manifests.append(build_manifest)
-    manifests += sorted(
-        glob.glob(os.path.join(out_dir, "manifest-batch-*.json"))
-    ) + sorted(glob.glob(os.path.join(out_dir, "manifest-compact-*.json")))
-    for mp in manifests:
-        with open(mp) as f:
-            m = json.load(f)
-        for s in m.get("segments", []):
-            if "content_fp" in s:
-                fp_by_seg[int(s["seg_id"])] = int(s["content_fp"])
+    fp_by_seg = _manifest_fps(out_dir)
     missing = [s for s in seg_ids if s not in fp_by_seg]
     map_dir = os.path.join(out_dir, "docmap")
     if missing and os.path.isdir(map_dir):

@@ -653,3 +653,103 @@ def test_stream_empty_result_windows(spark, dirs):
         spark, dirs["input"] + "/part=*", dirs["stream_ix"]
     )
     assert got.count() == 0
+
+
+def test_incremental_finalize_equals_full(spark, dirs, monkeypatch):
+    """Incremental finalize (scan only uncovered segments + merge with
+    the existing dictionary) must produce EXACTLY the full
+    re-aggregation's dictionary and stats after every batch — with a
+    tiny DICT_SEGS_CAP so the hot-term NULL merges (old NULL, new
+    NULL, union overflow) are all exercised — and must fall back
+    cleanly after a compaction retires covered segments."""
+    import pandas as pd
+
+    from chearch_spark import spec
+    from chearch_spark.streaming.compact import compact_stream_segments
+    from chearch_spark.streaming.ingest import _finalize_incremental
+
+    monkeypatch.setattr(spec, "DICT_SEGS_CAP", 2)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    inc, full = dirs["stream_ix"], dirs["batch_ix"]
+
+    def _dict_rows(path):
+        import pyarrow.dataset as ds
+
+        t = (
+            ds.dataset(os.path.join(path, "dictionary"), format="parquet")
+            .to_table()
+            .to_pandas()
+            .sort_values("term")
+            .reset_index(drop=True)
+        )
+        t["segs"] = t["segs"].map(
+            lambda v: None if v is None else sorted(int(x) for x in v)
+        )
+        return t
+
+    def _stats(path):
+        with open(os.path.join(path, "stats.json")) as f:
+            return json.load(f)
+
+    for b in range(4):
+        for out in (inc, full):
+            ingest_batch(
+                docs.filter(f"pmod(doc_id, 4) = {b}"), out,
+                batch_id=b, num_segments=2,
+            )
+        finalize_index(spark, inc)  # b=0: falls back (no snapshot yet)
+        finalize_index(spark, full, incremental=False)
+        di, df_ = _dict_rows(inc), _dict_rows(full)
+        pd.testing.assert_frame_equal(di, df_)
+        assert _stats(inc) == _stats(full)
+        if b > 0:
+            # the fast path actually engages once a snapshot exists
+            from chearch_spark.streaming.compact import replaced_seg_ids
+            from chearch_spark.streaming.ingest import _seg_files
+
+            live = {
+                s
+                for s in _seg_files(os.path.join(inc, "segments"))
+                if s not in replaced_seg_ids(inc)
+            }
+            assert _finalize_incremental(spark, inc, live) is not None
+
+    # some term must actually be NULL-capped for the merge test to bite
+    assert (_dict_rows(inc)["segs"].isna()).any()
+
+    # query equality through the incremental snapshots
+    qi = {r.doc_id for r in Index(spark, inc).match_docs(Term("merge")).collect()}
+    qf = {r.doc_id for r in Index(spark, full).match_docs(Term("merge")).collect()}
+    assert qi == qf
+
+    # compaction retires covered ids -> incremental must decline...
+    compact_stream_segments(spark, inc, num_segments=2, finalize=False)
+    from chearch_spark.streaming.compact import replaced_seg_ids
+    from chearch_spark.streaming.ingest import _seg_files
+
+    live = {
+        s
+        for s in _seg_files(os.path.join(inc, "segments"))
+        if s not in replaced_seg_ids(inc)
+    }
+    assert _finalize_incremental(spark, inc, live) is None
+    # ...and finalize_index(incremental=True) still lands correctly
+    compact_stream_segments(spark, full, num_segments=2, finalize=False)
+    finalize_index(spark, inc)
+    finalize_index(spark, full, incremental=False)
+    pd.testing.assert_frame_equal(_dict_rows(inc), _dict_rows(full))
+    assert _stats(inc) == _stats(full)
+
+    # post-compaction snapshot exists again -> next batch goes fast
+    for out in (inc, full):
+        ingest_batch(
+            docs.filter("pmod(doc_id, 4) = 1"), out,
+            batch_id=9, num_segments=2,
+        )
+    finalize_index(spark, inc)
+    finalize_index(spark, full, incremental=False)
+    pd.testing.assert_frame_equal(_dict_rows(inc), _dict_rows(full))
+    assert _stats(inc) == _stats(full)
