@@ -358,6 +358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Exact consecutive phrase via stored positions (<= 255)."""
         return _get_index(spark, sf).match_phrase(["merge", "sort"])
 
+    def near_match(spark, sf):
+        """Unordered proximity (NEAR/3) over stored positions."""
+        return _get_index(spark, sf).match_near("merge", "sort", window=3)
+
     def term_prefix(spark, sf):
         from chearch_spark.plans.query import Prefix
 
@@ -438,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_diff": bm25_topk_diff,
         "term_prefix": term_prefix,
         "phrase_match": phrase_match,
+        "near_match": near_match,
         "bm25_topk_prefix": bm25_topk_prefix,
         # --- text analysis (training-data pipeline ops) -------------
         "token_counts": lambda s, sf: T.token_counts(_docs(s, sf)),
@@ -634,6 +639,23 @@ WITH tok0 AS (
 SELECT DISTINCT t0.doc_id
 FROM t t0
 JOIN t t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+WHERE t0.term = 'merge' AND t1.term = 'sort'
+""",
+        # NEAR/3 unordered proximity over the same 255-capped positions
+        "near_match": f"""
+WITH tok0 AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '{_SPLIT}'), x -> x <> '')) AS term,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text),
+                '{_SPLIT}'), x -> x <> ''), 1) - 1 AS pos
+  FROM documents
+), t AS (
+  SELECT doc_id, term, pos FROM tok0 WHERE pos <= 255
+)
+SELECT DISTINCT t0.doc_id
+FROM t t0
+JOIN t t1 ON t1.doc_id = t0.doc_id AND abs(t1.pos - t0.pos) <= 3
 WHERE t0.term = 'merge' AND t1.term = 'sort'
 """,
         # prefix expansion: every dictionary term LIKE 's%' (the corpus

@@ -1008,6 +1008,83 @@ class Index:
 
         return scan.groupBy("seg_id").applyInPandas(_kernel, "doc_id long")
 
+    def match_near(self, term_a: str, term_b: str, window: int = 5):
+        """Doc ids where ``term_a`` and ``term_b`` occur within
+        ``window`` token positions of each other (unordered proximity
+        — the NEAR operator; window=1 ≈ adjacent either way).
+
+        Pinned semantics: over the STORED positions (≤ 255, the 8-bit
+        textLocation cap, like :meth:`match_phrase`), match iff some
+        pair of occurrences satisfies ``|pos_a - pos_b| <= window``.
+        Kernel: occurrences keyed ``doc_index * 1024 + pos``; for each
+        a-occurrence one vectorized ``searchsorted`` range probe into
+        the b-keys — positions are capped at 255 and windows at 255,
+        so a probe can never cross into a neighboring doc's key block.
+        """
+        if not (1 <= int(window) <= 255):
+            raise ValueError("window must be in [1, 255]")
+        w = int(window)
+        ta, tb = spec.normalize_term(term_a), spec.normalize_term(term_b)
+        if ta == tb:
+            raise ValueError(
+                "NEAR of a term with itself is ambiguous (every "
+                "occurrence is within 0 of itself); use match_docs"
+            )
+        scan = self._segment_scan(
+            sorted({ta, tb}),
+            ["seg_id", "term", "doc_ids", "pos_counts", "positions"],
+            segs=self.candidate_segments(_fold_and([ta, tb])),
+        )
+        tomb = self._tombstones()
+
+        def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+            meta = pdf[pdf["term"] == META_TERM]
+            if len(meta) == 0:
+                return empty
+            ext_ids = codec.decode_postings(
+                meta["doc_ids"].iloc[0]
+            ).astype(np.int64)
+            occ: dict[str, np.ndarray] = {}
+            for _, row in pdf[pdf["term"] != META_TERM].iterrows():
+                docs = codec.decode_postings(row["doc_ids"]).astype(np.int64)
+                counts = codec.decode_varints(row["pos_counts"]).astype(
+                    np.int64
+                )
+                deltas = codec.decode_varints(row["positions"]).astype(
+                    np.int64
+                )
+                if len(deltas) == 0:
+                    occ[row["term"]] = np.empty(0, np.int64)
+                    continue
+                g = np.repeat(np.arange(len(counts)), counts)
+                cs = np.cumsum(deltas)
+                starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+                kept = counts > 0
+                base = np.zeros(len(counts), dtype=np.int64)
+                base[kept] = cs[starts[kept]] - deltas[starts[kept]]
+                occ[row["term"]] = (
+                    np.repeat(docs, counts) * 1024 + (cs - base[g])
+                )
+            ka, kb = occ.get(ta), occ.get(tb)
+            if ka is None or kb is None or not len(ka) or not len(kb):
+                return empty
+            kb = np.sort(kb)
+            # per a-occurrence window probe, clamped to the doc's block
+            blk = (ka // 1024) * 1024
+            lo = np.maximum(ka - w, blk)
+            hi = np.minimum(ka + w, blk + 1023)
+            li = np.searchsorted(kb, lo, side="left")
+            li_c = np.minimum(li, len(kb) - 1)
+            hit = (kb[li_c] >= lo) & (kb[li_c] <= hi)
+            hit_docs = np.unique(ka[hit] // 1024)
+            hits = ext_ids[hit_docs].astype("int64")
+            if tomb is not None and len(tomb):
+                hits = hits[~np.isin(hits, tomb)]
+            return pd.DataFrame({"doc_id": hits})
+
+        return scan.groupBy("seg_id").applyInPandas(_kernel, "doc_id long")
+
     # -- reference-parity occurrence mode --------------------------------
     def parity_search(
         self, query: Node | str, partition_limit: int | None = None

@@ -568,3 +568,47 @@ def test_prefix_expansion_over_cap_raises(spark, tmp_path_factory, monkeypatch):
     # under the cap: full expansion, all docs match
     monkeypatch.setattr(search_mod, "MAX_PREFIX_EXPANSION", 64)
     assert ix.match_docs(Prefix("pre")).count() == 6
+
+
+def test_match_near_semantics(spark, tmp_path_factory):
+    """NEAR windows, the 255-position cap, argument validation, and
+    tombstone exclusion on the proximity path."""
+    import pandas as pd
+
+    from chearch_spark.build import build_index
+    from chearch_spark.search import Index
+    from chearch_spark.tombstones import delete_docs
+
+    rows = [
+        (0, "alpha x beta"),              # dist 2
+        (1, "alpha beta"),                # dist 1
+        (2, "alpha x x x x x beta"),      # dist 6
+        (3, "beta x alpha"),              # unordered, dist 2
+        (4, "alpha " + "pad " * 300 + "beta"),  # beta past the 255 cap
+        (5, "alpha only here"),
+        (6, "beta only here"),
+    ]
+    out = str(tmp_path_factory.mktemp("near_ix"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    build_index(spark, df, out, num_segments=2, resume=False)
+    ix = Index(spark, out)
+
+    def near(w):
+        return {
+            int(r.doc_id)
+            for r in ix.match_near("alpha", "beta", window=w).collect()
+        }
+
+    assert near(1) == {1}
+    assert near(2) == {0, 1, 3}
+    assert near(6) == {0, 1, 2, 3}
+    assert near(255) == {0, 1, 2, 3}  # doc 4's beta is past the cap
+    with pytest.raises(ValueError):
+        ix.match_near("alpha", "alpha")
+    with pytest.raises(ValueError):
+        ix.match_near("alpha", "beta", window=0)
+    delete_docs(out, [1])
+    ix.refresh()
+    assert near(2) == {0, 3}
