@@ -358,6 +358,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Exact consecutive phrase via stored positions (<= 255)."""
         return _get_index(spark, sf).match_phrase(["merge", "sort"])
 
+    def postings_rows(spark, sf):
+        """Relational posting view: (term, doc_id, tf) for two terms —
+        the index must agree row-for-row with a from-scratch
+        tokenize/count over the corpus."""
+        return _get_index(spark, sf).postings_df(["merge", "sort"])
+
     def near_match(spark, sf):
         """Unordered proximity (NEAR/3) over stored positions."""
         return _get_index(spark, sf).match_near("merge", "sort", window=3)
@@ -443,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_prefix": term_prefix,
         "phrase_match": phrase_match,
         "near_match": near_match,
+        "postings_rows": postings_rows,
         "bm25_topk_prefix": bm25_topk_prefix,
         # --- text analysis (training-data pipeline ops) -------------
         "token_counts": lambda s, sf: T.token_counts(_docs(s, sf)),
@@ -640,6 +647,11 @@ SELECT DISTINCT t0.doc_id
 FROM t t0
 JOIN t t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
 WHERE t0.term = 'merge' AND t1.term = 'sort'
+""",
+        "postings_rows": _BASE_CTE
+        + """
+SELECT term, doc_id, CAST(tf AS BIGINT) AS tf
+FROM tf WHERE term IN ('merge', 'sort')
 """,
         # NEAR/3 unordered proximity over the same 255-capped positions
         "near_match": f"""

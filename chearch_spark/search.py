@@ -1008,6 +1008,54 @@ class Index:
 
         return scan.groupBy("seg_id").applyInPandas(_kernel, "doc_id long")
 
+    def postings_df(self, terms: list[str]):
+        """Relational view of the inverted index: (term, doc_id, tf)
+        rows for the given terms — the bridge from index structures to
+        ordinary Spark SQL (join with metadata, aggregate df/tf,
+        feed downstream features).  Pruned like a query: the term
+        filter pushes into the segment scan and the candidate-segment
+        directory/blooms bound the file fan-out; the kernel decodes
+        only the requested rows and emits one row per posting entry.
+        Tombstoned docs are excluded (same visibility rule as every
+        query path)."""
+        norm = sorted({spec.normalize_term(t) for t in terms})
+        if not norm:
+            raise ValueError("postings_df needs at least one term")
+        scan = self._segment_scan(
+            norm,
+            ["seg_id", "term", "doc_ids", "tfs"],
+            segs=self.candidate_segments(_fold_or(norm)),
+        )
+        tomb = self._tombstones()
+
+        def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            postings, meta_ids, _, _ = _decode_segment(pdf)
+            postings, _b = _drop_tombstoned(postings, {}, meta_ids, tomb)
+            ts, ds_, fs = [], [], []
+            for t, (docs, tfs) in sorted(postings.items()):
+                ts.extend([t] * len(docs))
+                ds_.append(meta_ids[docs])
+                fs.append(tfs)
+            if not ts:
+                return pd.DataFrame(
+                    {
+                        "term": pd.Series(dtype="object"),
+                        "doc_id": pd.Series(dtype="int64"),
+                        "tf": pd.Series(dtype="int64"),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "term": pd.Series(ts, dtype="object"),
+                    "doc_id": np.concatenate(ds_).astype("int64"),
+                    "tf": np.concatenate(fs).astype("int64"),
+                }
+            )
+
+        return scan.groupBy("seg_id").applyInPandas(
+            _kernel, "term string, doc_id long, tf long"
+        )
+
     def match_near(self, term_a: str, term_b: str, window: int = 5):
         """Doc ids where ``term_a`` and ``term_b`` occur within
         ``window`` token positions of each other (unordered proximity
