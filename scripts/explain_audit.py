@@ -218,6 +218,23 @@ def main() -> None:
     )
     print("OK  search_with_meta (driver form): k rows via O(k) file opens")
 
+    audit(
+        "NEAR proximity (match_near)",
+        ix.match_near("merge", "sort", window=3),
+        [
+            ("term pushdown into parquet", "PushedFilters: [In(term"),
+            ("positions column read (and nothing else posting-sized)",
+             "positions"),
+        ],
+    )
+    audit(
+        "relational posting view (postings_df)",
+        ix.postings_df(["merge", "sort"]),
+        [
+            ("term pushdown into parquet", "PushedFilters: [In(term"),
+        ],
+    )
+
     # persisted IVF query: partition-pruned candidate scan, no Python
     # kernel anywhere in the serving plan
     ivf_dir = tempfile.mkdtemp(prefix="chearch_audit_ivf_")
