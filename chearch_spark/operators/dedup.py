@@ -472,14 +472,20 @@ FROM scored WHERE jaccard >= {tau}
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): 48-bit tf-weighted SimHash (docs with ≥ 1
     token).  One explode + one groupBy(doc_id) shuffle; the 48
-    bit-sums are codegen'd aggregate expressions."""
+    bit-sums are codegen'd aggregate expressions.
+
+    Terms are hashed to their 60-bit md5 value BEFORE the tf groupBy,
+    so both shuffles carry (long, long) rows instead of term strings
+    (same shuffle-bytes lever as the MinHash chain); the oracle groups
+    by the same hash, so results stay value-exact — and SimHash only
+    ever consumes h, never the term string."""
     tf = (
         df.select(
             "doc_id", F.explode(tokens_col(F.col(text_col))).alias("term")
         )
-        .groupBy("doc_id", "term")
+        .select("doc_id", md5_long(F.col("term")).alias("h"))
+        .groupBy("doc_id", "h")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", md5_long(F.col("term")))
     )
     aggs = [
         F.sum(
@@ -513,8 +519,8 @@ def simhash_signatures_sql(
 WITH tok AS (
   SELECT doc_id, unnest({toks}) AS term FROM {table}
 ), tf AS (
-  SELECT doc_id, term, count(*) AS tf, {h} AS h
-  FROM tok GROUP BY doc_id, term
+  SELECT doc_id, {h} AS h, count(*) AS tf
+  FROM tok GROUP BY doc_id, h
 ), sig AS (
   SELECT doc_id,
          {sums}
