@@ -502,6 +502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": lambda s, sf: A.lsh_recall(
             _emb(s, sf), _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
         ),
+        "ann_ivf_recall": lambda s, sf: A.ivf_recall(
+            _emb(s, sf), _ANN_QUERY_IDS, k=10
+        ),
         # --- multimodal plumbing --------------------------------------
         "media_metadata": lambda s, sf: M.media_metadata(
             M.attach_media(_docs(s, sf))
@@ -553,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_recall": A.lsh_recall_sql(
             _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
         ),
+        "ann_ivf_recall": A.ivf_recall_sql(_ANN_QUERY_IDS, k=10),
         "ann_lsh_topk": A.lsh_ann_topk_sql(
             _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
         ),

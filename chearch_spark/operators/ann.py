@@ -793,6 +793,63 @@ GROUP BY ex.query_id
 """
 
 
+def ivf_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall of the verifiable IVF path (:func:`ivf_flat_topk`) vs the
+    exact top-k, computed in-plan: (query_id, n_exact, n_hit, recall).
+    The IVF twin of :func:`lsh_recall` — the quality gauge a production
+    deployment watches when tuning n_probe; deterministic, so it has
+    an exact DuckDB mirror (:func:`ivf_recall_sql`)."""
+    ex = cosine_topk(emb, query_ids, k, vec_col, id_col).select(
+        "query_id", "vec_id"
+    )
+    ap = ivf_flat_topk(
+        emb, query_ids, k, n_centroids, n_probe, vec_col, id_col
+    ).select("query_id", "vec_id", F.lit(1).alias("hit"))
+    return (
+        ex.join(ap, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_hit") / F.col("n_exact"), 6)
+        )
+        .select("query_id", "n_exact", "n_hit", "recall")
+    )
+
+
+def ivf_recall_sql(
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of :func:`ivf_recall` (composed mirrors)."""
+    ex = cosine_topk_sql(query_ids, k, table)
+    ap = ivf_flat_topk_sql(query_ids, k, n_centroids, n_probe, table)
+    return f"""
+WITH ex AS (SELECT query_id, vec_id FROM ({ex})),
+ap AS (SELECT query_id, vec_id FROM ({ap}))
+SELECT ex.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(ap.vec_id) AS BIGINT) AS n_hit,
+       round(CAST(count(ap.vec_id) AS DOUBLE) / count(*), 6) AS recall
+FROM ex
+LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+GROUP BY ex.query_id
+"""
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query_ids: list[int],
