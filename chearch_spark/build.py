@@ -443,6 +443,19 @@ def build_index(
             p = os.path.join(out_dir, f)
             if os.path.exists(p):
                 os.remove(p)
+        # manifests too: a stale compaction manifest whose `replaced`
+        # list names the filenames this build is about to recreate
+        # would mark the NEW segments dead (and the next compaction
+        # would delete them as pending roll-forward)
+        import glob as glob_
+
+        for p in (
+            [os.path.join(out_dir, "manifest.json")]
+            + glob_.glob(os.path.join(out_dir, "manifest-batch-*.json"))
+            + glob_.glob(os.path.join(out_dir, "manifest-compact-*.json"))
+        ):
+            if os.path.exists(p):
+                os.remove(p)
     os.makedirs(seg_dir, exist_ok=True)
     os.makedirs(map_dir, exist_ok=True)
 
@@ -513,6 +526,49 @@ def build_index(
             {"num_segments": S, "store_positions": store_positions}, f
         )
     os.replace(cfg_path + ".tmp", cfg_path)
+
+    if resume:
+        # an include_batch compaction retires batch segment FILENAMES;
+        # a resumed build re-creating those names would either be
+        # treated as dead by readers (while the retiring manifest
+        # lives) or double-count its docs next to the compacted copies
+        # (after that manifest is GC'd).  Refuse whenever a batch id's
+        # file is retired-or-missing while compacted/stream segments
+        # exist — the only safe resumes into a mixed dir are ones that
+        # rebuild nothing.
+        from chearch_spark.streaming.compact import (
+            COMPACT_SEG_BASE,
+            replaced_seg_ids,
+        )
+
+        dead = replaced_seg_ids(out_dir)
+        foreign = any(
+            int(fn[len("segment-"):-len(".parquet")]) >= COMPACT_SEG_BASE
+            for fn in (
+                os.listdir(seg_dir) if os.path.isdir(seg_dir) else []
+            )
+            if fn.startswith("segment-") and fn.endswith(".parquet")
+        )
+        clash = sorted(
+            s
+            for s in range(S)
+            if s in dead
+            or (
+                foreign
+                and not os.path.exists(
+                    os.path.join(seg_dir, f"segment-{s:05d}.parquet")
+                )
+            )
+        )
+        if clash:
+            raise ValueError(
+                f"resume=True would recreate segment ids {clash[:4]} "
+                "in an index that holds compacted/stream segments — "
+                "their docs may already live in compacted outputs (an "
+                "include_batch compaction retires batch files); use "
+                "resume=False for a fresh build or a new output "
+                "directory"
+            )
 
     # document-hash partitioning (chearch README.md:17): one segment per
     # Spark partition; the ONLY full-data shuffle in the build

@@ -446,37 +446,60 @@ def compact_stream_segments(
     num_segments: int | None = None,
     docs_per_segment: int | None = None,
     finalize: bool = True,
+    include_batch: bool = False,
 ) -> dict | None:
     """Merge ALL stream-written (and previously compacted) segments
     into ``num_segments`` output segments (default: sized by
     ``docs_per_segment``, falling back to the batch builder's default
-    cap).  Batch-built segments (ids < COMPACT_SEG_BASE) are never
-    touched.  Returns the refreshed stats (or None if there was
-    nothing to compact)."""
+    cap).  Batch-built segments (ids < COMPACT_SEG_BASE) are left
+    untouched unless ``include_batch=True``, which pulls EVERY live
+    segment into the merge — the full-rewrite maintenance pass that
+    physically purges tombstones from a batch-built index (outputs
+    land in the compact id range; the inputs are retired through the
+    same crash-safe manifest machinery as stream compaction).  Returns
+    the refreshed stats (or None if there was nothing to compact)."""
     from pyspark.sql import functions as F
 
     from chearch_spark.build import DEFAULT_DOCS_PER_SEGMENT
-    from chearch_spark.streaming.ingest import finalize_index
+    from chearch_spark.streaming.ingest import _seg_files, finalize_index
 
     from chearch_spark.tombstones import load_tombstones
 
     seg_dir = os.path.join(out_dir, "segments")
     map_dir = os.path.join(out_dir, "docmap")
     _complete_pending(out_dir)
-    stream_ids = _stream_seg_ids(seg_dir)
+    if include_batch:
+        dead = replaced_seg_ids(out_dir)
+        stream_ids = sorted(
+            s for s in _seg_files(seg_dir) if s not in dead
+        )
+    else:
+        stream_ids = _stream_seg_ids(seg_dir)
     tombs = load_tombstones(out_dir)
     # a single segment is still worth "merging" when tombstones are
     # pending: the pass-through rewrite is what purges them physically
     if len(stream_ids) == 0 or (len(stream_ids) == 1 and not len(tombs)):
         return None
 
+    # real input filenames (batch segments use 5-digit names, stream/
+    # compact 9-digit — resolve from the listing, never reconstruct)
+    files_map = _seg_files(seg_dir)
+
+    def _rel_of(sid: int) -> tuple[str, str]:
+        fn = os.path.basename(files_map[sid])
+        suffix = fn[len("segment-"):]
+        return (f"segments/{fn}", f"docmap/docmap-{suffix}")
+
     # doc counts: manifests first, docmap footers as fallback
     import glob
 
     n_by_seg: dict[int, int] = {}
-    for mp in sorted(
+    manifest_paths = sorted(
         glob.glob(os.path.join(out_dir, "manifest-*.json"))
-    ):
+    )
+    if os.path.exists(os.path.join(out_dir, "manifest.json")):
+        manifest_paths.insert(0, os.path.join(out_dir, "manifest.json"))
+    for mp in manifest_paths:
         with open(mp) as f:
             m = json.load(f)
         for s in m.get("segments", []):
@@ -486,7 +509,7 @@ def compact_stream_segments(
         import pyarrow.parquet as pq
 
         for sid in missing:
-            p = os.path.join(map_dir, f"docmap-{sid:09d}.parquet")
+            p = os.path.join(out_dir, _rel_of(sid)[1])
             n_by_seg[sid] = pq.ParquetFile(p).metadata.num_rows
     total_docs = sum(n_by_seg[s] for s in stream_ids)
     if num_segments is None:
@@ -549,7 +572,7 @@ def compact_stream_segments(
         (g, stream_ids[g::G]) for g in range(G)
     ]
     rows = [
-        (g, json.dumps([_fname(s) for s in sids])) for g, sids in groups
+        (g, json.dumps([_rel_of(s) for s in sids])) for g, sids in groups
     ]
     out_abs = os.path.abspath(out_dir)
 
@@ -625,7 +648,7 @@ def compact_stream_segments(
         ),
         os.path.join(bloom_dir, f"blooms-compact-{epoch:06d}.parquet"),
     )
-    replaced = [rel for s in stream_ids for rel in _fname(s)]
+    replaced = [rel for s in stream_ids for rel in _rel_of(s)]
     manifest = {
         "epoch": epoch,
         "segments": [
@@ -688,6 +711,24 @@ def compact_stream_segments(
             not os.path.exists(os.path.join(out_dir, r)) for r in refs
         ):
             os.remove(mp)
+    # ... and the BUILD manifest once an include_batch pass retired
+    # every batch segment (same resurrection hazard: after the compact
+    # manifest that lists them `replaced` is GC'd, a lingering
+    # manifest.json would make the fsck expect the retired files)
+    bm = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(bm):
+        with open(bm) as f:
+            m = json.load(f)
+        refs = [
+            rel
+            for s in m.get("segments", [])
+            for rel in (s.get("file"), s.get("docmap"))
+            if rel
+        ]
+        if refs and all(
+            not os.path.exists(os.path.join(out_dir, r)) for r in refs
+        ):
+            os.remove(bm)
     # drop bloom files whose segments were ALL replaced by this pass
     # (stale entries are harmless for correctness — candidate assembly
     # intersects with live files — but they bloat every probe).  A

@@ -260,3 +260,64 @@ def test_merge_with_drop_equals_direct_build_property():
     for col in want_map.columns:
         assert got_map[col].tolist() == want_map[col].tolist(), col
     assert got_sum == want_sum
+
+
+def test_include_batch_compaction_purges_batch_index(spark, tmp_index_dir):
+    """Full physical-delete lifecycle for a BATCH-built index:
+    delete -> compact(include_batch=True) rewrites every live segment
+    (the retire machinery of stream compaction, applied to batch
+    files) -> purged docs gone, stats/scores equal a fresh build over
+    the survivors, gc retires every tombstone, fsck green — including
+    after a SECOND compaction GCs the retire manifest (the build
+    manifest must not resurrect the retired files)."""
+    out = tmp_index_dir
+    docs = spark.createDataFrame(
+        pd.DataFrame(ROWS, columns=["doc_id", "text"])
+    )
+    build_index(spark, docs, out, num_segments=4, resume=False)
+    victims = [2, 11, 40]
+    delete_docs(out, victims)
+    stats = compact_stream_segments(
+        spark, out, num_segments=3, include_batch=True
+    )
+    assert stats["n_docs"] == 60 - len(victims)
+    ix = Index(spark, out)
+    live_ids = {
+        int(r.doc_id) for r in ix.docmap().select("doc_id").collect()
+    }
+    assert not set(victims) & live_ids
+    assert _fsck(out)["status"] == "INDEX_OK"
+    assert gc_tombstones(spark, out) == {"kept": 0, "dropped": 3}
+
+    import tempfile
+
+    ref = tempfile.mkdtemp(prefix="chearch_ibatch_ref_")
+    try:
+        surv = docs.filter(~docs.doc_id.isin(victims))
+        build_index(spark, surv, ref, num_segments=3, resume=False)
+        rix = Index(spark, ref)
+        for q in (Term("alpha"), Term("alpha") & Term("shared")):
+            got = [(int(r.doc_id), float(r.score))
+                   for r in ix.search(q, k=20).collect()]
+            want = [(int(r.doc_id), float(r.score))
+                    for r in rix.search(q, k=20).collect()]
+            assert got == want, q
+        assert ix.stats["content_fp"] == rix.stats["content_fp"]
+    finally:
+        import shutil
+
+        shutil.rmtree(ref, ignore_errors=True)
+
+    # second compaction merges the first pass's outputs and GCs its
+    # manifest; the retired batch files must stay retired
+    compact_stream_segments(spark, out, num_segments=2)
+    rep = _fsck(out)
+    assert rep["status"] == "INDEX_OK" and rep["n_docs"] == 57
+
+    # a resumed build into the retired id space must refuse
+    with pytest.raises(ValueError, match="retire"):
+        build_index(spark, docs, out, num_segments=4, resume=True)
+    # fresh build resets the directory (manifests cleared) and works
+    build_index(spark, docs, out, num_segments=4, resume=False)
+    assert Index(spark, out).n_docs == 60
+    assert _fsck(out)["status"] == "INDEX_OK"
