@@ -739,7 +739,9 @@ def compact_stream_segments(
     replaced_ids = {s for s in stream_ids}
     for fn in list(os.listdir(bloom_dir)):
         if fn == f"blooms-compact-{epoch:06d}.parquet" or not (
-            fn.startswith("blooms-batch-") or fn.startswith("blooms-compact-")
+            fn.startswith("blooms-batch-")
+            or fn.startswith("blooms-compact-")
+            or fn == "blooms-build.parquet"  # retired by include_batch
         ):
             continue
         ids = (

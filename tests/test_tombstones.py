@@ -321,3 +321,23 @@ def test_include_batch_compaction_purges_batch_index(spark, tmp_index_dir):
     build_index(spark, docs, out, num_segments=4, resume=False)
     assert Index(spark, out).n_docs == 60
     assert _fsck(out)["status"] == "INDEX_OK"
+
+
+def test_include_batch_gc_retires_build_blooms(spark, tmp_index_dir):
+    """After include_batch retires every batch segment, the build's
+    bloom file must be GC'd (stale entries bloat every probe) and the
+    fsck must report no stale bloom ids."""
+    import os
+
+    out = tmp_index_dir
+    docs = spark.createDataFrame(
+        pd.DataFrame(ROWS, columns=["doc_id", "text"])
+    )
+    build_index(spark, docs, out, num_segments=4, resume=False)
+    compact_stream_segments(spark, out, num_segments=2, include_batch=True)
+    assert not os.path.exists(
+        os.path.join(out, "blooms", "blooms-build.parquet")
+    )
+    rep = _fsck(out)
+    assert rep["status"] == "INDEX_OK"
+    assert rep["bloom_stale"] == [] and rep["bloom_uncovered"] == []
