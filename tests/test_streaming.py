@@ -753,3 +753,106 @@ def test_incremental_finalize_equals_full(spark, dirs, monkeypatch):
     finalize_index(spark, full, incremental=False)
     pd.testing.assert_frame_equal(_dict_rows(inc), _dict_rows(full))
     assert _stats(inc) == _stats(full)
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+def test_random_delete_lifecycle_vs_oracle(spark, dirs, seed):
+    """Randomized corpora through the full DELETE lifecycle, checked
+    against the single-node oracle at every phase with the PINNED
+    semantics of each phase:
+
+    * after delete, before compaction: deleted docs excluded from
+      results, scores computed with the last snapshot's (stale) stats
+      — i.e. exactly the full-corpus oracle's results minus deleted
+      docs;
+    * after compaction (physical purge) + finalize: scores equal an
+      oracle over the SURVIVORS (stats recomputed);
+    * repeated across two delete/compact rounds, with fsck + gc at the
+      end.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from chearch_spark.oracle import OracleIndex
+    from chearch_spark.streaming.compact import compact_stream_segments
+    from chearch_spark.tombstones import delete_docs, gc_tombstones
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(40)] + ["hot"] * 8
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(0, 30))))
+        for i in range(240)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = dirs["stream_ix"]
+    df = spark.createDataFrame(pdf)
+    n_batches = int(rng.integers(2, 4))
+    assign = rng.integers(0, n_batches, len(pdf))
+    for b in range(n_batches):
+        ids = [int(i) for i in pdf["doc_id"][assign == b]]
+        ingest_batch(
+            df.filter(df.doc_id.isin(ids)), out, batch_id=b,
+            num_segments=int(rng.integers(1, 4)),
+        )
+    finalize_index(spark, out)
+
+    queries = (
+        Term("hot"),
+        Term("w1") & Term("w2"),
+        (Term("w1") & Term("hot")) | Term("w3"),
+    )
+    alive = set(pdf["doc_id"].tolist())
+    for _round in range(2):
+        victims = set(
+            int(v)
+            for v in rng.choice(
+                sorted(alive), size=int(rng.integers(5, 40)), replace=False
+            )
+        )
+        delete_docs(out, sorted(victims))
+        alive -= victims
+        ix = Index(spark, out)
+        # phase 1: stale stats, deleted docs excluded
+        oracle_full = OracleIndex.from_rows(
+            pdf[pdf["doc_id"].isin(
+                alive | victims | set()
+            )].itertuples(index=False)
+        )
+        for q in queries:
+            got = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in ix.search(q, k=12).collect()
+            ]
+            want = [
+                (d, round(s, 9))
+                for d, s in oracle_full.search(q, k=500)
+                if d in alive
+            ][:12]
+            assert got == want, ("pre-compact", q)
+            assert [
+                (d, round(s, 9)) for d, s in ix.local_search(q, k=12)
+            ] == want, ("pre-compact local", q)
+        # phase 2: physical purge + fresh stats
+        compact_stream_segments(
+            spark, out, num_segments=int(rng.integers(1, 4))
+        )
+        ix = Index(spark, out)
+        oracle_live = OracleIndex.from_rows(
+            pdf[pdf["doc_id"].isin(alive)].itertuples(index=False)
+        )
+        for q in queries:
+            got = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in ix.search(q, k=12).collect()
+            ]
+            want = [(d, round(s, 9)) for d, s in oracle_live.search(q, k=12)]
+            assert got == want, ("post-compact", q)
+        # the pdf "full oracle" for the NEXT round is the live corpus
+        pdf = pdf[pdf["doc_id"].isin(alive)].reset_index(drop=True)
+
+    assert gc_tombstones(spark, out)["kept"] == 0
+    fs = __import__("subprocess").run(
+        [__import__("sys").executable, "scripts/verify_index.py", out],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert fs.returncode == 0, fs.stderr
