@@ -152,16 +152,19 @@ def _get_index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
-def _get_stream_index(spark, sf_dir):
-    """Index built through the ONLINE lifecycle — micro-batch ingest →
-    finalize → compaction — so the driver gate verifies the streaming
-    path against DuckDB directly, not only transitively through the
-    stream==batch pytest equivalence."""
+def _cached_lifecycle_index(spark, sf_dir, key_prefix, dir_prefix, steps):
+    """Build-once-per-(source, process) publication shared by the
+    stream/deleted lifecycle indexes: fingerprint the source parquet
+    (regenerated testdata ⇒ fresh build, not a stale reuse), run the
+    lifecycle ``steps`` into a per-PID dir, publish with ONE atomic
+    rename — two concurrent gate/bench processes can otherwise both
+    miss stats.json and run compaction over the SAME directory,
+    violating its no-concurrent-compactions rule.  Losing the rename
+    race discards our copy; any other rename failure re-raises (an
+    absent published index would crash later, far from the cause)."""
     from chearch_spark.search import Index
-    from chearch_spark.streaming.compact import compact_stream_segments
-    from chearch_spark.streaming.ingest import finalize_index, ingest_batch
 
-    key = "stream:" + os.path.abspath(sf_dir)
+    key = key_prefix + os.path.abspath(sf_dir)
     if key not in _INDEX_CACHE:
         import hashlib
 
@@ -169,35 +172,50 @@ def _get_stream_index(spark, sf_dir):
         fp = hashlib.md5(
             f"{key}|{st.st_size}|{st.st_mtime_ns}".encode()
         ).hexdigest()[:16]
-        out = os.path.join(
-            tempfile.gettempdir(), f"chearch_entry_six_v1_{fp}"
-        )
+        out = os.path.join(tempfile.gettempdir(), f"{dir_prefix}{fp}")
         if not os.path.exists(os.path.join(out, "stats.json")):
-            # process-safe: build into a per-process dir, then one
-            # atomic rename publishes it — two concurrent gate/bench
-            # processes can otherwise both miss stats.json and run
-            # compact_stream_segments over the SAME directory,
-            # violating compaction's no-concurrent-compactions rule
             build_dir = f"{out}.build.{os.getpid()}"
-            docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-                "doc_id", "text"
-            )
-            for b in range(3):
-                ingest_batch(
-                    docs.filter(f"pmod(doc_id, 3) = {b}"), build_dir,
-                    batch_id=b, num_segments=3,
-                )
-            finalize_index(spark, build_dir)
-            compact_stream_segments(spark, build_dir, num_segments=4)
+            steps(build_dir)
             try:
                 os.rename(build_dir, out)
             except OSError:
-                # lost the race: a complete index is already published
                 import shutil
 
                 shutil.rmtree(build_dir, ignore_errors=True)
+                if not os.path.exists(os.path.join(out, "stats.json")):
+                    raise  # not a lost race — surface the real error
         _INDEX_CACHE[key] = Index(spark, out)
     return _INDEX_CACHE[key]
+
+
+def _ingest_3_batches(spark, sf_dir, build_dir):
+    from chearch_spark.streaming.ingest import finalize_index, ingest_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for b in range(3):
+        ingest_batch(
+            docs.filter(f"pmod(doc_id, 3) = {b}"), build_dir,
+            batch_id=b, num_segments=3,
+        )
+    finalize_index(spark, build_dir)
+
+
+def _get_stream_index(spark, sf_dir):
+    """Index built through the ONLINE lifecycle — micro-batch ingest →
+    finalize → compaction — so the driver gate verifies the streaming
+    path against DuckDB directly, not only transitively through the
+    stream==batch pytest equivalence."""
+    from chearch_spark.streaming.compact import compact_stream_segments
+
+    def steps(build_dir):
+        _ingest_3_batches(spark, sf_dir, build_dir)
+        compact_stream_segments(spark, build_dir, num_segments=4)
+
+    return _cached_lifecycle_index(
+        spark, sf_dir, "stream:", "chearch_entry_six_v1_", steps
+    )
 
 
 def _get_deleted_index(spark, sf_dir):
@@ -207,44 +225,18 @@ def _get_deleted_index(spark, sf_dir):
     deletes end-to-end against a DuckDB oracle over the live subset
     (which shrinks N/avgdl/df exactly like the engine's post-purge
     finalize)."""
-    from chearch_spark.search import Index
     from chearch_spark.streaming.compact import compact_stream_segments
-    from chearch_spark.streaming.ingest import finalize_index, ingest_batch
     from chearch_spark.tombstones import delete_docs, gc_tombstones
 
-    key = "deleted:" + os.path.abspath(sf_dir)
-    if key not in _INDEX_CACHE:
-        import hashlib
+    def steps(build_dir):
+        _ingest_3_batches(spark, sf_dir, build_dir)
+        delete_docs(build_dir, _DELETED_IDS)
+        compact_stream_segments(spark, build_dir, num_segments=4)
+        gc_tombstones(spark, build_dir)
 
-        st = os.stat(f"{sf_dir}/documents.parquet")
-        fp = hashlib.md5(
-            f"{key}|{st.st_size}|{st.st_mtime_ns}".encode()
-        ).hexdigest()[:16]
-        out = os.path.join(
-            tempfile.gettempdir(), f"chearch_entry_dix_v1_{fp}"
-        )
-        if not os.path.exists(os.path.join(out, "stats.json")):
-            build_dir = f"{out}.build.{os.getpid()}"
-            docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-                "doc_id", "text"
-            )
-            for b in range(3):
-                ingest_batch(
-                    docs.filter(f"pmod(doc_id, 3) = {b}"), build_dir,
-                    batch_id=b, num_segments=3,
-                )
-            finalize_index(spark, build_dir)
-            delete_docs(build_dir, _DELETED_IDS)
-            compact_stream_segments(spark, build_dir, num_segments=4)
-            gc_tombstones(spark, build_dir)
-            try:
-                os.rename(build_dir, out)
-            except OSError:
-                import shutil
-
-                shutil.rmtree(build_dir, ignore_errors=True)
-        _INDEX_CACHE[key] = Index(spark, out)
-    return _INDEX_CACHE[key]
+    return _cached_lifecycle_index(
+        spark, sf_dir, "deleted:", "chearch_entry_dix_v1_", steps
+    )
 
 
 def _search(spark, sf_dir, node, k=10):

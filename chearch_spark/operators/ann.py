@@ -278,23 +278,44 @@ def ivf_build(
 
 def _vec_bounds(vdir: str) -> dict[str, list[int]]:
     """{part_file: [min_vec_id, max_vec_id]} from the lookup sidecar's
-    parquet footers (build-time one-shot; probes then never list or
-    footer-read the directory)."""
+    parquet FOOTER row-group statistics — O(1) metadata per file, no
+    row decode (the sidecar is corpus-sized; reading the vec_id column
+    to min/max it would make ivf_build's bounds pass O(corpus) driver
+    I/O)."""
     import os
 
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     bounds: dict[str, list[int]] = {}
     for fn in sorted(os.listdir(vdir)):
         if not fn.endswith(".parquet"):
             continue
-        col = pq.read_table(
-            os.path.join(vdir, fn), columns=["vec_id"]
-        ).column("vec_id")
-        if len(col) == 0:
-            continue
-        bounds[fn] = [int(pc.min(col).as_py()), int(pc.max(col).as_py())]
+        md = pq.ParquetFile(os.path.join(vdir, fn)).metadata
+        lo = hi = None
+        idx = None
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            if idx is None:
+                idx = next(
+                    i
+                    for i in range(grp.num_columns)
+                    if grp.column(i).path_in_schema == "vec_id"
+                )
+            st = grp.column(idx).statistics
+            if st is None or not st.has_min_max:
+                # stats missing (foreign writer): fall back to a read
+                import pyarrow.compute as pc
+
+                col = pq.read_table(
+                    os.path.join(vdir, fn), columns=["vec_id"]
+                ).column("vec_id")
+                if len(col):
+                    lo, hi = int(pc.min(col).as_py()), int(pc.max(col).as_py())
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            bounds[fn] = [int(lo), int(hi)]
     return bounds
 
 

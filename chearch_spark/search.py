@@ -77,6 +77,15 @@ def _normalize(node: Node) -> Node:
 # alphabet) — stands in for a Prefix that matched nothing
 _IMPOSSIBLE = Term("-impossible-")
 
+# tombstone sets larger than this ship to kernels as a Spark broadcast
+# instead of a closure capture (see Index._tomb_handle)
+_TOMB_BROADCAST_THRESHOLD = 1_000_000
+
+
+def _resolve_tomb(t) -> np.ndarray:
+    """Kernel-side unwrap of :meth:`Index._tomb_handle`'s result."""
+    return t.value if hasattr(t, "value") else t
+
 
 def _fold_and(terms: list[str]) -> Node:
     node: Node = Term(terms[0])
@@ -124,6 +133,7 @@ class Index:
         self._dict_coverage: set[int] | None | bool = False  # False=unloaded
         self._segs_cache: dict[str, list[int] | None] = {}
         self._tomb: np.ndarray | None = None  # sorted deleted ext ids
+        self._tomb_bc = None  # Spark broadcast of a LARGE tomb set
         self._seg_df = None  # lazily cached segment DataFrame (file
         # listing + schema inference paid once per Index, not per query)
 
@@ -349,6 +359,7 @@ class Index:
         self._dict_segs_flag = None
         self._dict_coverage = False
         self._tomb = None
+        self._tomb_bc = None
         if hasattr(self, "_parity_cache"):
             del self._parity_cache
         if hasattr(self, "_docmap_files"):
@@ -366,6 +377,7 @@ class Index:
         n = delete_docs(self.path, doc_ids)
         if n:
             self._tomb = None
+            self._tomb_bc = None
         return n
 
     def _tombstones(self) -> np.ndarray:
@@ -378,6 +390,20 @@ class Index:
 
             self._tomb = load_tombstones(self.path)
         return self._tomb
+
+    def _tomb_handle(self):
+        """Tombstone set in the form query kernels should capture:
+        the ndarray itself when small (cheap closure), a Spark
+        BROADCAST above ``_TOMB_BROADCAST_THRESHOLD`` ids — a large
+        closure-captured array re-ships with every task and can
+        exceed the RPC message limit outright.  Kernels unwrap with
+        :func:`_resolve_tomb`."""
+        t = self._tombstones()
+        if len(t) <= _TOMB_BROADCAST_THRESHOLD:
+            return t
+        if self._tomb_bc is None:
+            self._tomb_bc = self.spark.sparkContext.broadcast(t)
+        return self._tomb_bc
 
     def _replaced_seg_ids(self) -> set[int]:
         """Segment ids queries must treat as dead even if files linger:
@@ -545,7 +571,7 @@ class Index:
             t: spec.idf(self.n_docs, stats[t][0]) for t in terms if t in stats
         }
         n_docs, avgdl = self.n_docs, self.avgdl
-        tomb = self._tombstones()
+        tomb_h = self._tomb_handle()
         scan = self._segment_scan(
             terms,
             ["seg_id", "term", "df", "doc_ids", "tfs", "blocks"],
@@ -556,7 +582,7 @@ class Index:
 
             def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                 ext_ids, scores, d_idx = _score_segment(
-                    pdf, node, idfs, avgdl, k, tomb
+                    pdf, node, idfs, avgdl, k, _resolve_tomb(tomb_h)
                 )
                 return pd.DataFrame(
                     {
@@ -575,7 +601,7 @@ class Index:
 
             def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                 ext_ids, scores, _ = _score_segment(
-                    pdf, node, idfs, avgdl, k, tomb
+                    pdf, node, idfs, avgdl, k, _resolve_tomb(tomb_h)
                 )
                 return pd.DataFrame({"doc_id": ext_ids, "score": scores})
 
@@ -584,8 +610,15 @@ class Index:
         local = scan.groupBy("seg_id").applyInPandas(_kernel, schema)
         from pyspark.sql import functions as F
 
-        # global gather: TakeOrderedAndProject (single exchange)
-        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        # global gather: TakeOrderedAndProject (single exchange).  The
+        # with_seg form refines ties on (seg_id, doc_index): duplicate
+        # external ids can tie on BOTH (score, doc_id), and without a
+        # total order the survivor at the k boundary — and hence its
+        # per-hit metadata — would depend on partition encounter order
+        order = [F.desc("score"), F.asc("doc_id")]
+        if with_seg:
+            order += [F.asc("seg_id"), F.asc("doc_index")]
+        return local.orderBy(*order).limit(k)
 
     # -- top-k with document metadata (E5 projection) ----------------------
     def _docmap_file_of(self, seg_id: int) -> str:
@@ -736,7 +769,7 @@ class Index:
             segs = self.candidate_segments(_fold_or(union_terms))
         else:
             segs = None
-        tomb = self._tombstones()
+        tomb_h = self._tomb_handle()
         scan = self._segment_scan(
             union_terms,
             ["seg_id", "term", "doc_ids", "tfs", "blocks"],
@@ -746,7 +779,7 @@ class Index:
         def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             postings, meta_ids, doc_lens, blocks = _decode_segment(pdf)
             postings, blocks = _drop_tombstoned(
-                postings, blocks, meta_ids, tomb
+                postings, blocks, meta_ids, _resolve_tomb(tomb_h)
             )
             out = {"query": [], "doc_id": [], "score": []}
             for name, node in nodes.items():
@@ -918,7 +951,7 @@ class Index:
         top-k semantics."""
         node = self._prep(query)
         terms = node.terms()
-        tomb = self._tombstones()
+        tomb_h = self._tomb_handle()
         scan = self._segment_scan(
             terms,
             ["seg_id", "term", "doc_ids"],
@@ -927,7 +960,9 @@ class Index:
 
         def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             postings, meta_ids, _, _ = _decode_segment(pdf)
-            postings, _b = _drop_tombstoned(postings, {}, meta_ids, tomb)
+            postings, _b = _drop_tombstoned(
+                postings, {}, meta_ids, _resolve_tomb(tomb_h)
+            )
             cand = _eval_docset(node, postings)
             if partition_limit is not None:
                 cand = cand[:partition_limit]  # sorted by doc_index asc
@@ -956,7 +991,7 @@ class Index:
             segs=self.candidate_segments(_fold_and(terms)),
         )
         phrase = list(terms)
-        tomb = self._tombstones()
+        tomb_h = self._tomb_handle()
 
         def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
@@ -1002,6 +1037,7 @@ class Index:
                     break
             hit_docs = np.unique(keys // 1024)
             hits = ext_ids[hit_docs].astype("int64")
+            tomb = _resolve_tomb(tomb_h)
             if tomb is not None and len(tomb):
                 hits = hits[~np.isin(hits, tomb)]
             return pd.DataFrame({"doc_id": hits})
@@ -1026,11 +1062,13 @@ class Index:
             ["seg_id", "term", "doc_ids", "tfs"],
             segs=self.candidate_segments(_fold_or(norm)),
         )
-        tomb = self._tombstones()
+        tomb_h = self._tomb_handle()
 
         def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             postings, meta_ids, _, _ = _decode_segment(pdf)
-            postings, _b = _drop_tombstoned(postings, {}, meta_ids, tomb)
+            postings, _b = _drop_tombstoned(
+                postings, {}, meta_ids, _resolve_tomb(tomb_h)
+            )
             ts, ds_, fs = [], [], []
             for t, (docs, tfs) in sorted(postings.items()):
                 ts.extend([t] * len(docs))
@@ -1083,7 +1121,7 @@ class Index:
             ["seg_id", "term", "doc_ids", "pos_counts", "positions"],
             segs=self.candidate_segments(_fold_and([ta, tb])),
         )
-        tomb = self._tombstones()
+        tomb_h = self._tomb_handle()
 
         def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
@@ -1127,6 +1165,7 @@ class Index:
             hit = (kb[li_c] >= lo) & (kb[li_c] <= hi)
             hit_docs = np.unique(ka[hit] // 1024)
             hits = ext_ids[hit_docs].astype("int64")
+            tomb = _resolve_tomb(tomb_h)
             if tomb is not None and len(tomb):
                 hits = hits[~np.isin(hits, tomb)]
             return pd.DataFrame({"doc_id": hits})

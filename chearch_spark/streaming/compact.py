@@ -476,10 +476,35 @@ def compact_stream_segments(
     else:
         stream_ids = _stream_seg_ids(seg_dir)
     tombs = load_tombstones(out_dir)
-    # a single segment is still worth "merging" when tombstones are
-    # pending: the pass-through rewrite is what purges them physically
-    if len(stream_ids) == 0 or (len(stream_ids) == 1 and not len(tombs)):
+    if len(stream_ids) == 0:
         return None
+    if len(stream_ids) == 1:
+        # a single segment is still worth "merging" when tombstones
+        # actually PURGE something from it: the pass-through rewrite is
+        # what applies them physically.  Tombstones that don't touch
+        # this segment (e.g. ids living only in batch segments) must
+        # NOT force a rewrite — a periodic maintenance loop would
+        # otherwise rewrite the same bytes and burn an epoch per call
+        # forever.
+        relevant = False
+        if len(tombs):
+            import pyarrow.parquet as pq_
+
+            fn = os.path.basename(
+                _seg_files(seg_dir)[stream_ids[0]]
+            )[len("segment-"):]
+            dm = pq_.read_table(
+                os.path.join(map_dir, f"docmap-{fn}"),
+                columns=["doc_id"],
+            )
+            relevant = bool(
+                np.isin(
+                    dm.column("doc_id").to_numpy().astype(np.int64),
+                    tombs,
+                ).any()
+            )
+        if not relevant:
+            return None
 
     # real input filenames (batch segments use 5-digit names, stream/
     # compact 9-digit — resolve from the listing, never reconstruct)

@@ -209,22 +209,30 @@ def _seg_files(seg_dir: str) -> dict[int, str]:
     return out
 
 
+def _iter_manifests(out_dir: str):
+    """Yield every parsed manifest in canonical precedence order
+    (build manifest, then batch, then compact — later wins for
+    per-segment facts).  THE one enumeration shared by every manifest
+    consumer; a new manifest kind gets added here, not at call sites."""
+    import glob
+
+    paths = []
+    bm = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(bm):
+        paths.append(bm)
+    paths += sorted(
+        glob.glob(os.path.join(out_dir, "manifest-batch-*.json"))
+    ) + sorted(glob.glob(os.path.join(out_dir, "manifest-compact-*.json")))
+    for mp in paths:
+        with open(mp) as f:
+            yield json.load(f)
+
+
 def _manifest_totals(out_dir: str) -> dict[int, tuple[int, int]]:
     """{seg_id: (n_docs, n_tokens)} across all manifest kinds (later
     manifests win — a compaction re-describes its output ids)."""
-    import glob
-
     totals: dict[int, tuple[int, int]] = {}
-    manifests = []
-    bm = os.path.join(out_dir, "manifest.json")
-    if os.path.exists(bm):
-        manifests.append(bm)
-    manifests += sorted(
-        glob.glob(os.path.join(out_dir, "manifest-batch-*.json"))
-    ) + sorted(glob.glob(os.path.join(out_dir, "manifest-compact-*.json")))
-    for mp in manifests:
-        with open(mp) as f:
-            m = json.load(f)
+    for m in _iter_manifests(out_dir):
         for s in m.get("segments", []):
             if "n_docs" in s and "n_tokens" in s:
                 totals[int(s["seg_id"])] = (
@@ -271,8 +279,13 @@ def _finalize_incremental(spark, out_dir: str, live: set[int]) -> dict | None:
     if not covered <= live:
         return None  # covered segments died (compaction): stale rows
     totals = _manifest_totals(out_dir)
-    if not live <= set(totals):
-        return None  # a live segment has no manifest lineage
+    fps = _manifest_fps(out_dir)
+    if not (live <= set(totals) and live <= set(fps)):
+        # a live segment lacks manifest totals OR a fingerprint — the
+        # full path can derive the fp distributively (or raise with a
+        # pointer to the cause); silently summing 0 here would publish
+        # a wrong global content_fp
+        return None
     import pyarrow.dataset as ds
 
     try:
@@ -333,7 +346,7 @@ def _finalize_incremental(spark, out_dir: str, live: set[int]) -> dict | None:
             merged, out_dir, n_files, covered_seg_ids=sorted(live)
         )
 
-    fp = sum(_manifest_fps(out_dir).get(s, 0) for s in live) % (2**63)
+    fp = sum(fps[s] for s in live) % (2**63)
     stats = {
         "spec_version": spec.SPEC_VERSION,
         "n_docs": n_docs,
@@ -352,19 +365,8 @@ def _finalize_incremental(spark, out_dir: str, live: set[int]) -> dict | None:
 
 def _manifest_fps(out_dir: str) -> dict[int, int]:
     """{seg_id: content_fp} across all manifest kinds (later wins)."""
-    import glob
-
     fps: dict[int, int] = {}
-    manifests = []
-    bm = os.path.join(out_dir, "manifest.json")
-    if os.path.exists(bm):
-        manifests.append(bm)
-    manifests += sorted(
-        glob.glob(os.path.join(out_dir, "manifest-batch-*.json"))
-    ) + sorted(glob.glob(os.path.join(out_dir, "manifest-compact-*.json")))
-    for mp in manifests:
-        with open(mp) as f:
-            m = json.load(f)
+    for m in _iter_manifests(out_dir):
         for s in m.get("segments", []):
             if "content_fp" in s:
                 fps[int(s["seg_id"])] = int(s["content_fp"])

@@ -98,12 +98,36 @@ def gc_tombstones(spark, out_dir: str) -> dict:
     """Retire tombstones no LIVE docmap row references (they were
     physically purged by compactions, or never existed).  One
     distributed semi-join over the docmap; rewrites the tombstone set
-    as a single file.  Returns {"kept": n, "dropped": n}."""
+    as a single file.  Returns {"kept": n, "dropped": n}.
+
+    Concurrent-delete safe: the file set is SNAPSHOTTED up front and
+    only those exact files are loaded and later removed — a
+    delete_docs that lands while the semi-join runs writes a new file
+    that survives the GC untouched (deleting it would silently
+    resurrect its docs)."""
     from pyspark.sql import functions as F
 
     from chearch_spark.streaming.compact import replaced_seg_ids
 
-    tombs = load_tombstones(out_dir)
+    d = _tomb_dir(out_dir)
+    snapshot = sorted(
+        f
+        for f in (os.listdir(d) if os.path.isdir(d) else [])
+        if f.endswith(".parquet")
+    )
+    if not snapshot:
+        return {"kept": 0, "dropped": 0}
+    import pyarrow.dataset as ds
+
+    tombs = np.unique(
+        ds.dataset(
+            [os.path.join(d, f) for f in snapshot], format="parquet"
+        )
+        .to_table(columns=["doc_id"])
+        .column("doc_id")
+        .to_numpy()
+        .astype(np.int64)
+    )
     if len(tombs) == 0:
         return {"kept": 0, "dropped": 0}
     map_dir = os.path.join(out_dir, "docmap")
@@ -124,8 +148,7 @@ def gc_tombstones(spark, out_dir: str) -> dict:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    d = _tomb_dir(out_dir)
-    old = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    old = snapshot  # remove ONLY the files whose ids we adjudicated
     if len(kept):
         fn = (
             f"tombstones-{int(time.time() * 1000):013d}-"
