@@ -359,7 +359,7 @@ class Index:
         self._dict_segs_flag = None
         self._dict_coverage = False
         self._tomb = None
-        self._tomb_bc = None
+        self._drop_tomb_broadcast()
         if hasattr(self, "_parity_cache"):
             del self._parity_cache
         if hasattr(self, "_docmap_files"):
@@ -377,7 +377,7 @@ class Index:
         n = delete_docs(self.path, doc_ids)
         if n:
             self._tomb = None
-            self._tomb_bc = None
+            self._drop_tomb_broadcast()
         return n
 
     def _tombstones(self) -> np.ndarray:
@@ -390,6 +390,14 @@ class Index:
 
             self._tomb = load_tombstones(self.path)
         return self._tomb
+
+    def _drop_tomb_broadcast(self) -> None:
+        if self._tomb_bc is not None:
+            try:
+                self._tomb_bc.unpersist()
+            except Exception:
+                pass  # session already stopped
+            self._tomb_bc = None
 
     def _tomb_handle(self):
         """Tombstone set in the form query kernels should capture:
