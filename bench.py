@@ -107,6 +107,24 @@ def main() -> None:
         ix.search_many(queries, k=k).collect()
         timings["q_batch6"] = time.time() - t0
 
+        # positions-based + relational ops (informational, best-of-3)
+        for name, fn in {
+            "q_near": lambda: ix.match_near(
+                "merge", "sort", window=3
+            ).count(),
+            "q_phrase": lambda: ix.match_phrase(["merge", "sort"]).count(),
+            "q_postings": lambda: ix.postings_df(
+                ["merge", "sort"]
+            ).count(),
+        }.items():
+            fn()
+            best = 1e9
+            for _ in range(3):
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            timings[name] = best
+
         # driver-local query path (reference localQuery parity —
         # milliseconds, no Spark job); report mean over 20 reps
         ix.local_search(Term("batch"), k=k)  # warm page cache

@@ -150,6 +150,23 @@ def main() -> None:
             int(top[0].doc_id) in victims
         )
 
+        # physical purge at scale: include_batch compaction rewrites
+        # all 256 segments dropping the 1,000 tombstoned docs
+        from chearch_spark.streaming.compact import compact_stream_segments
+        from chearch_spark.tombstones import gc_tombstones
+
+        t0 = time.time()
+        stats = compact_stream_segments(
+            spark, out, num_segments=SEGMENTS, include_batch=True
+        )
+        r["purge_compact_sec"] = round(time.time() - t0, 3)
+        assert stats["n_docs"] == r["n_docs"] - 1000
+        r["gc"] = gc_tombstones(spark, out)
+        ix = Index(spark, out)
+        t0 = time.time()
+        ix.search(qset["q_and"], k=K).collect()
+        r["q_and_post_purge"] = round(time.time() - t0, 3)
+
         fs = subprocess.run(
             [sys.executable, "scripts/verify_index.py", out],
             capture_output=True, text=True, cwd=REPO,
