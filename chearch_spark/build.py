@@ -110,7 +110,7 @@ def _build_segment_tables(pdf: pd.DataFrame, seg_id: int, store_positions: bool)
     ext_ids = pdf["doc_id"].to_numpy(np.int64)
     texts = pdf["text"].fillna("")
 
-    token_lists = texts.str.lower().str.findall(r"[a-z0-9_]+")
+    token_lists = texts.str.lower().str.findall(spec.TOKEN_RE)
     doc_len = token_lists.str.len().to_numpy(np.int64)
     n_docs = len(ext_ids)
     n_tokens = int(doc_len.sum())
@@ -316,6 +316,16 @@ def write_dictionary(
     else:
         d = d.coalesce(1)
     dict_dir = os.path.join(out_dir, "dictionary")
+    # coverage is invalidated FIRST: a crash between the dictionary
+    # overwrite and the coverage rewrite would otherwise leave a NEW
+    # dictionary described by the OLD coverage set — the next
+    # incremental finalize would re-merge the already-merged segments'
+    # rows (doubled df/cf, silently shifted idf).  With no coverage
+    # file, incremental declines and the full fallback is always
+    # correct.
+    cov = os.path.join(out_dir, "dict_coverage.json")
+    if os.path.exists(cov):
+        os.remove(cov)
     d.sortWithinPartitions("term").write.mode("overwrite").parquet(dict_dir)
     write_dict_bounds(out_dir)
     if covered_seg_ids is not None:
@@ -364,6 +374,58 @@ def write_dict_bounds(out_dir: str) -> dict:
     return bounds
 
 
+def _checkpoint_summary(seg_path: str, map_path: str) -> dict:
+    """Summary fields recomputed from an EXISTING segment + docmap pair
+    (a resume/replay checkpoint hit): lineage fingerprint and bloom
+    rebuilt from the real files — zeros would corrupt lineage
+    consumers, and an empty bloom would wrongly prune the segment at
+    query time.  THE one implementation shared by the batch build's
+    resume branch and streaming ingest's replayed-batch branch (the
+    two feed the same SUMMARY_SCHEMA/manifest consumers and must never
+    drift)."""
+    import pyarrow.parquet as pq
+
+    mf = pq.read_table(map_path, columns=["doc_len", "sha256"])
+    terms = [
+        t
+        for t in pq.read_table(seg_path, columns=["term"])
+        .column("term")
+        .to_pylist()
+        if t != META_TERM
+    ]
+    bm, bl = bloom_mod.make_bloom(terms)
+    dl = mf.column("doc_len").to_numpy()
+    return {
+        "n_docs": len(dl),
+        "n_terms": len(terms),
+        "n_tokens": int(dl.sum()),
+        "n_postings": 0,
+        "bytes_written": 0,
+        "skipped": True,
+        "content_fp": spec.content_fp(mf.column("sha256").to_pylist()),
+        "bloom_m": bm,
+        "bloom": bl,
+    }
+
+
+def _summary_row(seg_id: int, s: dict, wall_sec: float) -> dict:
+    """Summary dict in SUMMARY_SCHEMA field order (mapInArrow binds
+    record-batch columns positionally)."""
+    return {
+        "seg_id": seg_id,
+        "n_docs": s["n_docs"],
+        "n_terms": s["n_terms"],
+        "n_tokens": s["n_tokens"],
+        "n_postings": s["n_postings"],
+        "bytes_written": s["bytes_written"],
+        "skipped": s["skipped"],
+        "wall_sec": wall_sec,
+        "content_fp": s["content_fp"],
+        "bloom_m": s["bloom_m"],
+        "bloom": s["bloom"],
+    }
+
+
 def _atomic_write_parquet(pdf: pd.DataFrame, final_path: str) -> int:
     import uuid
 
@@ -372,8 +434,16 @@ def _atomic_write_parquet(pdf: pd.DataFrame, final_path: str) -> int:
 
     # unique tmp per attempt: concurrent attempts of the same task
     # (speculation, zombies after a stage retry) must never share a
-    # tmp path, or a half-written file could be renamed into place
-    tmp = f"{final_path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    # tmp path, or a half-written file could be renamed into place.
+    # DOT-prefixed basename: Spark and pyarrow dataset readers skip
+    # '.'/'_'-prefixed files, so an attempt killed mid-write (partial
+    # parquet) or between write and rename (a COMPLETE duplicate of
+    # the segment!) is invisible to every reader instead of crashing
+    # scans or silently double-counting the segment's rows
+    d, base = os.path.split(final_path)
+    tmp = os.path.join(
+        d, f".{base}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    )
     table = pa.Table.from_pandas(pdf, preserve_index=False)
     pq.write_table(table, tmp, row_group_size=4096, compression="zstd")
     size = os.path.getsize(tmp)
@@ -453,6 +523,7 @@ def build_index(
             [os.path.join(out_dir, "manifest.json")]
             + glob_.glob(os.path.join(out_dir, "manifest-batch-*.json"))
             + glob_.glob(os.path.join(out_dir, "manifest-compact-*.json"))
+            + glob_.glob(os.path.join(out_dir, "batch_config-*.json"))
         ):
             if os.path.exists(p):
                 os.remove(p)
@@ -584,29 +655,13 @@ def build_index(
         k0 = time.time()
         if resume and os.path.exists(seg_path) and os.path.exists(map_path):
             # checkpoint hit: per-partition resume (north rule)
-            import pyarrow.parquet as pq
-
-            mf = pq.read_table(map_path, columns=["doc_len", "sha256"])
-            sf = pq.read_table(seg_path, columns=["term"])
-            dl = mf.column("doc_len").to_numpy()
-            fp = spec.content_fp(mf.column("sha256").to_pylist())
-            terms = [t for t in sf.column("term").to_pylist() if t != META_TERM]
-            bm, bl = bloom_mod.make_bloom(terms)
             summary = pd.DataFrame(
                 [
-                    {
-                        "seg_id": seg_id,
-                        "n_docs": len(dl),
-                        "n_terms": len(terms),
-                        "n_tokens": int(dl.sum()),
-                        "n_postings": 0,
-                        "bytes_written": 0,
-                        "skipped": True,
-                        "wall_sec": time.time() - k0,
-                        "content_fp": fp,
-                        "bloom_m": bm,
-                        "bloom": bl,
-                    }
+                    _summary_row(
+                        seg_id,
+                        _checkpoint_summary(seg_path, map_path),
+                        time.time() - k0,
+                    )
                 ]
             )
             yield pa.RecordBatch.from_pandas(summary)
@@ -695,8 +750,10 @@ def build_index(
     # (stale N/avgdl shifts every BM25 score).  Delegate the snapshot
     # to finalize_index, which scans everything; manifest.json was
     # written first so the batch fingerprints resolve from lineage.
+    from chearch_spark.streaming.compact import COMPACT_SEG_BASE as _CSB
+
     foreign = any(
-        int(fn[len("segment-"):-len(".parquet")]) >= 1 << 29
+        int(fn[len("segment-"):-len(".parquet")]) >= _CSB
         for fn in os.listdir(seg_dir)
         if fn.startswith("segment-") and fn.endswith(".parquet")
     )

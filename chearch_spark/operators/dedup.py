@@ -227,10 +227,16 @@ def minhash_lsh_pairs(
     Jaccard is computed over the md5-derived shingle-hash sets
     (:func:`doc_shingle_hashes`) — every exchange in the chain carries
     longs, never shingle strings."""
-    # cached: sh feeds the signature build AND both verification joins;
-    # cand feeds the intersection join and the final left join.  Spark
-    # evicts these under memory pressure; long-lived sessions running
-    # many dedup passes can spark.catalog.clearCache() between them.
+    # cached: sh feeds the signature build AND both verification joins
+    # (three DIFFERENT shuffle shapes, so exchange reuse cannot help —
+    # unlike ngram_jaccard, whose consumers share one join exchange and
+    # therefore deliberately do NOT cache); cand feeds the intersection
+    # join and the final left join.  Without these caches one count()
+    # re-tokenizes the corpus up to three times inside a single action.
+    # The trade-off: the cache is unowned (the caller gets a lazy plan
+    # back, so there is no unpersist point).  Spark evicts under memory
+    # pressure; long-lived sessions running many dedup passes over
+    # DIFFERENT corpora should spark.catalog.clearCache() between them.
     sh = doc_shingle_hashes(df, text_col).cache()
     sig = minhash_signatures_from_shingles(sh)
     sig_cols = [f"m{i}" for i in range(NUM_MINHASH)]

@@ -19,6 +19,10 @@ import re
 # lowercase; split on runs of anything outside [a-z0-9_]; drop empties.
 # Code-friendly (keeps identifiers like `foo_bar2` whole).
 TOKEN_SPLIT_RE = r"[^a-z0-9_]+"
+# positive form of the same alphabet (the build kernel's findall and
+# any extractor-style consumer MUST use this, never a local literal —
+# a drifted alphabet would index terms queries can never probe)
+TOKEN_RE = r"[a-z0-9_]+"
 _TOKEN_SPLIT = re.compile(TOKEN_SPLIT_RE)
 
 # 8-bit textLocation in the reference (`documentid.chpl:22`, README.md:36):

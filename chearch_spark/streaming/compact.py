@@ -736,6 +736,14 @@ def compact_stream_segments(
             not os.path.exists(os.path.join(out_dir, r)) for r in refs
         ):
             os.remove(mp)
+            # the batch's replay-consistency config dies with it
+            bc = os.path.join(
+                out_dir,
+                "batch_config-"
+                + os.path.basename(mp)[len("manifest-batch-"):],
+            )
+            if os.path.exists(bc):
+                os.remove(bc)
     # ... and the BUILD manifest once an include_batch pass retired
     # every batch segment (same resurrection hazard: after the compact
     # manifest that lists them `replaced` is GC'd, a lingering

@@ -70,6 +70,53 @@ def ingest_batch(
             f"num_segments {num_segments} exceeds the per-batch id stride"
         )
     base = STREAM_SEG_BASE + batch_id * BATCH_SEG_STRIDE
+    # the segment schema stores seg_id as int32; an id past 2^31-1
+    # would WRAP SILENTLY in the numpy kernel to a negative id that
+    # the whole id-range machinery misclassifies as batch-built.
+    # ~10.7k batches fit; compaction frees no batch-id space (ids are
+    # write-once), so a longer-lived stream restarts batch numbering
+    # after a fresh build or uses larger micro-batches.
+    if batch_id < 0 or base + num_segments - 1 > 2**31 - 1:
+        raise ValueError(
+            f"batch_id {batch_id} exceeds the stream id space "
+            f"(max {(2**31 - 1 - STREAM_SEG_BASE) // BATCH_SEG_STRIDE} "
+            "batches with the pinned stride); rebuild the index to "
+            "reset ids or increase micro-batch size"
+        )
+    # replay-consistency guard (the streaming analogue of
+    # build_config.json): a replayed batch re-run with a DIFFERENT
+    # partition count re-hashes docs under a new modulus — partitions
+    # whose files survived the crash are skipped, while their docs
+    # also hash into partitions that DO rebuild: silent double
+    # counting.  The batch's config is committed atomically BEFORE any
+    # segment file, so whatever is on disk was written under the
+    # recorded modulus.
+    cfg_path = os.path.join(out_dir, f"batch_config-{batch_id:06d}.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            prev = json.load(f)
+        if (
+            int(prev["num_segments"]) != int(num_segments)
+            or bool(prev["store_positions"]) != bool(store_positions)
+        ):
+            raise ValueError(
+                f"batch {batch_id} was previously ingested with "
+                f"num_segments={prev['num_segments']}, "
+                f"store_positions={prev['store_positions']}; a replay "
+                "must use the same settings (differing moduli would "
+                "double-count docs across skipped and rebuilt "
+                "partitions)"
+            )
+    else:
+        with open(cfg_path + ".tmp", "w") as f:
+            json.dump(
+                {
+                    "num_segments": int(num_segments),
+                    "store_positions": bool(store_positions),
+                },
+                f,
+            )
+        os.replace(cfg_path + ".tmp", cfg_path)
 
     def _kernel(batches):
         import pyarrow as pa
@@ -80,43 +127,21 @@ def ingest_batch(
         map_path = os.path.join(map_dir, f"docmap-{seg_id:09d}.parquet")
         k0 = time.time()
         if os.path.exists(seg_path) and os.path.exists(map_path):
-            # replayed micro-batch (exactly-once via idempotent writes):
-            # recompute lineage values and the bloom from the existing
-            # files — zeros would corrupt lineage consumers, and an
-            # empty bloom would wrongly prune this segment at query time
-            import pyarrow.parquet as pq
+            # replayed micro-batch (exactly-once via idempotent
+            # writes): one shared checkpoint-summary implementation
+            # with the batch build's resume branch
+            from chearch_spark.build import (
+                _checkpoint_summary,
+                _summary_row,
+            )
 
-            from chearch_spark import spec as _spec
-            from chearch_spark.build import META_TERM
-            from chearch_spark.operators import bloom as bloom_mod
-
-            terms = [
-                t
-                for t in pq.read_table(seg_path, columns=["term"])
-                .column("term")
-                .to_pylist()
-                if t != META_TERM
-            ]
-            bm, bl = bloom_mod.make_bloom(terms)
-            mf = pq.read_table(map_path, columns=["doc_len", "sha256"])
-            dl = mf.column("doc_len").to_numpy()
             yield pa.RecordBatch.from_pylist(
                 [
-                    {
-                        "seg_id": seg_id,
-                        "n_docs": len(dl),
-                        "n_terms": len(terms),
-                        "n_tokens": int(dl.sum()),
-                        "n_postings": 0,
-                        "bytes_written": 0,
-                        "skipped": True,
-                        "wall_sec": time.time() - k0,
-                        "content_fp": _spec.content_fp(
-                            mf.column("sha256").to_pylist()
-                        ),
-                        "bloom_m": bm,
-                        "bloom": bl,
-                    }
+                    _summary_row(
+                        seg_id,
+                        _checkpoint_summary(seg_path, map_path),
+                        time.time() - k0,
+                    )
                 ]
             )
             return

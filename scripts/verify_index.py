@@ -158,8 +158,25 @@ def verify(path: str) -> dict:
         )
     want_segs = {os.path.basename(e["file"]) for e in live.values()}
     want_maps = {os.path.basename(e["docmap"]) for e in live.values()}
-    have_segs = set(os.listdir(os.path.join(path, "segments")))
-    have_maps = set(os.listdir(os.path.join(path, "docmap")))
+    # '.'/'_'-prefixed files are invisible to every reader (crashed
+    # write attempts' tmp files) — litter, not corruption; reported
+    # separately below
+    tmp_litter = sorted(
+        os.path.join(sub, fn)
+        for sub in ("segments", "docmap")
+        for fn in os.listdir(os.path.join(path, sub))
+        if fn.startswith((".", "_"))
+    )
+    have_segs = {
+        f
+        for f in os.listdir(os.path.join(path, "segments"))
+        if not f.startswith((".", "_"))
+    }
+    have_maps = {
+        f
+        for f in os.listdir(os.path.join(path, "docmap"))
+        if not f.startswith((".", "_"))
+    }
     _check(
         have_segs == want_segs,
         f"segment files diverge from manifests: extra={have_segs - want_segs}"
@@ -298,6 +315,7 @@ def verify(path: str) -> dict:
         "bloom_uncovered": bloom_uncovered,
         "bloom_stale": bloom_stale,
         "tombstones_pending": n_tombstones,
+        "tmp_litter": tmp_litter,
         "status": "INDEX_OK",
     }
 

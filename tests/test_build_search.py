@@ -612,3 +612,58 @@ def test_match_near_semantics(spark, tmp_path_factory):
     delete_docs(out, [1])
     ix.refresh()
     assert near(2) == {0, 3}
+
+
+def test_tmp_write_litter_is_invisible_to_readers(spark, tmp_path_factory):
+    """Crashed write attempts leave dot-prefixed tmp files; every
+    reader (Spark scan, pyarrow dataset, listings) must skip them —
+    a partial parquet must not crash scans, and a COMPLETE duplicate
+    (killed between write and rename) must not double-count."""
+    import os
+
+    import pandas as pd
+    import pyarrow.dataset as ds
+
+    from chearch_spark.build import build_index
+    from chearch_spark.search import Index
+
+    out = str(tmp_path_factory.mktemp("tmplitter_ix"))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, f"alpha w{i}") for i in range(20)],
+            columns=["doc_id", "text"],
+        )
+    )
+    build_index(spark, df, out, num_segments=2, resume=False)
+    seg_dir = os.path.join(out, "segments")
+    seg0 = os.path.join(seg_dir, "segment-00000.parquet")
+    # a COMPLETE duplicate left by a kill between write and rename
+    import shutil
+
+    shutil.copy(seg0, os.path.join(
+        seg_dir, ".segment-00000.parquet.tmp.999.deadbeef"
+    ))
+    # a PARTIAL write
+    with open(os.path.join(
+        seg_dir, ".segment-00001.parquet.tmp.999.cafebabe"
+    ), "wb") as f:
+        f.write(b"PAR1garbage")
+    ix = Index(spark, out)
+    hits = ix.match_docs(Term("alpha")).collect()
+    assert len(hits) == 20  # duplicate NOT double-counted, partial NOT read
+    assert len(
+        ds.dataset(seg_dir, format="parquet").files
+    ) == 2  # pyarrow also skips dot-files
+    # fsck: litter reported, not a failure
+    import json as json_
+    import subprocess
+    import sys
+
+    fs = subprocess.run(
+        [sys.executable, "scripts/verify_index.py", out],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert fs.returncode == 0, fs.stderr
+    rep = json_.loads(fs.stdout)
+    assert rep["status"] == "INDEX_OK"
+    assert len(rep["tmp_litter"]) == 2

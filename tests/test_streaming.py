@@ -856,3 +856,60 @@ def test_random_delete_lifecycle_vs_oracle(spark, dirs, seed):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert fs.returncode == 0, fs.stderr
+
+
+def test_ingest_batch_id_space_and_replay_guards(spark, dirs):
+    """int32 id-space overflow raises instead of silently wrapping to
+    a negative seg_id; a replayed batch with a different partition
+    count or positions flag is refused (double-count hazard)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(30)
+    out = dirs["stream_ix"]
+    with pytest.raises(ValueError, match="id space"):
+        ingest_batch(docs, out, batch_id=10_738, num_segments=2)
+    with pytest.raises(ValueError, match="id space"):
+        ingest_batch(docs, out, batch_id=-1, num_segments=2)
+    ingest_batch(docs, out, batch_id=10_737, num_segments=2)  # last valid
+    with pytest.raises(ValueError, match="replay"):
+        ingest_batch(docs, out, batch_id=10_737, num_segments=3)
+    with pytest.raises(ValueError, match="replay"):
+        ingest_batch(
+            docs, out, batch_id=10_737, num_segments=2,
+            store_positions=False,
+        )
+    # a faithful replay is still idempotent
+    s = ingest_batch(docs, out, batch_id=10_737, num_segments=2)
+    assert all(r.skipped for r in s)
+
+
+def test_incremental_finalize_declines_after_coverage_invalidated(
+    spark, dirs
+):
+    """Crash window between the dictionary overwrite and the coverage
+    rewrite: write_dictionary removes dict_coverage.json FIRST, so a
+    crash leaves no coverage and the next finalize takes the full
+    (always correct) path instead of double-merging."""
+    import os
+
+    from chearch_spark.streaming.ingest import (
+        _finalize_incremental,
+        _seg_files,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = dirs["stream_ix"]
+    for b in range(2):
+        ingest_batch(
+            docs.filter(f"pmod(doc_id, 2) = {b}"), out,
+            batch_id=b, num_segments=2,
+        )
+    finalize_index(spark, out)
+    # simulate the crash: coverage gone, dictionary present
+    os.remove(os.path.join(out, "dict_coverage.json"))
+    live = set(_seg_files(os.path.join(out, "segments")))
+    assert _finalize_incremental(spark, out, live) is None
+    stats = finalize_index(spark, out)  # full fallback, correct
+    assert stats["n_docs"] == docs.count()
