@@ -913,3 +913,81 @@ def test_incremental_finalize_declines_after_coverage_invalidated(
     assert _finalize_incremental(spark, out, live) is None
     stats = finalize_index(spark, out)  # full fallback, correct
     assert stats["n_docs"] == docs.count()
+
+
+def test_ingest_landing_during_compaction_survives(spark, dirs, monkeypatch):
+    """The compaction docstring's concurrency claim, made deterministic:
+    a micro-batch that lands AFTER compaction takes its input snapshot
+    (but before it publishes) must survive untouched — its segments
+    stay live, its docs are served exactly once next to the compacted
+    outputs, its bloom file survives the bloom GC, and the fsck stays
+    green.  Simulated by running the late ingest inside the snapshot
+    hook itself."""
+    import numpy as np
+
+    from chearch_spark.streaming import compact as C
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = dirs["stream_ix"]
+    for b in range(2):
+        ingest_batch(
+            docs.filter(f"pmod(doc_id, 3) = {b}"), out,
+            batch_id=b, num_segments=2,
+        )
+    finalize_index(spark, out)
+
+    real = C._stream_seg_ids
+    fired = {"done": False}
+
+    def snapshot_then_late_ingest(seg_dir):
+        ids = real(seg_dir)
+        if not fired["done"]:
+            fired["done"] = True
+            # batch 2 lands between the snapshot and the publish
+            ingest_batch(
+                docs.filter("pmod(doc_id, 3) = 2"), out,
+                batch_id=2, num_segments=2,
+            )
+        return ids
+
+    monkeypatch.setattr(C, "_stream_seg_ids", snapshot_then_late_ingest)
+    C.compact_stream_segments(spark, out, num_segments=2)
+    monkeypatch.setattr(C, "_stream_seg_ids", real)
+
+    ix = Index(spark, out)
+    # every doc served exactly once (late batch next to compacted)
+    got = sorted(
+        int(r.doc_id) for r in ix.docmap().select("doc_id").collect()
+    )
+    want = sorted(int(r.doc_id) for r in docs.collect())
+    assert got == want
+    # the late batch's segments are LIVE stream segments, not replaced
+    from chearch_spark.streaming.ingest import STREAM_SEG_BASE
+
+    live = ix._all_seg_ids()
+    late = [s for s in live if s >= STREAM_SEG_BASE + 2 * 100_000]
+    assert len(late) == 2
+    # ...and still bloom-covered (the GC must not delete a bloom file
+    # that covers post-snapshot segments)
+    assert set(late) <= set(ix._load_blooms())
+    # rank-identical to a batch build over the same corpus
+    bix_out = dirs["batch_ix"]
+    build_index(spark, docs, bix_out, num_segments=4, resume=False)
+    bix = Index(spark, bix_out)
+    q = (Term("merge") & Term("sort")) | Term("dup")
+    assert [
+        (r.doc_id, round(r.score, 9)) for r in ix.search(q, k=10).collect()
+    ] == [
+        (r.doc_id, round(r.score, 9)) for r in bix.search(q, k=10).collect()
+    ]
+    # fsck green over the mixed (compacted + late-stream) layout
+    import subprocess
+    import sys
+
+    fs = subprocess.run(
+        [sys.executable, "scripts/verify_index.py", out],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert fs.returncode == 0, fs.stderr
