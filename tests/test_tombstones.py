@@ -341,3 +341,38 @@ def test_include_batch_gc_retires_build_blooms(spark, tmp_index_dir):
     rep = _fsck(out)
     assert rep["status"] == "INDEX_OK"
     assert rep["bloom_stale"] == [] and rep["bloom_uncovered"] == []
+
+
+def test_large_tombstone_set_uses_broadcast(spark, batch_index):
+    """Past _TOMB_BROADCAST_THRESHOLD ids the tombstone set ships to
+    kernels as a Spark broadcast (a closure capture that size re-ships
+    per task and can exceed RPC limits).  Deleting ids that were never
+    indexed is legal (idempotent no-ops), so a synthetic 1M+ set
+    exercises the branch cheaply; results must be unchanged except for
+    the few real victims."""
+    from chearch_spark import search as S
+
+    ix = batch_index
+    before = ix.search(Term("alpha"), k=10).collect()
+    victims = [int(before[0].doc_id)]
+    fake = np.arange(1_000_100, dtype=np.int64) + 10_000_000
+    delete_docs(ix.path, np.concatenate((fake, np.array(victims))))
+    ix.refresh()
+    handle = ix._tomb_handle()
+    assert hasattr(handle, "value"), "expected a broadcast handle"
+    assert len(handle.value) > S._TOMB_BROADCAST_THRESHOLD
+    after = ix.search(Term("alpha"), k=10).collect()
+    assert victims[0] not in {int(r.doc_id) for r in after}
+    assert len(after) == 10
+    want = [
+        (int(r.doc_id), round(float(r.score), 9))
+        for r in before
+        if int(r.doc_id) not in victims
+    ]
+    assert [
+        (int(r.doc_id), round(float(r.score), 9)) for r in after
+    ][: len(want)] == want
+    # local path shares the same exclusion
+    assert victims[0] not in {
+        d for d, _ in ix.local_search(Term("alpha"), k=60)
+    }
