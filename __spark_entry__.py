@@ -446,6 +446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text analysis (training-data pipeline ops) -------------
         "token_counts": lambda s, sf: T.token_counts(_docs(s, sf)),
         "quality_scores": lambda s, sf: T.quality_scores(_docs(s, sf)),
+        "repetition_scores": lambda s, sf: T.repetition_scores(
+            _docs(s, sf)
+        ),
         "lang_id": lambda s, sf: T.lang_id(_docs(s, sf)),
         "fingerprints": lambda s, sf: T.fingerprints(_docs(s, sf)),
         # --- deduplication -------------------------------------------
@@ -532,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         # --- training-data pipeline ops --------------------------------
         "token_counts": T.token_counts_sql(),
         "quality_scores": T.quality_scores_sql(),
+        "repetition_scores": T.repetition_scores_sql(),
         "lang_id": T.lang_id_sql(),
         "fingerprints": T.fingerprints_sql(),
         "exact_dups": D.exact_duplicates_sql(),

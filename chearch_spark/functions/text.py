@@ -275,3 +275,110 @@ WITH tok AS (
 SELECT d.doc_id, CAST(coalesce(a.fp, 0) AS BIGINT) AS fp
 FROM {table} d LEFT JOIN agg a USING (doc_id)
 """
+
+
+# --- repetition scoring ---------------------------------------------------
+
+def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, dup_word_frac, dup_2gram_frac,
+    repetition) — the repetition family of training-data quality
+    filters (the public Gopher/MassiveText rules: Rae et al. 2021
+    filter documents by duplicate-line and repeated-n-gram fractions).
+    Pinned variants, all O(doc) per row with NO shuffle:
+
+    * dup_line_frac  = 1 - distinct_lines / lines ('\\n' split, raw);
+    * dup_word_frac  = 1 - distinct_tokens / tokens;
+    * dup_2gram_frac = 1 - distinct adjacent token 2-grams / 2-grams;
+    * repetition     = greatest of the three (single filterable score).
+
+    The token array is materialized in its own projection first — the
+    2-gram transform references it several times and Catalyst would
+    inline (recompute) the tokenizer per reference otherwise (the
+    shingle lesson from operators/dedup)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        "doc_id",
+        F.split(text, "\n").alias("lines"),
+        tokens_col(text).alias("toks"),
+    )
+    two = F.when(
+        F.size(F.col("toks")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(
+        "doc_id",
+        F.size("lines").alias("nl"),
+        F.size(F.array_distinct("lines")).alias("dl"),
+        F.size("toks").alias("nt"),
+        F.size(F.array_distinct("toks")).alias("dt"),
+        F.size(two).alias("n2"),
+        F.size(F.array_distinct(two)).alias("d2"),
+    )
+    d = F.lit(1.0)
+    line_f = F.when(
+        F.col("nl") > 0, 1.0 - d * F.col("dl") / F.col("nl")
+    ).otherwise(0.0)
+    word_f = F.when(
+        F.col("nt") > 0, 1.0 - d * F.col("dt") / F.col("nt")
+    ).otherwise(0.0)
+    gram_f = F.when(
+        F.col("n2") > 0, 1.0 - d * F.col("d2") / F.col("n2")
+    ).otherwise(0.0)
+    return g.select(
+        "doc_id",
+        F.col("nl").cast("long").alias("n_lines"),
+        F.round(line_f, 6).alias("dup_line_frac"),
+        F.round(word_f, 6).alias("dup_word_frac"),
+        F.round(gram_f, 6).alias("dup_2gram_frac"),
+        F.round(F.greatest(line_f, word_f, gram_f), 6).alias("repetition"),
+    )
+
+
+def repetition_scores_sql(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB mirror of :func:`repetition_scores` (same splits, same
+    guards, same rounding)."""
+    toks = TOKENS_SQL.format(t=text_col)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(coalesce({text_col}, ''), chr(10)) AS lines,
+         {toks} AS toks
+  FROM {table}
+), twog AS (
+  SELECT doc_id, lines, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                   i -> concat_ws(' ', toks[i], toks[i + 1]))
+              ELSE [] END AS two
+  FROM base
+), g AS (
+  SELECT doc_id,
+         len(lines) AS nl, len(list_distinct(lines)) AS dl,
+         len(toks) AS nt, len(list_distinct(toks)) AS dt,
+         len(two) AS n2, len(list_distinct(two)) AS d2
+  FROM twog
+), fr AS (
+  SELECT doc_id, CAST(nl AS BIGINT) AS n_lines,
+         CASE WHEN nl > 0
+              THEN 1.0 - CAST(dl AS DOUBLE) / nl ELSE 0.0 END AS lf,
+         CASE WHEN nt > 0
+              THEN 1.0 - CAST(dt AS DOUBLE) / nt ELSE 0.0 END AS wf,
+         CASE WHEN n2 > 0
+              THEN 1.0 - CAST(d2 AS DOUBLE) / n2 ELSE 0.0 END AS gf
+  FROM g
+)
+SELECT doc_id, n_lines,
+       round(lf, 6) AS dup_line_frac,
+       round(wf, 6) AS dup_word_frac,
+       round(gf, 6) AS dup_2gram_frac,
+       round(greatest(lf, wf, gf), 6) AS repetition
+FROM fr
+"""
