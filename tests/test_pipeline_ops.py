@@ -355,3 +355,34 @@ def test_null_text_rows_are_empty_documents(spark):
     assert q[0].n_chars == 0 and q[0].quality == 0.0
     lang = {r.doc_id: r.pred_lang for r in T.lang_id(df).collect()}
     assert lang[0] == "unknown"
+
+
+def test_clean_keep_repetition_filter(spark):
+    """Optional repetition stage in the cleaning pipeline: a highly
+    repetitive doc passes the quality stage (decent length/alpha) but
+    is dropped once max_repetition is set; the default pipeline is
+    unchanged."""
+    import pandas as pd
+
+    from chearch_spark.operators.pipeline import clean_keep
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog in a field of "
+            "green grass and the sun is warm today for everyone here"),
+        (1, "spam spam spam spam spam spam spam spam spam spam spam "
+            "spam spam spam spam spam spam spam spam spam spam spam"),
+        (2, "another perfectly ordinary document with a variety of "
+            "distinct and reasonable words in it for the test corpus"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    base = {r.doc_id for r in clean_keep(docs, min_quality=0.2).collect()}
+    assert base == {0, 1, 2}  # repetition alone doesn't fail quality
+    kept = {
+        r.doc_id
+        for r in clean_keep(
+            docs, min_quality=0.2, max_repetition=0.5
+        ).collect()
+    }
+    assert kept == {0, 2}
