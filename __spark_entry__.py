@@ -465,6 +465,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full cleaning pipeline (quality -> exact dedup -> near dedup)
         # as ONE gated composition
         "pipeline_clean_keep": lambda s, sf: P.clean_keep(_docs(s, sf)),
+        # same composition with the Gopher-style repetition cap active
+        "pipeline_clean_rep": lambda s, sf: P.clean_keep(
+            _docs(s, sf), max_repetition=0.2
+        ),
         "ngram_jaccard": lambda s, sf: D.ngram_jaccard_pairs(
             _docs(s, sf), tau=0.5
         ),
@@ -543,6 +547,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": D.minhash_lsh_pairs_sql(tau=0.5),
         "minhash_dedup_keep": D.minhash_dedup_keep_sql(tau=0.5),
         "pipeline_clean_keep": P.clean_keep_sql(),
+        "pipeline_clean_rep": P.clean_keep_sql(max_repetition=0.2),
         "ngram_jaccard": D.ngram_jaccard_pairs_sql(tau=0.5),
         "simhash_signatures": D.simhash_signatures_sql(),
         "simhash_neardup": D.simhash_pairs_sql(max_hamming=3),
