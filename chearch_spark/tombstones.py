@@ -25,10 +25,16 @@ Semantics (pinned):
   run after compactions).
 
 Scale notes: the tombstone set ships to kernels as a sorted int64
-array in the task closure — right for the realistic regime (deletes
-are a small fraction of 10^12 docs between compactions).  A corpus
-with billions of pending deletes should compact, not grow the set;
-``MAX_TOMBSTONES`` guards the closure size.
+array in the task closure when small, as a Spark broadcast above
+``search._TOMB_BROADCAST_THRESHOLD`` — right for the realistic regime
+(deletes are a small fraction of 10^12 docs between compactions).  A
+corpus with billions of pending deletes should compact, not grow the
+set; ``MAX_TOMBSTONES`` guards the ship-to-kernels size.  The cap is
+ADVISORY under concurrent writers: two simultaneous ``delete_docs``
+calls each check it against the files they saw, so overlapping racers
+can jointly land somewhat above it (correctness is unaffected —
+``load_tombstones`` dedupes; the cap exists to bound memory, not to
+gate semantics).
 """
 
 from __future__ import annotations
@@ -41,6 +47,11 @@ import numpy as np
 
 # refuse to ship absurd closures; compaction is the pressure valve
 MAX_TOMBSTONES = 50_000_000
+
+# gc_tombstones broadcasts the tombstone set into its semi-join only
+# while the on-disk files stay under this (the docmap then avoids a
+# full shuffle); larger sets switch to a shuffle semi-join
+_GC_BROADCAST_BYTES = 32 * 1024 * 1024
 
 
 def _tomb_dir(out_dir: str) -> str:
@@ -97,14 +108,23 @@ def load_tombstones(out_dir: str) -> np.ndarray:
 def gc_tombstones(spark, out_dir: str) -> dict:
     """Retire tombstones no LIVE docmap row references (they were
     physically purged by compactions, or never existed).  One
-    distributed semi-join over the docmap; rewrites the tombstone set
-    as a single file.  Returns {"kept": n, "dropped": n}.
+    distributed semi-join over the docmap; the surviving set is
+    written back by SPARK (parquet part files moved into the
+    tombstone dir), so the id set NEVER materializes on the driver —
+    a ``MAX_TOMBSTONES``-sized worst case stays executor-resident
+    instead of becoming ~50M driver Row objects.  Returns
+    {"kept": n, "dropped": n}.
 
     Concurrent-delete safe: the file set is SNAPSHOTTED up front and
     only those exact files are loaded and later removed — a
     delete_docs that lands while the semi-join runs writes a new file
     that survives the GC untouched (deleting it would silently
-    resurrect its docs)."""
+    resurrect its docs).  The keep-set files are moved in BEFORE the
+    snapshot files are removed: a crash in between leaves overlapping
+    ids across files, which ``load_tombstones`` dedupes (append-only
+    union semantics) — never a resurrection."""
+    import shutil
+
     from pyspark.sql import functions as F
 
     from chearch_spark.streaming.compact import replaced_seg_ids
@@ -117,46 +137,61 @@ def gc_tombstones(spark, out_dir: str) -> dict:
     )
     if not snapshot:
         return {"kept": 0, "dropped": 0}
-    import pyarrow.dataset as ds
-
-    tombs = np.unique(
-        ds.dataset(
-            [os.path.join(d, f) for f in snapshot], format="parquet"
-        )
-        .to_table(columns=["doc_id"])
-        .column("doc_id")
-        .to_numpy()
-        .astype(np.int64)
+    tomb_df = (
+        spark.read.parquet(*(os.path.join(d, f) for f in snapshot))
+        .select("doc_id")
+        .distinct()
     )
-    if len(tombs) == 0:
-        return {"kept": 0, "dropped": 0}
     map_dir = os.path.join(out_dir, "docmap")
     dm = spark.read.parquet(map_dir).select("seg_id", "doc_id")
     dead = replaced_seg_ids(out_dir)
     if dead:
         dm = dm.filter(~F.col("seg_id").isin([int(s) for s in dead]))
-    tomb_df = spark.createDataFrame(
-        [(int(t),) for t in tombs], "doc_id long"
+    # realistic (small) sets: broadcast the tombs so the docmap is
+    # never shuffled — the matched subset is tiny and only IT pays the
+    # distinct's exchange.  Huge sets (above the broadcast budget,
+    # judged by on-disk bytes): shuffle semi-join, both sides stay
+    # executor-resident end to end.
+    snap_bytes = sum(
+        os.path.getsize(os.path.join(d, f)) for f in snapshot
     )
-    still = (
-        dm.join(F.broadcast(tomb_df), "doc_id", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .collect()
-    )
-    kept = np.array(sorted(int(r.doc_id) for r in still), dtype=np.int64)
-    import pyarrow as pa
+    if snap_bytes <= _GC_BROADCAST_BYTES:
+        kept_df = (
+            dm.join(F.broadcast(tomb_df), "doc_id", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+    else:
+        kept_df = tomb_df.join(dm, "doc_id", "left_semi")
+    n_tombs = tomb_df.count()
+    if n_tombs == 0:
+        for f in snapshot:
+            os.remove(os.path.join(d, f))
+        return {"kept": 0, "dropped": 0}
+    # distributed write to a dot-prefixed staging dir INSIDE the
+    # tombstone dir (same filesystem for os.replace; the '.' prefix
+    # hides it from Spark and pyarrow dataset scans), then move each
+    # non-empty part file in under the canonical naming scheme.  The
+    # kept count comes from the staged files' parquet FOOTERS —
+    # O(files) metadata reads, no row decode, no driver collect.
+    stage = os.path.join(d, f".gc-{uuid.uuid4().hex[:8]}")
+    kept_df.write.mode("overwrite").parquet(stage)
     import pyarrow.parquet as pq
 
-    old = snapshot  # remove ONLY the files whose ids we adjudicated
-    if len(kept):
-        fn = (
+    kept = 0
+    for i, fn in enumerate(sorted(os.listdir(stage))):
+        if not fn.endswith(".parquet"):
+            continue
+        rows = pq.ParquetFile(os.path.join(stage, fn)).metadata.num_rows
+        if rows == 0:
+            continue
+        kept += rows
+        dst = (
             f"tombstones-{int(time.time() * 1000):013d}-"
-            f"{uuid.uuid4().hex[:8]}.parquet"
+            f"{uuid.uuid4().hex[:8]}-{i:04d}.parquet"
         )
-        tmp = os.path.join(d, fn + ".tmp")
-        pq.write_table(pa.table({"doc_id": kept}), tmp)
-        os.replace(tmp, os.path.join(d, fn))
-    for f in old:
+        os.replace(os.path.join(stage, fn), os.path.join(d, dst))
+    shutil.rmtree(stage, ignore_errors=True)
+    for f in snapshot:  # remove ONLY the files whose ids we adjudicated
         os.remove(os.path.join(d, f))
-    return {"kept": int(len(kept)), "dropped": int(len(tombs) - len(kept))}
+    return {"kept": int(kept), "dropped": int(n_tombs - kept)}

@@ -376,3 +376,44 @@ def test_large_tombstone_set_uses_broadcast(spark, batch_index):
     assert victims[0] not in {
         d for d, _ in ix.local_search(Term("alpha"), k=60)
     }
+
+
+def test_gc_large_set_stays_off_the_driver(spark, tmp_index_dir):
+    """gc over a LARGE synthetic tombstone set (1.5M ids, mostly
+    never-indexed) must (a) adjudicate correctly — live ids kept,
+    the rest dropped — and (b) never materialize the id set in the
+    Python driver: the keep-set is computed by a Spark semi-join and
+    written back by Spark, so driver-side allocations during the call
+    stay in the low MBs (the old collect()-based shape allocated one
+    Row per id — ~hundreds of MB at this size, GBs at the 50M valve)."""
+    import tracemalloc
+
+    out = tmp_index_dir
+    docs = spark.createDataFrame(
+        pd.DataFrame(ROWS, columns=["doc_id", "text"])
+    )
+    build_index(spark, docs, out, num_segments=2, resume=False)
+    # 1.5M tombstones: ids 0..9 are live in the docmap, the rest are
+    # synthetic ids no docmap row references (delete of unknown ids is
+    # legal — idempotent no-op semantics)
+    big = np.concatenate(
+        [np.arange(10), np.arange(1_000_000, 2_490_000)]
+    ).astype(np.int64)
+    delete_docs(out, big)
+
+    tracemalloc.start()
+    res = gc_tombstones(spark, out)
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+
+    assert res == {"kept": 10, "dropped": len(big) - 10}
+    assert load_tombstones(out).tolist() == list(range(10))
+    # the old driver-collect shape allocated >100 MB here; the
+    # distributed shape touches only file metadata on the driver
+    assert peak < 16 * 1024 * 1024, f"driver allocated {peak} bytes"
+
+    # retired ids really are queryable again only if re-ingested —
+    # live ones stay excluded
+    ix = Index(spark, out)
+    live = {int(r.doc_id) for r in ix.match_docs(Term("alpha")).collect()}
+    assert not set(range(10)) & live
