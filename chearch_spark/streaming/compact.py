@@ -789,3 +789,106 @@ def compact_stream_segments(
     if finalize:
         return finalize_index(spark, out_dir)
     return None
+
+def maybe_compact(
+    spark,
+    out_dir: str,
+    *,
+    max_segments: int = 16,
+    max_tombstone_frac: float = 0.2,
+    min_tombstones: int = 1,
+    num_segments: int | None = None,
+    docs_per_segment: int | None = None,
+    include_batch: bool = False,
+    gc: bool = True,
+) -> dict:
+    """The compaction DECISION loop: cheap threshold checks, then
+    :func:`compact_stream_segments` (+ :func:`gc_tombstones`) only when
+    warranted.  Call it from the ingest maintenance path — e.g. once
+    per ``foreachBatch`` — and segment fan-out / pending-delete debt
+    stay bounded without any operator attention (the reference's S8
+    queued indexer running unattended, `queuedindexer.chpl:13-117`,
+    extended with the maintenance the reference never reached).
+
+    Triggers (either suffices):
+
+    * ``max_segments`` — more live STREAM-RANGE segments than this
+      (batch segments count only when ``include_batch=True``): query
+      fan-out debt.
+    * ``max_tombstone_frac`` — pending tombstones exceed this fraction
+      of indexed docs (doc count from manifest totals, so the check
+      works mid-stream before any finalize), AND there are at least
+      ``min_tombstones`` pending: physical-purge debt.  At 100 TB this
+      is the knob that matters — compaction cost is proportional to
+      data rewritten, so you trade query-time tombstone filtering
+      against rewrite amplification.
+
+    The no-trigger path costs one directory listing plus the (small)
+    tombstone and manifest reads — no Spark job, safe at any call
+    frequency.  Never run two concurrently (same rule as
+    compact_stream_segments).  Returns a decision record::
+
+        {"compacted": bool, "reason": str | None,
+         "segments": n_live_considered, "pending_tombstones": n,
+         "stats": <finalize stats> | None, "gc": <gc result> | None}
+    """
+    from chearch_spark.streaming.ingest import _seg_files
+    from chearch_spark.tombstones import gc_tombstones, load_tombstones
+
+    seg_dir = os.path.join(out_dir, "segments")
+    if include_batch:
+        dead = replaced_seg_ids(out_dir)
+        live = sorted(s for s in _seg_files(seg_dir) if s not in dead)
+    else:
+        live = _stream_seg_ids(seg_dir)
+    tombs = load_tombstones(out_dir)
+    n_docs = sum(
+        d for d, _t in _manifest_totals_live(out_dir).values()
+    )
+    reason = None
+    if len(live) > max_segments:
+        reason = f"segments {len(live)} > {max_segments}"
+    elif (
+        len(tombs) >= min_tombstones
+        and n_docs > 0
+        and len(tombs) / n_docs > max_tombstone_frac
+    ):
+        reason = (
+            f"tombstones {len(tombs)}/{n_docs} > {max_tombstone_frac}"
+        )
+    out = {
+        "compacted": False,
+        "reason": reason,
+        "segments": len(live),
+        "pending_tombstones": int(len(tombs)),
+        "stats": None,
+        "gc": None,
+    }
+    if reason is None:
+        return out
+    stats = compact_stream_segments(
+        spark,
+        out_dir,
+        num_segments=num_segments,
+        docs_per_segment=docs_per_segment,
+        include_batch=include_batch,
+    )
+    out["compacted"] = stats is not None
+    out["stats"] = stats
+    if out["compacted"] and gc and len(tombs):
+        out["gc"] = gc_tombstones(spark, out_dir)
+    return out
+
+
+def _manifest_totals_live(out_dir: str) -> dict[int, tuple[int, int]]:
+    """Manifest doc/token totals restricted to LIVE segments — the
+    cheap (no-Spark-job) doc count maybe_compact's tombstone-fraction
+    trigger divides by."""
+    from chearch_spark.streaming.ingest import _manifest_totals
+
+    dead = replaced_seg_ids(out_dir)
+    return {
+        sid: v
+        for sid, v in _manifest_totals(out_dir).items()
+        if sid not in dead
+    }

@@ -532,12 +532,21 @@ def stream_build(
     store_positions: bool = True,
     checkpoint: str | None = None,
     available_now: bool = True,
+    auto_compact: dict | None = None,
 ):
     """readStream(parquet dir) -> foreachBatch(ingest_batch) ->
     finalize.  With ``available_now`` the stream drains everything
     currently in ``input_path`` and stops (used by tests/bench); a
     real deployment runs continuously and calls finalize_index on a
-    schedule."""
+    schedule.
+
+    ``auto_compact``: when a dict, each micro-batch's maintenance slot
+    runs :func:`chearch_spark.streaming.compact.maybe_compact` with
+    those kwargs (e.g. ``{"max_segments": 64}``) — segment fan-out and
+    tombstone debt then stay bounded for the stream's whole life with
+    no operator attention.  foreachBatch batches are serialized per
+    query, which satisfies maybe_compact's no-concurrent-compaction
+    rule."""
     os.makedirs(out_dir, exist_ok=True)
     ckpt = checkpoint or os.path.join(out_dir, "_checkpoint")
 
@@ -549,6 +558,10 @@ def stream_build(
             num_segments=num_segments,
             store_positions=store_positions,
         )
+        if auto_compact is not None:
+            from chearch_spark.streaming.compact import maybe_compact
+
+            maybe_compact(spark, out_dir, **auto_compact)
 
     reader = (
         spark.readStream.schema(schema)

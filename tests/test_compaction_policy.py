@@ -1,0 +1,170 @@
+"""maybe_compact — the unattended maintenance loop: segment fan-out
+and pending-tombstone debt stay bounded across many micro-batches with
+NO manual compact/gc calls, and the resulting index answers exactly
+like a fresh batch build over the same (surviving) docs.
+"""
+
+import pandas as pd
+import pytest
+
+from chearch_spark.build import build_index
+from chearch_spark.plans.query import Term
+from chearch_spark.search import Index
+from chearch_spark.streaming.compact import (
+    COMPACT_SEG_BASE,
+    maybe_compact,
+    replaced_seg_ids,
+)
+from chearch_spark.streaming.ingest import (
+    _seg_files,
+    finalize_index,
+    ingest_batch,
+)
+from chearch_spark.tombstones import delete_docs, load_tombstones
+
+ROWS = [
+    (i, f"alpha shared w{i % 7} unique_{i:03d} tail")
+    for i in range(72)
+]
+
+
+def _live_stream_segments(out: str) -> int:
+    import os
+
+    dead = replaced_seg_ids(out)
+    return sum(
+        1
+        for s in _seg_files(os.path.join(out, "segments"))
+        if s not in dead
+    )
+
+
+def test_policy_bounds_fanout_across_24_microbatches(
+    spark, tmp_index_dir
+):
+    """24 micro-batches x 2 segments each = 48 files unattended; with
+    maybe_compact(max_segments=6) in the per-batch maintenance slot the
+    live fan-out never exceeds max_segments + one batch's segments, and
+    the final index matches a fresh batch build query-for-query."""
+    out = tmp_index_dir
+    docs = spark.createDataFrame(
+        pd.DataFrame(ROWS, columns=["doc_id", "text"])
+    )
+    n_batches, per_batch = 24, 2
+    compactions = 0
+    peak = 0
+    for b in range(n_batches):
+        ingest_batch(
+            docs.filter(f"pmod(doc_id, {n_batches}) = {b}"),
+            out,
+            batch_id=b,
+            num_segments=per_batch,
+        )
+        res = maybe_compact(
+            spark, out, max_segments=6, num_segments=2
+        )
+        compactions += int(res["compacted"])
+        live = _live_stream_segments(out)
+        peak = max(peak, live)
+        assert live <= 6 + per_batch, f"batch {b}: fan-out {live}"
+    assert compactions >= 3  # the loop actually ran, repeatedly
+    assert peak > 2  # and was needed (fan-out did grow between runs)
+
+    # steady state: nothing to do, and the no-trigger path is silent
+    res = maybe_compact(spark, out, max_segments=6)
+    assert res["compacted"] is False and res["reason"] is None
+
+    finalize_index(spark, out)
+    ix = Index(spark, out)
+
+    import tempfile
+
+    ref = tempfile.mkdtemp(prefix="chearch_policy_ref_")
+    try:
+        build_index(spark, docs, ref, num_segments=2, resume=False)
+        rix = Index(spark, ref)
+        for q in (
+            Term("alpha"),
+            Term("alpha") & Term("shared"),
+            Term("w3") | Term("w5"),
+        ):
+            got = [
+                (int(r.doc_id), float(r.score))
+                for r in ix.search(q, k=15).collect()
+            ]
+            want = [
+                (int(r.doc_id), float(r.score))
+                for r in rix.search(q, k=15).collect()
+            ]
+            assert got == want, q
+    finally:
+        import shutil
+
+        shutil.rmtree(ref, ignore_errors=True)
+
+
+def test_policy_tombstone_fraction_triggers_purge(spark, tmp_index_dir):
+    """Deleting >20% of docs trips the tombstone-frac trigger: one
+    maybe_compact call physically purges, gc retires the tombstones,
+    and the next call is a no-op."""
+    out = tmp_index_dir
+    docs = spark.createDataFrame(
+        pd.DataFrame(ROWS, columns=["doc_id", "text"])
+    )
+    for b in range(3):
+        ingest_batch(
+            docs.filter(f"pmod(doc_id, 3) = {b}"), out,
+            batch_id=b, num_segments=2,
+        )
+    finalize_index(spark, out)
+    victims = list(range(0, 72, 4))  # 18/72 = 25% > 20%
+    delete_docs(out, victims)
+
+    res = maybe_compact(
+        spark, out, max_segments=100, max_tombstone_frac=0.2,
+        num_segments=2,
+    )
+    assert res["compacted"] is True
+    assert res["reason"].startswith("tombstones")
+    assert res["stats"]["n_docs"] == 72 - len(victims)
+    assert res["gc"] == {"kept": 0, "dropped": len(victims)}
+    assert load_tombstones(out).size == 0
+
+    again = maybe_compact(
+        spark, out, max_segments=100, max_tombstone_frac=0.2
+    )
+    assert again["compacted"] is False and again["reason"] is None
+
+    # purged docs are gone from queries; scores reflect refreshed stats
+    ix = Index(spark, out)
+    live = {
+        int(r.doc_id) for r in ix.match_docs(Term("alpha")).collect()
+    }
+    assert not set(victims) & live
+    assert len(live) == 72 - len(victims)
+
+
+def test_policy_below_thresholds_never_compacts(spark, tmp_index_dir):
+    """A small, clean index never triggers — the maintenance slot is
+    free when there is no debt (no epoch burn, no file churn)."""
+    out = tmp_index_dir
+    docs = spark.createDataFrame(
+        pd.DataFrame(ROWS[:20], columns=["doc_id", "text"])
+    )
+    for b in range(2):
+        ingest_batch(
+            docs.filter(f"pmod(doc_id, 2) = {b}"), out,
+            batch_id=b, num_segments=2,
+        )
+    before = sorted(_seg_files(f"{out}/segments"))
+    for _ in range(3):
+        res = maybe_compact(spark, out, max_segments=16)
+        assert res["compacted"] is False
+    assert sorted(_seg_files(f"{out}/segments")) == before
+    # no compaction outputs (ids in the compact range) were written
+    from chearch_spark.streaming.ingest import STREAM_SEG_BASE
+
+    assert not any(
+        COMPACT_SEG_BASE <= s < STREAM_SEG_BASE
+        for s in _seg_files(f"{out}/segments")
+    )

@@ -991,3 +991,57 @@ def test_ingest_landing_during_compaction_survives(spark, dirs, monkeypatch):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert fs.returncode == 0, fs.stderr
+
+
+def test_stream_build_auto_compact_bounds_fanout(spark, dirs):
+    """stream_build(auto_compact=...) keeps fan-out bounded over a
+    10-micro-batch drain with no manual maintenance, and the result
+    still answers exactly like a batch build (compaction is
+    rank/score/byte neutral)."""
+    from chearch_spark.streaming.compact import replaced_seg_ids
+    from chearch_spark.streaming.ingest import _seg_files
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    os.makedirs(dirs["input"])
+    for p in range(10):
+        docs.filter(f"pmod(doc_id, 10) = {p}").coalesce(1).write.parquet(
+            dirs["input"] + f"/part={p}"
+        )
+
+    stats = stream_build(
+        spark,
+        dirs["input"] + "/part=*",
+        dirs["stream_ix"],
+        num_segments=2,
+        auto_compact={"max_segments": 4, "num_segments": 2},
+    )
+    out = dirs["stream_ix"]
+    dead = replaced_seg_ids(out)
+    live = [
+        s
+        for s in _seg_files(os.path.join(out, "segments"))
+        if s not in dead
+    ]
+    # 10 batches x 2 segments = 20 unattended; policy holds it at
+    # <= max_segments + one batch's segments
+    assert len(live) <= 6, live
+
+    build_index(
+        spark, docs, dirs["batch_ix"], num_segments=4, resume=False
+    )
+    six = Index(spark, out)
+    bix = Index(spark, dirs["batch_ix"])
+    assert six.n_docs == bix.n_docs == stats["n_docs"]
+    assert six.stats["content_fp"] == bix.stats["content_fp"]
+    for q in (Term("merge"), Term("merge") & Term("sort")):
+        got = [
+            (r.doc_id, round(r.score, 9))
+            for r in six.search(q, k=10).collect()
+        ]
+        want = [
+            (r.doc_id, round(r.score, 9))
+            for r in bix.search(q, k=10).collect()
+        ]
+        assert got == want, q
