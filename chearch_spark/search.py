@@ -78,13 +78,55 @@ def _normalize(node: Node) -> Node:
 _IMPOSSIBLE = Term("-impossible-")
 
 # tombstone sets larger than this ship to kernels as a Spark broadcast
-# instead of a closure capture (see Index._tomb_handle)
-_TOMB_BROADCAST_THRESHOLD = 1_000_000
+# instead of a closure capture (see Index._tomb_handle).  100k int64s
+# is ~800 KB — right at Spark's ~1 MB task-size guidance; a closure is
+# re-serialized per task of EVERY query stage, a broadcast ships once.
+_TOMB_BROADCAST_THRESHOLD = 100_000
 
 
 def _resolve_tomb(t) -> np.ndarray:
     """Kernel-side unwrap of :meth:`Index._tomb_handle`'s result."""
     return t.value if hasattr(t, "value") else t
+
+
+class _ByteLRU:
+    """Byte-budgeted LRU for the driver-local decoded caches.  A
+    long-lived serving process touches an unbounded set of distinct
+    terms; without a bound the decoded-posting cache IS a slow memory
+    leak.  Values are (value, nbytes); eviction pops least-recently
+    used until within budget.  Snapshots returned to callers keep
+    plain references, so an eviction mid-query never invalidates the
+    arrays a running query already holds."""
+
+    def __init__(self, budget_bytes: int) -> None:
+        from collections import OrderedDict
+
+        self.budget = int(budget_bytes)
+        self._d: dict = OrderedDict()
+        self.total = 0
+
+    def get(self, key):
+        hit = self._d.get(key)
+        if hit is None:
+            return None
+        self._d.move_to_end(key)
+        return hit[0]
+
+    def put(self, key, value, nbytes: int) -> None:
+        old = self._d.pop(key, None)
+        if old is not None:
+            self.total -= old[1]
+        self._d[key] = (value, int(nbytes))
+        self.total += int(nbytes)
+        while self.total > self.budget and len(self._d) > 1:
+            _k, (_v, nb) = self._d.popitem(last=False)
+            self.total -= nb
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    def __contains__(self, key) -> bool:
+        return key in self._d
 
 
 def _fold_and(terms: list[str]) -> Node:
@@ -105,7 +147,9 @@ class Index:
     """Handle to a built index directory (segments/docmap/dictionary/
     stats/manifest)."""
 
-    def __init__(self, spark, path: str) -> None:
+    def __init__(
+        self, spark, path: str, *, local_cache_bytes: int = 256 << 20
+    ) -> None:
         self.spark = spark
         self.path = path
         with open(os.path.join(path, "stats.json")) as f:
@@ -115,14 +159,17 @@ class Index:
         self.seg_dir = os.path.join(path, "segments")
         self.dict_dir = os.path.join(path, "dictionary")
         self.map_dir = os.path.join(path, "docmap")
-        # driver-local DECODED posting cache — the RAM analogue of the
-        # reference's MemorySegment residency (`memorysegment.chpl:
-        # 76-118`): local_search fills it lazily per term, so repeated
-        # terms never touch parquet (or the varint decoder) again.
-        # _posting_cache: term -> {seg_id: (docs, tfs, blocks|None)}
-        # _meta_cache:    seg_id -> (ext_ids, doc_lens)
-        self._posting_cache: dict[str, dict] = {}
-        self._meta_cache: dict[int, tuple] | None = None
+        # driver-local DECODED posting/meta cache — the RAM analogue
+        # of the reference's MemorySegment residency (`memorysegment.
+        # chpl:76-118`): local_search fills it lazily, so repeated
+        # terms/segments never touch parquet (or the varint decoder)
+        # again.  LRU with a BYTE budget (``local_cache_bytes``) — a
+        # long-lived serving process over a rotating hot-term workload
+        # must hold steady RSS, not grow per distinct term touched.
+        # Keys: ("p", term) -> {seg_id: (docs, tfs, blocks|None)};
+        #       ("m", seg_id) -> (ext_ids, doc_lens)
+        self.local_cache_bytes = int(local_cache_bytes)
+        self._local_cache = _ByteLRU(self.local_cache_bytes)
         self._stats_cache: dict[str, tuple[int, int] | None] = {}
         self._blooms: dict[int, tuple[int, bytes]] | None = None
         self._bloom_probe = None  # vectorized probe, built once
@@ -352,8 +399,7 @@ class Index:
         self._blooms = None
         self._bloom_probe = None
         self._dict_bounds = None
-        self._meta_cache = None
-        self._posting_cache = {}
+        self._local_cache = _ByteLRU(self.local_cache_bytes)
         self._stats_cache = {}
         self._segs_cache = {}
         self._dict_segs_flag = None
@@ -832,17 +878,32 @@ class Index:
             t: self._stats_cache[t] for t in terms if self._stats_cache[t]
         }
 
-    def _load_meta(self) -> dict:
-        """seg_id -> (ext_ids, doc_lens), decoded once."""
-        if self._meta_cache is None:
+    def _load_meta(self, seg_ids: list[int] | None = None) -> dict:
+        """seg_id -> (ext_ids, doc_lens) for the REQUESTED live
+        segments (None = all live), decoded lazily per segment and
+        held in the byte-bounded LRU — a query over 3 candidate
+        segments of a 100k-segment index decodes 3 meta rows, not
+        100k."""
+        wanted = (
+            self._all_seg_ids() if seg_ids is None else list(seg_ids)
+        )
+        out: dict[int, tuple] = {}
+        missing = []
+        for sid in wanted:
+            hit = self._local_cache.get(("m", int(sid)))
+            if hit is not None:
+                out[int(sid)] = hit
+            else:
+                missing.append(int(sid))
+        if missing:
             import pyarrow.dataset as ds
 
             table = ds.dataset(self.seg_dir, format="parquet").to_table(
-                filter=ds.field("term") == META_TERM,
+                filter=(ds.field("term") == META_TERM)
+                & ds.field("seg_id").isin(missing),
                 columns=["seg_id", "doc_ids", "tfs"],
             )
             dead = self._replaced_seg_ids()
-            meta = {}
             for seg_id, doc_ids, tfs in zip(
                 table.column("seg_id").to_pylist(),
                 table.column("doc_ids").to_pylist(),
@@ -850,27 +911,39 @@ class Index:
             ):
                 if int(seg_id) in dead:
                     continue  # compaction ghost (crash window)
-                meta[int(seg_id)] = (
+                entry = (
                     codec.decode_postings(doc_ids).astype(np.int64),
                     codec.decode_varints(tfs).astype(np.int64),
                 )
-            self._meta_cache = meta
-        return self._meta_cache
+                nb = entry[0].nbytes + entry[1].nbytes
+                self._local_cache.put(("m", int(seg_id)), entry, nb)
+                out[int(seg_id)] = entry
+        return out
 
-    def _load_postings(self, terms: list[str]) -> None:
-        """Fill the decoded posting cache for missing terms (one pruned
-        parquet read; absent terms cache as empty dicts)."""
-        missing = [t for t in set(terms) if t not in self._posting_cache]
+    def _load_postings(self, terms: list[str]) -> dict[str, dict]:
+        """{term: {seg_id: (docs, tfs, blocks|None)}} from the
+        byte-bounded LRU, reading misses in one pruned parquet read
+        (absent terms cache as empty dicts).  Callers hold the
+        returned snapshot — a later eviction never invalidates a
+        running query."""
+        out: dict[str, dict] = {}
+        missing = []
+        for t in set(terms):
+            hit = self._local_cache.get(("p", t))
+            if hit is not None:
+                out[t] = hit
+            else:
+                missing.append(t)
         if not missing:
-            return
+            return out
         import pyarrow.dataset as ds
 
         table = ds.dataset(self.seg_dir, format="parquet").to_table(
             filter=ds.field("term").isin(missing),
             columns=["seg_id", "term", "doc_ids", "tfs", "blocks"],
         )
-        for t in missing:
-            self._posting_cache[t] = {}
+        fresh: dict[str, dict] = {t: {} for t in missing}
+        sizes: dict[str, int] = {t: 0 for t in missing}
         for seg_id, term, doc_ids, tfs, blk in zip(
             table.column("seg_id").to_pylist(),
             table.column("term").to_pylist(),
@@ -882,11 +955,19 @@ class Index:
             if blk:
                 tri = codec.decode_varints(blk).astype(np.int64)
                 blocks = (tri[0::3], tri[1::3], tri[2::3])
-            self._posting_cache[term][int(seg_id)] = (
+            entry = (
                 codec.decode_postings(doc_ids).astype(np.int64),
                 codec.decode_varints(tfs).astype(np.int64),
                 blocks,
             )
+            fresh[term][int(seg_id)] = entry
+            sizes[term] += entry[0].nbytes + entry[1].nbytes + (
+                sum(b.nbytes for b in blocks) if blocks else 0
+            )
+        for t in missing:
+            self._local_cache.put(("p", t), fresh[t], sizes[t])
+            out[t] = fresh[t]
+        return out
 
     def local_search(
         self, query: Node | str, k: int = spec.DEFAULT_K
@@ -909,19 +990,20 @@ class Index:
             t: spec.idf(self.n_docs, df_cf[0])
             for t, df_cf in self._cached_stats(terms).items()
         }
-        meta = self._load_meta()
-        self._load_postings(terms)
         tomb = self._tombstones()
+        # iterate the PRUNED candidate set, not every resident segment
+        # — at 100k segments a per-query Python loop over all of them
+        # dwarfs the actual scoring work; meta rows are decoded for
+        # candidates only
         cand = self.candidate_segments(node, allow_spark=False)
-        cand_set = set(cand) if cand is not None else None
+        meta = self._load_meta(cand)  # None = all live
+        postings_by_term = self._load_postings(terms)
         all_ids, all_scores = [], []
         for seg_id in meta:
-            if cand_set is not None and seg_id not in cand_set:
-                continue
             postings = {}
             blocks = {}
             for t in terms:
-                entry = self._posting_cache[t].get(seg_id)
+                entry = postings_by_term.get(t, {}).get(seg_id)
                 if entry is not None:
                     postings[t] = (entry[0], entry[1])
                     if entry[2] is not None:

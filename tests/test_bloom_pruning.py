@@ -419,3 +419,116 @@ def test_candidate_segments_10k_mixed_lifecycle(tmp_path_factory):
         ix.candidate_segments(Term("rare"), allow_spark=False)
     per_probe = (time.time() - t0) / 20
     assert per_probe < 0.05, f"warm probe {per_probe * 1e3:.1f}ms"
+
+
+def test_candidate_segments_100k_distributed_probe(
+    spark, tmp_path_factory
+):
+    """The 100k-SEGMENT regime (the scale the 10k test approximates):
+    past DISTRIBUTED_PROBE_THRESHOLD the bloom probe for uncovered
+    segments runs as a SPARK JOB — the filter bytes never load into
+    the driver (``ix._blooms`` stays None) — while the exact
+    term->segments directory keeps covered-term probes pure in-memory
+    set algebra under the warm-latency bound.  Stub files: only
+    metadata (listing, dictionary, blooms, manifests) is read."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chearch_spark.build import write_dict_bounds
+    from chearch_spark.operators.bloom import DISTRIBUTED_PROBE_THRESHOLD
+    from chearch_spark.streaming.ingest import STREAM_SEG_BASE
+
+    n_batch = DISTRIBUTED_PROBE_THRESHOLD  # covered by the directory
+    n_stream = 2_000  # post-finalize, bloomed
+    out = str(tmp_path_factory.mktemp("synth100k"))
+    seg_dir = os.path.join(out, "segments")
+    os.makedirs(seg_dir)
+    os.makedirs(os.path.join(out, "docmap"))
+    batch_ids = list(range(n_batch))
+    stream_ids = [STREAM_SEG_BASE + i for i in range(n_stream)]
+    for sid in batch_ids:
+        open(
+            os.path.join(seg_dir, f"segment-{sid:05d}.parquet"), "wb"
+        ).close()
+    for sid in stream_ids:
+        open(
+            os.path.join(seg_dir, f"segment-{sid:09d}.parquet"), "wb"
+        ).close()
+    with open(os.path.join(out, "stats.json"), "w") as f:
+        json.dump(
+            {"n_docs": n_batch, "total_tokens": n_batch, "avgdl": 1.0,
+             "num_segments": n_batch, "store_positions": False,
+             "content_fp": 0}, f,
+        )
+
+    rare_segs = [5, 77, 4242]
+    dict_dir = os.path.join(out, "dictionary")
+    os.makedirs(dict_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "term": ["hot", "rare"],
+                "df": [n_batch, 3],
+                "cf": [10 * n_batch, 3],
+                "segs": pa.array(
+                    [None, rare_segs], type=pa.list_(pa.int32())
+                ),
+            }
+        ),
+        os.path.join(dict_dir, "part-00000.parquet"),
+    )
+    write_dict_bounds(out)
+    with open(os.path.join(out, "dict_coverage.json"), "w") as f:
+        json.dump({"seg_ids": batch_ids}, f)
+
+    # blooms for every stream segment: 40 contain the rare term
+    m_rare, b_rare = make_bloom(["rare", "hot"])
+    m_oth, b_oth = make_bloom(["other", "hot"])
+    bloom_dir = os.path.join(out, "blooms")
+    os.makedirs(bloom_dir)
+    entries = {
+        s: (m_rare, b_rare) if i < 40 else (m_oth, b_oth)
+        for i, s in enumerate(stream_ids)
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "seg_id": list(entries),
+                "bloom_m": [v[0] for v in entries.values()],
+                "bloom": [v[1] for v in entries.values()],
+            }
+        ),
+        os.path.join(bloom_dir, "blooms-synth.parquet"),
+    )
+
+    ix = Index(spark, out)
+    cand = ix.candidate_segments(Term("rare"))  # allow_spark default
+    fp_rare = {
+        s
+        for s, (m, b) in entries.items()
+        if bloom_contains(b, m, "rare")
+    }
+    assert set(cand) == set(rare_segs) | fp_rare
+    # ~102k-segment fan-out pruned to tens of candidates
+    assert len(cand) <= len(rare_segs) + 40 + 25  # exact + blooms + FP
+    # the probe ran AS A SPARK JOB: no bloom bytes on the driver
+    assert ix._blooms is None and ix._bloom_probe is None
+
+    # directory-covered warm probes stay in-memory set algebra; the
+    # uncovered tail costs one Spark job per probe at this scale —
+    # time the DIRECTORY arm alone via allow_spark=False on a second
+    # handle whose bloom map loads once (the serving-process shape)
+    t0 = time.time()
+    cold = ix.candidate_segments(Term("rare"), allow_spark=False)
+    assert set(cold) == set(cand)  # local probe agrees with the job
+    t_cold = time.time() - t0
+    t0 = time.time()
+    for _ in range(10):
+        ix.candidate_segments(Term("rare"), allow_spark=False)
+    per_probe = (time.time() - t0) / 10
+    assert per_probe < 0.05, (
+        f"warm probe {per_probe * 1e3:.1f}ms (cold {t_cold:.2f}s)"
+    )

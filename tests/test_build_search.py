@@ -667,3 +667,56 @@ def test_tmp_write_litter_is_invisible_to_readers(spark, tmp_path_factory):
     rep = json_.loads(fs.stdout)
     assert rep["status"] == "INDEX_OK"
     assert len(rep["tmp_litter"]) == 2
+
+
+def test_local_cache_byte_budget_holds_under_rotation(spark, tmp_path_factory):
+    """The driver-local decoded cache is LRU with a BYTE budget: a
+    rotating hot-term workload (more distinct terms than the budget
+    holds) keeps cache bytes <= budget the whole time, evicted terms
+    reload transparently, and every answer stays identical to a
+    fresh-handle baseline."""
+    out = str(tmp_path_factory.mktemp("lru_ix"))
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(i % 40, i % 40 + 12)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    build_index(spark, df, out, num_segments=4)
+
+    baseline = Index(spark, out)
+    want = {
+        f"w{j}": baseline.local_search(Term(f"w{j}"), k=10)
+        for j in range(0, 50, 3)
+    }
+
+    # a budget small enough that 17 rotating terms cannot all stay
+    # resident (each term's postings decode to ~1-2 KB here)
+    ix = Index(spark, out, local_cache_bytes=8 * 1024)
+    for sweep in range(3):
+        for j in range(0, 50, 3):
+            got = ix.local_search(Term(f"w{j}"), k=10)
+            assert got == want[f"w{j}"], (sweep, j)
+            assert ix._local_cache.total <= ix.local_cache_bytes
+    # eviction actually happened (the workload exceeds the budget)
+    assert len(ix._local_cache) < 17 + 4  # < all terms + all metas
+
+
+def test_local_search_loads_only_candidate_meta(spark, tmp_path_factory):
+    """local_search decodes meta rows for the PRUNED candidate
+    segments only — the per-query work is O(candidates), not
+    O(resident segments)."""
+    out = str(tmp_path_factory.mktemp("cand_ix"))
+    rows = [(i, f"common only_{i:03d}") for i in range(64)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    build_index(spark, df, out, num_segments=8)
+    ix = Index(spark, out)
+    # a unique term lives in exactly one segment; after querying it,
+    # only that segment's meta is cached
+    hits = ix.local_search(Term("only_007"), k=5)
+    assert len(hits) == 1
+    metas = [k for k in ix._local_cache._d if k[0] == "m"]
+    assert len(metas) == 1
