@@ -294,7 +294,10 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     The token array is materialized in its own projection first — the
     2-gram transform references it several times and Catalyst would
     inline (recompute) the tokenizer per reference otherwise (the
-    shingle lesson from operators/dedup)."""
+    shingle lesson from operators/dedup).  The 2-gram array gets the
+    same treatment: it feeds both size() and array_distinct(), so it
+    lives in its own projection too (referencing the transform twice
+    in one projection recomputes it per row)."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     base = df.select(
         "doc_id",
@@ -311,14 +314,15 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = base.select(
+    with_two = base.select("doc_id", "lines", "toks", two.alias("two"))
+    g = with_two.select(
         "doc_id",
         F.size("lines").alias("nl"),
         F.size(F.array_distinct("lines")).alias("dl"),
         F.size("toks").alias("nt"),
         F.size(F.array_distinct("toks")).alias("dt"),
-        F.size(two).alias("n2"),
-        F.size(F.array_distinct(two)).alias("d2"),
+        F.size("two").alias("n2"),
+        F.size(F.array_distinct("two")).alias("d2"),
     )
     d = F.lit(1.0)
     line_f = F.when(

@@ -221,6 +221,7 @@ def ivf_build(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     lookup_files: int | None = None,
+    sample_order: str = "hash",
 ) -> dict:
     """Build and PERSIST an IVF index: k-means centroids (driver-side
     deterministic sample) + the full-corpus cell assignment, written as
@@ -237,12 +238,23 @@ def ivf_build(
     right for the candidate scan but gives a vec_id probe nothing to
     prune on; the id-sorted sidecar makes the query-by-id vector fetch
     an O(1)-file driver read (same design as the dictionary's
-    ``dict_bounds.json``)."""
+    ``dict_bounds.json``).
+
+    Compatibility note: the centroid sample order defaults to
+    ``sample_order="hash"`` (uniform md5-derived spread) since round 3;
+    earlier builds used the lowest-id prefix.  REBUILDING an index over
+    the same corpus therefore yields a different (still deterministic)
+    centroid set and cell layout than a pre-round-3 build — persisted
+    indexes stay self-consistent, but recall numbers shift on rebuild.
+    Pass ``sample_order="id"`` if the legacy layout must be
+    reproduced."""
     import json
     import os
 
     base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
-    c = kmeans_centroids(base, n_centroids, sample, iters, vec_col)
+    c = kmeans_centroids(
+        base, n_centroids, sample, iters, vec_col, sample_order
+    )
     assigned = with_norm(ivf_assign(base, c, vec_col), vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(out_dir, "assigned")
@@ -364,6 +376,7 @@ def ivf_query(
     k: int = 10,
     n_probe: int = 4,
     query_vectors=None,
+    exclude_self: bool | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index (:func:`ivf_build`).  No assignment
     job runs: centroids load from the tiny sidecar, probe cells are a
@@ -379,7 +392,16 @@ def ivf_query(
       reality: queries are usually EXTERNAL vectors that were never
       indexed.  Norms are computed with the same sequential fold as
       the stored ``norm`` column, so an external copy of an indexed
-      vector scores identically.  Self-matches are excluded by id.
+      vector scores identically.
+
+    ``exclude_self`` drops candidates whose ``vec_id`` equals the
+    query id.  Default (None): True on the ``query_ids`` path (an
+    indexed vector trivially matches itself at cos=1 — noise), False
+    on the ``query_vectors`` path — external ids are CALLER-chosen,
+    and an accidental collision with an indexed vec_id must not
+    silently drop that indexed vector from the top-k.  Pass
+    ``exclude_self=True`` explicitly when external ids are known to
+    be the indexed ids (e.g. re-querying with copies).
     * ``query_ids`` — indexed vectors, fetched by id from the
       id-sorted ``vectors/`` lookup sidecar via
       :func:`fetch_query_vectors` — O(|ids|) file opens; the
@@ -465,12 +487,15 @@ def ivf_query(
         "query_id long, qv array<float>, qn double",
     )
     probe_cells = sorted({int(cell) for row in probes for cell in row})
+    if exclude_self is None:
+        exclude_self = query_ids is not None
     cand = (
         assigned.filter(F.col("cell").isin(probe_cells))
         .join(F.broadcast(probe_df), "cell")
         .join(F.broadcast(q), "query_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
     )
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
     return _rank_topk(cand, k, vec_col)
 
 

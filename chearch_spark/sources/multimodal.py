@@ -116,17 +116,89 @@ def decode_media(payload: bytes, kind: str) -> np.ndarray:
     return np.frombuffer(payload or b"", dtype=np.uint8)
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+# --- decoder injection seam ----------------------------------------------
+# A REAL decoder is a callable (payload: bytes, kind: str) -> uint8
+# ndarray.  Resolution order: explicit `decoder=` argument >
+# set_decoder() injection > CHEARCH_MEDIA_DECODER env ("pkg.mod:attr")
+# > None (the stub fast path, which skips per-row decode entirely and
+# reduces over the raw payload buffer — the deterministic CI path the
+# driver contract gates).
+_DECODER = None
+
+
+def set_decoder(fn) -> None:
+    """Inject a real media decoder process-wide; ``set_decoder(None)``
+    restores the stub.  The decoder is resolved at PLAN BUILD time and
+    captured in the kernel closure, so it must be picklable (a
+    module-level function, not a lambda over live handles)."""
+    global _DECODER
+    _DECODER = fn
+
+
+def resolve_decoder(explicit=None):
+    """The decoder the kernels will use (None = stub fast path)."""
+    if explicit is not None:
+        return explicit
+    if _DECODER is not None:
+        return _DECODER
+    import importlib
+    import os
+
+    spec = os.environ.get("CHEARCH_MEDIA_DECODER")
+    if spec:
+        mod, _, attr = spec.partition(":")
+        if not attr:
+            raise ValueError(
+                "CHEARCH_MEDIA_DECODER must be 'pkg.mod:attr', got "
+                f"{spec!r}"
+            )
+        return getattr(importlib.import_module(mod), attr)
+    return None
+
+
+def _decode_batch(pdf: pd.DataFrame, dec) -> tuple[np.ndarray, np.ndarray]:
+    """(concatenated uint8 buffer, per-row lengths) for one Arrow
+    batch.  Stub path: zero-copy view over the joined raw payloads.
+    Injected-decoder path: per-row decode (an opaque codec cannot be
+    vectorized across rows), then ONE concatenate — the downstream
+    reduceat reduction stage is identical either way, which is the
+    point of the seam: a real decoder changes the bytes, never the
+    vectorized plan around them."""
+    if dec is None:
+        payloads = [bytes(p or b"") for p in pdf["payload"]]
+        lens = np.fromiter(
+            (len(p) for p in payloads), dtype=np.int64,
+            count=len(payloads),
+        )
+        buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        return buf, lens
+    arrs = [
+        np.asarray(dec(bytes(p or b""), k), dtype=np.uint8).ravel()
+        for p, k in zip(pdf["payload"], pdf["kind"])
+    ]
+    lens = np.fromiter(
+        (a.size for a in arrs), dtype=np.int64, count=len(arrs)
+    )
+    buf = (
+        np.concatenate(arrs) if arrs else np.empty(0, dtype=np.uint8)
+    )
+    return buf, lens
+
+
+def extract_features(media: DataFrame, decoder=None) -> DataFrame:
     """Arrow-batched feature extraction over the decoded payload:
     exact-integer byte statistics (stable across engines, unlike
     float image stats).  mapInPandas: one pandas batch in, one out.
 
     Vectorized within the batch: unknown kinds are rejected as a set
     (the per-kind check :func:`decode_media` performs row-wise), then
-    the whole batch's payloads are viewed as ONE uint8 buffer and each
-    statistic is a single ``reduceat`` over per-row boundaries — no
-    per-row Python, so swapping the stub decoder for a real one keeps
-    an already-vectorized reduction stage."""
+    the whole batch's decoded payloads are viewed as ONE uint8 buffer
+    and each statistic is a single ``reduceat`` over per-row
+    boundaries — no per-row Python in the reduction.  ``decoder``
+    (or the :func:`set_decoder` / env injection) swaps the stub for a
+    real codec; see :func:`_decode_batch` — the reduction stage is
+    unchanged either way."""
+    dec = resolve_decoder(decoder)
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -135,12 +207,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 raise NotImplementedError(
                     f"no decoder for media kind(s) {sorted(bad)!r}"
                 )
-            payloads = [bytes(p or b"") for p in pdf["payload"]]
-            lens = np.fromiter(
-                (len(p) for p in payloads), dtype=np.int64,
-                count=len(payloads),
-            )
-            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            buf, lens = _decode_batch(pdf, dec)
             starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
             nonempty = lens > 0
             byte_sum = np.zeros(len(lens), dtype=np.int64)
@@ -170,19 +237,20 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def frame_sample(
-    media: DataFrame, frame_bytes: int = 64, stride: int = 4
+    media: DataFrame,
+    frame_bytes: int = 64,
+    stride: int = 4,
+    decoder=None,
 ) -> DataFrame:
-    """Frame sampler: splits each payload into fixed-size "frames" and
-    keeps every ``stride``-th one — the plumbing shape of video frame
-    sampling (real frames would come from the decoder)."""
+    """Frame sampler: splits each decoded payload into fixed-size
+    "frames" and keeps every ``stride``-th one — the plumbing shape of
+    video frame sampling.  ``decoder`` injection as in
+    :func:`extract_features`; the stub path frames the raw bytes."""
+    dec = resolve_decoder(decoder)
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [bytes(p or b"") for p in pdf["payload"]]
-            lens = np.fromiter(
-                (len(p) for p in payloads), dtype=np.int64,
-                count=len(payloads),
-            )
+            buf, lens = _decode_batch(pdf, dec)
             # frames kept per doc, then one repeat/arange expansion to
             # (doc row, frame_idx) pairs — no per-row Python loop; the
             # frame bytes are offset slices of ONE concatenated buffer
@@ -192,7 +260,6 @@ def frame_sample(
             frame_idx = (
                 np.arange(len(doc_rows)) - offsets[doc_rows]
             ) * stride
-            buf = b"".join(payloads)
             doc_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
             frame_starts = doc_starts[doc_rows] + frame_idx * frame_bytes
             yield pd.DataFrame(
@@ -201,7 +268,7 @@ def frame_sample(
                     "frame_idx": frame_idx.astype("int32"),
                     "frame": pd.Series(
                         [
-                            buf[s: s + frame_bytes]
+                            buf[s: s + frame_bytes].tobytes()
                             for s in frame_starts.tolist()
                         ],
                         dtype=object,
@@ -209,13 +276,16 @@ def frame_sample(
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(
+    return media.select("doc_id", "kind", "payload").mapInPandas(
         _kernel, FRAME_SCHEMA
     )
 
 
 def frame_digests(
-    media: DataFrame, frame_bytes: int = 64, stride: int = 4
+    media: DataFrame,
+    frame_bytes: int = 64,
+    stride: int = 4,
+    decoder=None,
 ) -> DataFrame:
     """Oracle-checkable projection over :func:`frame_sample`:
     (doc_id, frame_idx, n_bytes, frame_sha256).  The frame blobs
@@ -224,7 +294,7 @@ def frame_digests(
     oracle, :func:`frame_digests_sql`) — digests travel through the
     value-hash gate where raw binary columns cannot (engines disagree
     on binary repr, not on hex strings)."""
-    f = frame_sample(media, frame_bytes, stride)
+    f = frame_sample(media, frame_bytes, stride, decoder)
     return f.select(
         "doc_id",
         "frame_idx",

@@ -243,6 +243,80 @@ def test_resize_stub_raises(corpus):
         M.resize_stub(M.attach_media(corpus), 32, 32)
 
 
+def _fake_real_decoder(payload: bytes, kind: str):
+    """Stand-in for a REAL codec: produces different bytes than the
+    raw payload (inverted and 2x upsampled), like a decode would."""
+    a = np.frombuffer(payload or b"", dtype=np.uint8)
+    return np.repeat(a ^ np.uint8(0xFF), 2)
+
+
+def test_decoder_injection_seam(corpus):
+    """The decode seam (round-3 verdict stretch task): injecting a
+    real decoder changes the BYTES while the vectorized reduction
+    stage and output schema stay identical; removing the injection
+    restores the stub (= the contract-gated CI path) exactly."""
+    media = M.attach_media(corpus)
+    stub = {r.doc_id: r for r in M.extract_features(media).collect()}
+
+    # explicit argument
+    dec = {
+        r.doc_id: r
+        for r in M.extract_features(
+            media, decoder=_fake_real_decoder
+        ).collect()
+    }
+    raw = BASE.encode()
+    want = np.repeat(
+        np.frombuffer(raw, dtype=np.uint8) ^ np.uint8(0xFF), 2
+    )
+    assert dec[0].n_bytes == 2 * len(raw) != stub[0].n_bytes
+    assert dec[0].byte_sum == int(want.sum(dtype=np.int64))
+    assert dec[0].byte_min == int(want.min())
+    assert dec[0].byte_max == int(want.max())
+    assert dec[5].n_bytes == 0  # empty payload decodes to empty
+
+    # frames slice the DECODED buffer
+    fr = M.frame_sample(
+        media, frame_bytes=16, stride=2, decoder=_fake_real_decoder
+    ).collect()
+    doc0 = sorted(
+        (r for r in fr if r.doc_id == 0), key=lambda r: r.frame_idx
+    )
+    assert bytes(doc0[0].frame) == want[:16].tobytes()
+
+    # process-wide injection + restore
+    M.set_decoder(_fake_real_decoder)
+    try:
+        inj = {
+            r.doc_id: r for r in M.extract_features(media).collect()
+        }
+        assert inj[0].byte_sum == dec[0].byte_sum
+    finally:
+        M.set_decoder(None)
+    back = {r.doc_id: r for r in M.extract_features(media).collect()}
+    assert {k: tuple(v) for k, v in back.items()} == {
+        k: tuple(v) for k, v in stub.items()
+    }
+
+    # env-gated resolution ("pkg.mod:attr"), checked at resolve time
+    import os
+
+    os.environ["CHEARCH_MEDIA_DECODER"] = (
+        "tests.test_pipeline_ops:_fake_real_decoder"
+    )
+    try:
+        assert M.resolve_decoder() is _fake_real_decoder
+    finally:
+        del os.environ["CHEARCH_MEDIA_DECODER"]
+    assert M.resolve_decoder() is None
+    with pytest.raises(ValueError):
+        os.environ["CHEARCH_MEDIA_DECODER"] = "no_colon_here"
+        try:
+            M.resolve_decoder()
+        finally:
+            del os.environ["CHEARCH_MEDIA_DECODER"]
+
+
 def test_ivf_ann_recall_on_clustered_vectors(spark):
     """IVF with a deterministic k-means quantizer: on clustered data
     (10 label groups in the testdata embeddings) probing 4/16 cells
@@ -326,15 +400,26 @@ def test_ivf_build_query_persisted(spark, tmp_path_factory):
 
     # serving form: EXTERNAL query vectors (the common production
     # case) — passing copies of indexed vectors must score identically
-    # to the by-id path, norms included (same sequential fold)
+    # to the by-id path, norms included (same sequential fold).
+    # exclude_self=True opts into the by-id path's self-exclusion; the
+    # external DEFAULT keeps self-matches (caller-chosen ids must not
+    # silently drop a colliding indexed vector from the top-k)
     vecs = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
         for _, r in qpdf.iterrows()
     }
     ext = A.ivf_query(
-        spark, out, k=10, n_probe=4, query_vectors=vecs
+        spark, out, k=10, n_probe=4, query_vectors=vecs,
+        exclude_self=True,
     ).collect()
     assert sorted(map(tuple, ext)) == sorted(map(tuple, want))
+    ext_default = A.ivf_query(
+        spark, out, k=10, n_probe=4, query_vectors=vecs
+    ).collect()
+    for qid in qids:
+        top = [r for r in ext_default if r.query_id == qid and r.rank == 1]
+        assert len(top) == 1 and top[0].vec_id == qid
+        assert abs(top[0].cos - 1.0) < 1e-9
     with pytest.raises(ValueError):
         A.ivf_query(spark, out, qids, query_vectors=vecs)
     with pytest.raises(ValueError):
