@@ -86,6 +86,7 @@ def wand_or_topk(
     doc_lens: np.ndarray,
     avgdl: float,
     k: int,
+    stats_out: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND for pure disjunctions: returns (doc_index, score)
     of the local top-k without scoring every candidate.
@@ -96,6 +97,10 @@ def wand_or_topk(
     bounds* cannot beat the running threshold θ (the kth best true
     score so far, seeded by exactly scoring the best-bound block region
     first) are skipped entirely.
+
+    ``stats_out`` (a dict, mutated in place) records pruning telemetry
+    — ``candidates`` (union doc count) and ``scored`` (docs scored
+    exactly) — for benchmarks/diagnostics; scoring is unaffected.
     """
     nt = len(postings)
     if nt == 0 or k <= 0:
@@ -151,6 +156,9 @@ def wand_or_topk(
         return scores
 
     if len(all_docs) <= max(4 * k, 256):
+        if stats_out is not None:
+            stats_out["candidates"] = int(len(all_docs))
+            stats_out["scored"] = int(len(all_docs))
         scores = exact(all_docs)
         return local_topk_scores(all_docs, scores, k)
 
@@ -169,6 +177,9 @@ def wand_or_topk(
     # == theta and win the (score desc, doc_id asc) tie-break — pruning
     # them would break rank-identity with the exhaustive path/oracle
     need = remaining & (ub_sum >= theta)
+    if stats_out is not None:
+        stats_out["candidates"] = int(len(all_docs))
+        stats_out["scored"] = int(seed_n + need.sum())
     if need.any():
         cand = all_docs[need]
         scores = exact(cand)
