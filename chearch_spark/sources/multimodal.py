@@ -119,28 +119,40 @@ def decode_media(payload: bytes, kind: str) -> np.ndarray:
 # --- decoder injection seam ----------------------------------------------
 # A REAL decoder is a callable (payload: bytes, kind: str) -> uint8
 # ndarray.  Resolution order: explicit `decoder=` argument >
-# set_decoder() injection > CHEARCH_MEDIA_DECODER env ("pkg.mod:attr")
-# > None (the stub fast path, which skips per-row decode entirely and
-# reduces over the raw payload buffer — the deterministic CI path the
-# driver contract gates).
-_DECODER = None
+# set_decoder() injection (where set_decoder(None) FORCES the stub,
+# overriding the env — code that demands the deterministic path must
+# win over ambient configuration) > CHEARCH_MEDIA_DECODER env
+# ("pkg.mod:attr") > None (the stub fast path, which skips per-row
+# decode entirely and reduces over the raw payload buffer — the
+# deterministic CI path the driver contract gates).
+_UNSET = object()
+_DECODER = _UNSET
 
 
 def set_decoder(fn) -> None:
-    """Inject a real media decoder process-wide; ``set_decoder(None)``
-    restores the stub.  The decoder is resolved at PLAN BUILD time and
-    captured in the kernel closure, so it must be picklable (a
-    module-level function, not a lambda over live handles)."""
+    """Inject a media decoder process-wide.  ``set_decoder(None)``
+    FORCES the stub (overrides a CHEARCH_MEDIA_DECODER env setting);
+    :func:`reset_decoder` returns to the default env-aware resolution.
+    The decoder is resolved at PLAN BUILD time and captured in the
+    kernel closure, so it must be picklable (a module-level function,
+    not a lambda over live handles)."""
     global _DECODER
     _DECODER = fn
+
+
+def reset_decoder() -> None:
+    """Drop any :func:`set_decoder` injection or stub-forcing: the
+    CHEARCH_MEDIA_DECODER env (or the stub) applies again."""
+    global _DECODER
+    _DECODER = _UNSET
 
 
 def resolve_decoder(explicit=None):
     """The decoder the kernels will use (None = stub fast path)."""
     if explicit is not None:
         return explicit
-    if _DECODER is not None:
-        return _DECODER
+    if _DECODER is not _UNSET:
+        return _DECODER  # may be None: an explicitly forced stub
     import importlib
     import os
 

@@ -814,14 +814,29 @@ def maybe_compact(
 
     * ``max_segments`` — more live STREAM-RANGE segments than this
       (batch segments count only when ``include_batch=True``): query
-      fan-out debt.
+      fan-out debt.  Fires only when compaction can actually REDUCE
+      the count: the expected output (``num_segments``, or the
+      docs-per-segment-derived count) must sit meaningfully below the
+      live count, else the pass would burn an epoch rewriting
+      everything for no fan-out gain — when the corpus outgrows the
+      (docs_per_segment, max_segments) pair, the trigger waits for
+      ~1.5x the achievable floor (bounded amplification) instead of
+      refiring every batch.  An explicitly impossible config
+      (num_segments > max_segments) raises at once.
     * ``max_tombstone_frac`` — pending tombstones exceed this fraction
       of indexed docs (doc count from manifest totals, so the check
       works mid-stream before any finalize), AND there are at least
       ``min_tombstones`` pending: physical-purge debt.  At 100 TB this
       is the knob that matters — compaction cost is proportional to
       data rewritten, so you trade query-time tombstone filtering
-      against rewrite amplification.
+      against rewrite amplification.  Tombstones OUTSIDE the
+      compaction scope (docs living in batch segments while
+      include_batch=False, or ids never indexed) survive the pass;
+      the policy fingerprints the post-pass pending set and suppresses
+      this trigger until the set CHANGES — without that memory an
+      out-of-scope delete debt would re-fire a full (useless) rewrite
+      on every call forever.  Clear such debt with a manual
+      ``include_batch=True`` pass.
 
     The no-trigger path costs one directory listing plus the (small)
     tombstone and manifest reads — no Spark job, safe at any call
@@ -831,10 +846,26 @@ def maybe_compact(
         {"compacted": bool, "reason": str | None,
          "segments": n_live_considered, "pending_tombstones": n,
          "stats": <finalize stats> | None, "gc": <gc result> | None}
-    """
+
+    Rewrite-amplification note (single-level compaction): each
+    triggered pass rewrites the whole in-scope corpus, so a stream
+    that grows forever pays O(total/max_segments) rewrites of
+    everything — size ``docs_per_segment`` so the steady-state output
+    count stays well under ``max_segments`` and compactions stay
+    rare; tiered/leveled merging is the classic refinement if
+    amplification ever dominates."""
+    import hashlib
+    import math
+
+    from chearch_spark.build import DEFAULT_DOCS_PER_SEGMENT
     from chearch_spark.streaming.ingest import _seg_files
     from chearch_spark.tombstones import gc_tombstones, load_tombstones
 
+    if num_segments is not None and num_segments > max_segments:
+        raise ValueError(
+            f"num_segments={num_segments} > max_segments={max_segments}:"
+            " every compaction would immediately re-trigger"
+        )
     seg_dir = os.path.join(out_dir, "segments")
     if include_batch:
         dead = replaced_seg_ids(out_dir)
@@ -842,16 +873,36 @@ def maybe_compact(
     else:
         live = _stream_seg_ids(seg_dir)
     tombs = load_tombstones(out_dir)
-    n_docs = sum(
-        d for d, _t in _manifest_totals_live(out_dir).values()
+    totals = _manifest_totals_live(out_dir)
+    n_docs = sum(d for d, _t in totals.values())
+    live_set = set(live)
+    scope_docs = sum(
+        d for sid, (d, _t) in totals.items() if sid in live_set
     )
+    tomb_fp = hashlib.md5(tombs.tobytes()).hexdigest() if len(tombs) else ""
+    state = _load_policy_state(out_dir)
+    # suppression is PER SCOPE: a stream-scope pass settling on
+    # batch-resident debt must not silence an include_batch pass that
+    # CAN clear it
+    settle_key = (
+        "settled_tomb_fp_batch" if include_batch
+        else "settled_tomb_fp_stream"
+    )
+
+    if num_segments is not None:
+        target = num_segments
+    else:
+        dps = docs_per_segment or DEFAULT_DOCS_PER_SEGMENT
+        target = max(1, math.ceil(scope_docs / dps))
+    seg_threshold = max(max_segments, math.ceil(1.5 * target))
     reason = None
-    if len(live) > max_segments:
-        reason = f"segments {len(live)} > {max_segments}"
+    if len(live) > seg_threshold:
+        reason = f"segments {len(live)} > {seg_threshold}"
     elif (
         len(tombs) >= min_tombstones
         and n_docs > 0
         and len(tombs) / n_docs > max_tombstone_frac
+        and tomb_fp != state.get(settle_key, None)
     ):
         reason = (
             f"tombstones {len(tombs)}/{n_docs} > {max_tombstone_frac}"
@@ -875,9 +926,44 @@ def maybe_compact(
     )
     out["compacted"] = stats is not None
     out["stats"] = stats
-    if out["compacted"] and gc and len(tombs):
+    # gc runs whenever the pass was delete-motivated — even when the
+    # merge itself was a no-op (e.g. <=1 stream segment): never-indexed
+    # tombstones retire through gc alone
+    if gc and len(tombs) and (out["compacted"] or reason.startswith("tombstones")):
         out["gc"] = gc_tombstones(spark, out_dir)
+    if reason.startswith("tombstones"):
+        remaining = load_tombstones(out_dir)
+        # fingerprint what this pass could NOT clear; identical debt
+        # will not re-trigger (out-of-scope deletes need include_batch)
+        state[settle_key] = (
+            hashlib.md5(remaining.tobytes()).hexdigest()
+            if len(remaining)
+            else ""
+        )
+        _save_policy_state(out_dir, state)
     return out
+
+
+_POLICY_STATE = "policy_state.json"
+
+
+def _load_policy_state(out_dir: str) -> dict:
+    p = os.path.join(out_dir, _POLICY_STATE)
+    if not os.path.exists(p):
+        return {}
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}  # corrupt/missing state only weakens suppression
+
+
+def _save_policy_state(out_dir: str, state: dict) -> None:
+    p = os.path.join(out_dir, _POLICY_STATE)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, p)
 
 
 def _manifest_totals_live(out_dir: str) -> dict[int, tuple[int, int]]:

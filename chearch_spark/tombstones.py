@@ -78,9 +78,14 @@ def delete_docs(out_dir: str, doc_ids) -> int:
         )
     d = _tomb_dir(out_dir)
     os.makedirs(d, exist_ok=True)
-    # unique name per write: concurrent deletes never clobber
+    # unique name per write: concurrent deletes never clobber.  The
+    # tmp basename MUST be dot-prefixed: Spark and pyarrow dataset
+    # readers ingest ANY *.parquet in a scanned dir (a kill mid-write
+    # would otherwise leave a partial file that crashes every later
+    # load, and a kill post-write would silently commit the ids);
+    # only '.'/'_' prefixes are skipped by both readers.
     fn = f"tombstones-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}.parquet"
-    tmp = os.path.join(d, fn + ".tmp")
+    tmp = os.path.join(d, "." + fn + ".tmp")
     pq.write_table(pa.table({"doc_id": fresh}), tmp)
     os.replace(tmp, os.path.join(d, fn))
     return int(len(fresh))
@@ -130,17 +135,31 @@ def gc_tombstones(spark, out_dir: str) -> dict:
     from chearch_spark.streaming.compact import replaced_seg_ids
 
     d = _tomb_dir(out_dir)
-    snapshot = sorted(
-        f
-        for f in (os.listdir(d) if os.path.isdir(d) else [])
-        if f.endswith(".parquet")
-    )
+    listing = os.listdir(d) if os.path.isdir(d) else []
+    # maintenance sweep: staging dirs from CRASHED earlier gcs (their
+    # kept-set was never moved in, so the old files they adjudicated
+    # are still present — dropping the stage loses nothing) and
+    # dot-tmp litter from crashed delete_docs writes (uncommitted by
+    # definition; an age guard spares a concurrent writer mid-rename)
+    now = time.time()
+    for fn in listing:
+        p = os.path.join(d, fn)
+        if fn.startswith(".gc-") and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif fn.startswith(".") and fn.endswith(".tmp"):
+            try:
+                if now - os.path.getmtime(p) > 600:
+                    os.remove(p)
+            except OSError:
+                pass
+    snapshot = sorted(f for f in listing if f.endswith(".parquet"))
     if not snapshot:
         return {"kept": 0, "dropped": 0}
     tomb_df = (
         spark.read.parquet(*(os.path.join(d, f) for f in snapshot))
         .select("doc_id")
         .distinct()
+        .persist()  # count + semi-join/write share ONE scan+distinct
     )
     map_dir = os.path.join(out_dir, "docmap")
     dm = spark.read.parquet(map_dir).select("seg_id", "doc_id")
@@ -165,6 +184,7 @@ def gc_tombstones(spark, out_dir: str) -> dict:
         kept_df = tomb_df.join(dm, "doc_id", "left_semi")
     n_tombs = tomb_df.count()
     if n_tombs == 0:
+        tomb_df.unpersist()
         for f in snapshot:
             os.remove(os.path.join(d, f))
         return {"kept": 0, "dropped": 0}
@@ -175,7 +195,10 @@ def gc_tombstones(spark, out_dir: str) -> dict:
     # kept count comes from the staged files' parquet FOOTERS —
     # O(files) metadata reads, no row decode, no driver collect.
     stage = os.path.join(d, f".gc-{uuid.uuid4().hex[:8]}")
-    kept_df.write.mode("overwrite").parquet(stage)
+    try:
+        kept_df.write.mode("overwrite").parquet(stage)
+    finally:
+        tomb_df.unpersist()
     import pyarrow.parquet as pq
 
     kept = 0

@@ -168,3 +168,93 @@ def test_policy_below_thresholds_never_compacts(spark, tmp_index_dir):
         COMPACT_SEG_BASE <= s < STREAM_SEG_BASE
         for s in _seg_files(f"{out}/segments")
     )
+
+
+def test_policy_out_of_scope_debt_settles_not_thrashes(
+    spark, tmp_index_dir
+):
+    """Tombstones referencing docs OUTSIDE the compaction scope (batch
+    segments, include_batch=False) cannot be cleared by a stream
+    compaction: the policy runs ONE delete-motivated pass, fingerprints
+    the uncleared debt, and then goes quiet instead of re-firing a full
+    rewrite on every call.  A NEW delete re-arms it; an
+    include_batch=True pass actually clears the debt."""
+    out = tmp_index_dir
+    docs = spark.createDataFrame(
+        pd.DataFrame(ROWS, columns=["doc_id", "text"])
+    )
+    build_index(spark, docs, out, num_segments=2, resume=False)
+    # one stream segment so the index has a stream scope at all
+    ingest_batch(
+        spark.createDataFrame(
+            pd.DataFrame([(900, "alpha extra")], columns=["doc_id", "text"])
+        ),
+        out, batch_id=0, num_segments=1,
+    )
+    finalize_index(spark, out)
+    victims = list(range(0, 72, 3))  # 24/73 = 33% > 20%, all in batch segs
+    delete_docs(out, victims)
+
+    first = maybe_compact(
+        spark, out, max_segments=100, max_tombstone_frac=0.2
+    )
+    assert first["reason"].startswith("tombstones")
+    # debt survives (docs live in batch segments) ...
+    assert load_tombstones(out).tolist() == sorted(victims)
+    # ... and the policy SETTLES: no re-fire while the set is unchanged
+    second = maybe_compact(
+        spark, out, max_segments=100, max_tombstone_frac=0.2
+    )
+    assert second["reason"] is None and second["compacted"] is False
+
+    # a new delete changes the pending set -> re-arms exactly once
+    delete_docs(out, [71])
+    rearmed = maybe_compact(
+        spark, out, max_segments=100, max_tombstone_frac=0.2
+    )
+    assert rearmed["reason"].startswith("tombstones")
+    assert maybe_compact(
+        spark, out, max_segments=100, max_tombstone_frac=0.2
+    )["reason"] is None
+
+    # include_batch pass clears the debt for real
+    cleared = maybe_compact(
+        spark, out, max_segments=100, max_tombstone_frac=0.2,
+        include_batch=True, num_segments=2,
+    )
+    assert cleared["compacted"] is True
+    assert load_tombstones(out).size == 0
+    ix = Index(spark, out)
+    live = {
+        int(r.doc_id) for r in ix.match_docs(Term("alpha")).collect()
+    }
+    assert not (set(victims) | {71}) & live
+
+
+def test_policy_never_indexed_tombstones_gc_without_merge(
+    spark, tmp_index_dir
+):
+    """Deleting ids that were never indexed (legal no-op semantics)
+    above the frac threshold: the merge is a no-op but the
+    delete-motivated pass still runs gc, which retires them all."""
+    out = tmp_index_dir
+    docs = spark.createDataFrame(
+        pd.DataFrame(ROWS[:20], columns=["doc_id", "text"])
+    )
+    ingest_batch(docs, out, batch_id=0, num_segments=1)
+    finalize_index(spark, out)
+    delete_docs(out, list(range(5000, 5010)))  # 10/20 = 50%
+
+    res = maybe_compact(
+        spark, out, max_segments=100, max_tombstone_frac=0.2
+    )
+    assert res["reason"].startswith("tombstones")
+    assert res["gc"] == {"kept": 0, "dropped": 10}
+    assert load_tombstones(out).size == 0
+
+
+def test_policy_impossible_config_raises(spark, tmp_index_dir):
+    with pytest.raises(ValueError):
+        maybe_compact(
+            spark, tmp_index_dir, max_segments=4, num_segments=8
+        )

@@ -292,13 +292,15 @@ def test_decoder_injection_seam(corpus):
         }
         assert inj[0].byte_sum == dec[0].byte_sum
     finally:
-        M.set_decoder(None)
+        M.reset_decoder()
     back = {r.doc_id: r for r in M.extract_features(media).collect()}
     assert {k: tuple(v) for k, v in back.items()} == {
         k: tuple(v) for k, v in stub.items()
     }
 
-    # env-gated resolution ("pkg.mod:attr"), checked at resolve time
+    # env-gated resolution ("pkg.mod:attr"), checked at resolve time;
+    # set_decoder(None) FORCES the stub even when the env names a
+    # decoder (code demanding determinism beats ambient config)
     import os
 
     os.environ["CHEARCH_MEDIA_DECODER"] = (
@@ -306,7 +308,12 @@ def test_decoder_injection_seam(corpus):
     )
     try:
         assert M.resolve_decoder() is _fake_real_decoder
+        M.set_decoder(None)
+        assert M.resolve_decoder() is None
+        M.reset_decoder()
+        assert M.resolve_decoder() is _fake_real_decoder
     finally:
+        M.reset_decoder()
         del os.environ["CHEARCH_MEDIA_DECODER"]
     assert M.resolve_decoder() is None
     with pytest.raises(ValueError):
