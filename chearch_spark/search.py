@@ -173,6 +173,8 @@ class Index:
         self._stats_cache: dict[str, tuple[int, int] | None] = {}
         self._blooms: dict[int, tuple[int, bytes]] | None = None
         self._bloom_probe = None  # vectorized probe, built once
+        self._partial_probe = None  # (seg-set sig, probe) for the
+        # dictionary-uncovered tail — see _bloom_candidates
         self._all_segs: list[int] | None = None
         self._replaced: set[int] | None = None
         self._dict_bounds: dict[str, tuple[str, str]] | None = None
@@ -398,6 +400,7 @@ class Index:
         self._replaced = None
         self._blooms = None
         self._bloom_probe = None
+        self._partial_probe = None
         self._dict_bounds = None
         self._local_cache = _ByteLRU(self.local_cache_bytes)
         self._stats_cache = {}
@@ -543,7 +546,9 @@ class Index:
             # unconditionally
             uncovered = live_set - covered
             if uncovered:
-                bc = self._bloom_candidates(terms, require_all, allow_spark)
+                bc = self._bloom_candidates(
+                    terms, require_all, allow_spark, restrict=uncovered
+                )
                 if bc is not None:
                     bcand, bloomed = bc
                     uncovered = (uncovered & bcand) | (uncovered - bloomed)
@@ -556,27 +561,57 @@ class Index:
         return sorted((bcand & live_set) | (live_set - bloomed))
 
     def _bloom_candidates(
-        self, terms: list[str], require_all: bool, allow_spark: bool
+        self,
+        terms: list[str],
+        require_all: bool,
+        allow_spark: bool,
+        restrict: set[int] | None = None,
     ) -> tuple[set[int], set[int]] | None:
         """(candidate seg ids, bloomed seg ids) from the per-segment
-        Blooms, or None when no bloom data exists.  Driver-resident
-        vectorized probe below DISTRIBUTED_PROBE_THRESHOLD segments;
-        a Spark job over the blooms parquet above it (filter bytes
-        never reach the driver)."""
+        Blooms, or None when no bloom data exists.
+
+        ``restrict``: the only seg ids whose membership the caller
+        still needs adjudicated (the dictionary directory already
+        decided the covered ones).  The probe scope — not the total
+        segment count — picks the strategy:
+
+        * scope ≤ DISTRIBUTED_PROBE_THRESHOLD: driver-resident
+          vectorized probe.  With ``restrict`` set, ONLY those
+          segments' bloom rows are read (row-group-pruned pyarrow
+          read, cached per uncovered-set) — a 100k-segment index whose
+          post-finalize tail is a few thousand segments keeps warm
+          probes sub-ms instead of paying a per-query Spark job, and
+          the driver never holds the full 100k-filter map;
+        * scope above it (huge tail, or a legacy index with no
+          directory at all): a Spark job over the blooms parquet —
+          filter bytes never reach the driver."""
         from chearch_spark.operators import bloom as bloom_mod
 
         bloom_dir = os.path.join(self.path, "blooms")
+        if not (os.path.isdir(bloom_dir) and os.listdir(bloom_dir)):
+            return None
+        scope = (
+            len(restrict)
+            if restrict is not None
+            else len(self._all_seg_ids())
+        )
         if (
             allow_spark  # driver-local callers never pay a Spark job
-            and len(self._all_seg_ids()) > bloom_mod.DISTRIBUTED_PROBE_THRESHOLD
+            and scope > bloom_mod.DISTRIBUTED_PROBE_THRESHOLD
             and self._blooms is None  # an already-loaded map stays hot
-            and os.path.isdir(bloom_dir)
-            and os.listdir(bloom_dir)
         ):
             cand_l, bloomed_l = bloom_mod.probe_blooms_spark(
                 self.spark, bloom_dir, terms, require_all
             )
             return set(cand_l), set(bloomed_l)
+        if restrict is not None and self._blooms is None:
+            probe = self._restricted_probe(restrict, bloom_dir)
+            if probe is None:
+                return None
+            return (
+                set(probe.candidates(terms, require_all)),
+                probe.seg_set,
+            )
         blooms = self._load_blooms()
         if not blooms:
             return None
@@ -586,6 +621,41 @@ class Index:
             set(self._bloom_probe.candidates(terms, require_all)),
             self._bloom_probe.seg_set,
         )
+
+    def _restricted_probe(self, restrict: set[int], bloom_dir: str):
+        """Driver-side BloomProbe over ONLY the restricted segments'
+        bloom rows, cached until the restricted set changes (it only
+        does on refresh after an ingest/finalize).  Returns None when
+        none of the restricted segments have bloom entries."""
+        from chearch_spark.operators import bloom as bloom_mod
+
+        # exact set signature: a collision would only cost extra scans
+        # (absent-from-probe degrades to always-scan), but cheap to be
+        # exact — frozenset hashing is order-independent
+        sig = (len(restrict), hash(frozenset(restrict)))
+        if (
+            self._partial_probe is not None
+            and self._partial_probe[0] == sig
+        ):
+            return self._partial_probe[1]
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(bloom_dir, format="parquet").to_table(
+            filter=ds.field("seg_id").isin(
+                [int(s) for s in restrict]
+            ),
+        )
+        blooms = {
+            int(seg_id): (int(m), bytes(b))
+            for seg_id, m, b in zip(
+                t.column("seg_id").to_pylist(),
+                t.column("bloom_m").to_pylist(),
+                t.column("bloom").to_pylist(),
+            )
+        }
+        probe = bloom_mod.BloomProbe(blooms) if blooms else None
+        self._partial_probe = (sig, probe)
+        return probe
 
     # -- scan -----------------------------------------------------------
     def _segment_scan(

@@ -514,21 +514,31 @@ def test_candidate_segments_100k_distributed_probe(
     assert set(cand) == set(rare_segs) | fp_rare
     # ~102k-segment fan-out pruned to tens of candidates
     assert len(cand) <= len(rare_segs) + 40 + 25  # exact + blooms + FP
-    # the probe ran AS A SPARK JOB: no bloom bytes on the driver
+    # the probe scope is the UNCOVERED TAIL (2k), far below the
+    # distributed threshold: only those segments' bloom rows were read
+    # into the cached partial probe — the full 102k-filter map never
+    # touches the driver and no Spark job ran
     assert ix._blooms is None and ix._bloom_probe is None
+    assert ix._partial_probe is not None
+    assert len(ix._partial_probe[1].seg_set) == n_stream
 
-    # directory-covered warm probes stay in-memory set algebra; the
-    # uncovered tail costs one Spark job per probe at this scale —
-    # time the DIRECTORY arm alone via allow_spark=False on a second
-    # handle whose bloom map loads once (the serving-process shape)
-    t0 = time.time()
-    cold = ix.candidate_segments(Term("rare"), allow_spark=False)
-    assert set(cold) == set(cand)  # local probe agrees with the job
-    t_cold = time.time() - t0
+    # warm probes (directory set algebra + cached partial probe) stay
+    # under the serving-latency bound — Spark-free even with
+    # allow_spark left on
     t0 = time.time()
     for _ in range(10):
-        ix.candidate_segments(Term("rare"), allow_spark=False)
+        ix.candidate_segments(Term("rare"))
     per_probe = (time.time() - t0) / 10
-    assert per_probe < 0.05, (
-        f"warm probe {per_probe * 1e3:.1f}ms (cold {t_cold:.2f}s)"
-    )
+    assert per_probe < 0.05, f"warm probe {per_probe * 1e3:.1f}ms"
+
+    # LEGACY regime (no dictionary directory): the probe scope is all
+    # ~102k segments -> the bloom probe MUST run as a Spark job and
+    # the filter bytes must still never load driver-side
+    ix2 = Index(spark, out)
+    ix2._dict_coverage = None  # as if dict_coverage.json were absent
+    cand2 = ix2.candidate_segments(Term("rare"))
+    # blooms cover only the stream segments; everything un-bloomed
+    # (all batch segments) must be scanned — advisory coverage
+    assert set(cand2) == set(batch_ids) | fp_rare
+    assert ix2._blooms is None and ix2._bloom_probe is None
+    assert ix2._partial_probe is None
