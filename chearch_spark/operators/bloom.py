@@ -159,8 +159,39 @@ def candidate_segments(
     return BloomProbe(blooms).candidates(terms, require_all)
 
 
+def read_bloom_map(
+    bloom_dir: str, seg_ids=None
+) -> dict[int, tuple[int, bytes]]:
+    """{seg_id: (m, filter bytes)} from the blooms parquet — THE one
+    decode shared by the driver-resident probes (full and restricted).
+    ``seg_ids`` pushes a row-group-prunable filter into the read so a
+    small restricted set never decodes the whole directory."""
+    import os
+
+    import pyarrow.dataset as ds
+
+    if not (os.path.isdir(bloom_dir) and os.listdir(bloom_dir)):
+        return {}
+    dset = ds.dataset(bloom_dir, format="parquet")
+    flt = (
+        ds.field("seg_id").isin([int(s) for s in seg_ids])
+        if seg_ids is not None
+        else None
+    )
+    t = dset.to_table(filter=flt)
+    return {
+        int(s): (int(m), bytes(b))
+        for s, m, b in zip(
+            t.column("seg_id").to_pylist(),
+            t.column("bloom_m").to_pylist(),
+            t.column("bloom").to_pylist(),
+        )
+    }
+
+
 def probe_blooms_spark(
-    spark, bloom_dir: str, terms: list[str], require_all: bool
+    spark, bloom_dir: str, terms: list[str], require_all: bool,
+    seg_ids=None,
 ) -> tuple[list[int], list[int]]:
     """Distributed bloom probe for indexes whose filters exceed driver
     RAM (the ~10^5-segment design point: 500k filters × a few KB each
@@ -174,8 +205,14 @@ def probe_blooms_spark(
     scheduling) per probe instead of sub-ms — the right trade exactly
     when the index is too big for one machine anyway.  ``Index``
     switches automatically past ``DISTRIBUTED_PROBE_THRESHOLD``.
+
+    ``seg_ids`` restricts the scan to those segments' rows (pushed
+    into the parquet read as an In filter — row groups outside it are
+    skipped): a caller that only needs the dictionary-uncovered tail
+    adjudicated does not pay a scan over every filter ever written.
     """
     import pandas as pd
+    from pyspark.sql import functions as F
 
     terms = list(terms)
 
@@ -198,12 +235,16 @@ def probe_blooms_spark(
                 }
             )
 
-    rows = (
-        spark.read.parquet(bloom_dir)
-        .select("seg_id", "bloom_m", "bloom")
-        .mapInPandas(_kernel, "seg_id long, hit boolean")
-        .collect()
+    scan = spark.read.parquet(bloom_dir).select(
+        "seg_id", "bloom_m", "bloom"
     )
+    if seg_ids is not None:
+        scan = scan.filter(
+            F.col("seg_id").isin([int(s) for s in seg_ids])
+        )
+    rows = scan.mapInPandas(
+        _kernel, "seg_id long, hit boolean"
+    ).collect()
     cand = sorted(int(r.seg_id) for r in rows if r.hit)
     bloomed = sorted(int(r.seg_id) for r in rows)
     return cand, bloomed

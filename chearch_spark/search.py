@@ -369,19 +369,11 @@ class Index:
     # -- segment pruning (per-segment term Blooms) ------------------------
     def _load_blooms(self) -> dict[int, tuple[int, bytes]]:
         if self._blooms is None:
-            bloom_dir = os.path.join(self.path, "blooms")
-            blooms: dict[int, tuple[int, bytes]] = {}
-            if os.path.isdir(bloom_dir) and os.listdir(bloom_dir):
-                import pyarrow.dataset as ds
+            from chearch_spark.operators.bloom import read_bloom_map
 
-                t = ds.dataset(bloom_dir, format="parquet").to_table()
-                for seg_id, m, b in zip(
-                    t.column("seg_id").to_pylist(),
-                    t.column("bloom_m").to_pylist(),
-                    t.column("bloom").to_pylist(),
-                ):
-                    blooms[int(seg_id)] = (int(m), bytes(b))
-            self._blooms = blooms
+            self._blooms = read_bloom_map(
+                os.path.join(self.path, "blooms")
+            )
         return self._blooms
 
     def refresh(self) -> None:
@@ -584,7 +576,11 @@ class Index:
           the driver never holds the full 100k-filter map;
         * scope above it (huge tail, or a legacy index with no
           directory at all): a Spark job over the blooms parquet —
-          filter bytes never reach the driver."""
+          restricted to the scope's rows when given, and filter bytes
+          never reach the driver.  A driver-local caller
+          (``allow_spark=False``) over such a scope gets None instead:
+          pruning is advisory, so it degrades to scanning the scope
+          rather than loading an unbounded filter map."""
         from chearch_spark.operators import bloom as bloom_mod
 
         bloom_dir = os.path.join(self.path, "blooms")
@@ -596,12 +592,17 @@ class Index:
             else len(self._all_seg_ids())
         )
         if (
-            allow_spark  # driver-local callers never pay a Spark job
-            and scope > bloom_mod.DISTRIBUTED_PROBE_THRESHOLD
+            scope > bloom_mod.DISTRIBUTED_PROBE_THRESHOLD
             and self._blooms is None  # an already-loaded map stays hot
         ):
+            if not allow_spark:
+                # driver-local caller, over-threshold scope: loading
+                # the map would be the exact blowup the threshold
+                # guards; skip pruning (advisory) instead
+                return None
             cand_l, bloomed_l = bloom_mod.probe_blooms_spark(
-                self.spark, bloom_dir, terms, require_all
+                self.spark, bloom_dir, terms, require_all,
+                seg_ids=sorted(restrict) if restrict is not None else None,
             )
             return set(cand_l), set(bloomed_l)
         if restrict is not None and self._blooms is None:
@@ -629,30 +630,13 @@ class Index:
         none of the restricted segments have bloom entries."""
         from chearch_spark.operators import bloom as bloom_mod
 
-        # exact set signature: a collision would only cost extra scans
-        # (absent-from-probe degrades to always-scan), but cheap to be
-        # exact — frozenset hashing is order-independent
-        sig = (len(restrict), hash(frozenset(restrict)))
+        sig = frozenset(restrict)  # exact: stale reuse is impossible
         if (
             self._partial_probe is not None
             and self._partial_probe[0] == sig
         ):
             return self._partial_probe[1]
-        import pyarrow.dataset as ds
-
-        t = ds.dataset(bloom_dir, format="parquet").to_table(
-            filter=ds.field("seg_id").isin(
-                [int(s) for s in restrict]
-            ),
-        )
-        blooms = {
-            int(seg_id): (int(m), bytes(b))
-            for seg_id, m, b in zip(
-                t.column("seg_id").to_pylist(),
-                t.column("bloom_m").to_pylist(),
-                t.column("bloom").to_pylist(),
-            )
-        }
+        blooms = bloom_mod.read_bloom_map(bloom_dir, seg_ids=restrict)
         probe = bloom_mod.BloomProbe(blooms) if blooms else None
         self._partial_probe = (sig, probe)
         return probe

@@ -542,3 +542,11 @@ def test_candidate_segments_100k_distributed_probe(
     assert set(cand2) == set(batch_ids) | fp_rare
     assert ix2._blooms is None and ix2._bloom_probe is None
     assert ix2._partial_probe is None
+    # a DRIVER-LOCAL caller over the same ~102k scope must neither
+    # load the filter map nor launch a job: pruning degrades to
+    # scan-everything (advisory), driver memory stays bounded
+    cand3 = ix2.candidate_segments(Term("rare"), allow_spark=False)
+    # None = scan everything (no dead segments to exclude here) — the
+    # API's no-pruning value; the point is no load and no job happened
+    assert cand3 is None
+    assert ix2._blooms is None and ix2._bloom_probe is None
