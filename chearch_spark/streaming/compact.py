@@ -447,6 +447,7 @@ def compact_stream_segments(
     docs_per_segment: int | None = None,
     finalize: bool = True,
     include_batch: bool = False,
+    max_inputs: int | None = None,
 ) -> dict | None:
     """Merge ALL stream-written (and previously compacted) segments
     into ``num_segments`` output segments (default: sized by
@@ -457,7 +458,17 @@ def compact_stream_segments(
     physically purges tombstones from a batch-built index (outputs
     land in the compact id range; the inputs are retired through the
     same crash-safe manifest machinery as stream compaction).  Returns
-    the refreshed stats (or None if there was nothing to compact)."""
+    the refreshed stats (or None if there was nothing to compact).
+
+    ``max_inputs`` (>= 2): SIZE-TIERED selection — merge only the
+    ``max_inputs`` smallest live inputs (by manifest doc counts) and
+    leave the rest untouched, the classic LSM answer to rewrite
+    amplification: small fresh flushes fold together cheaply while
+    big previously-compacted runs are not rewritten every pass.  The
+    crash-safety story is unchanged (the manifest lists exactly the
+    replaced subset).  Note tombstones are purged only from the
+    MERGED inputs; pending ones referencing unmerged segments stay
+    for a later full pass or gc."""
     from pyspark.sql import functions as F
 
     from chearch_spark.build import DEFAULT_DOCS_PER_SEGMENT
@@ -536,6 +547,16 @@ def compact_stream_segments(
         for sid in missing:
             p = os.path.join(out_dir, _rel_of(sid)[1])
             n_by_seg[sid] = pq.ParquetFile(p).metadata.num_rows
+    all_live_inputs = list(stream_ids)  # epoch collisions consider ALL
+    if max_inputs is not None:
+        if max_inputs < 2:
+            raise ValueError("max_inputs must be >= 2 (a 1-input "
+                             "merge is a pointless rewrite)")
+        if len(stream_ids) > max_inputs:
+            stream_ids = sorted(
+                sorted(stream_ids, key=lambda s: (n_by_seg[s], s))
+                [:max_inputs]
+            )
     total_docs = sum(n_by_seg[s] for s in stream_ids)
     if num_segments is None:
         cap = docs_per_segment or DEFAULT_DOCS_PER_SEGMENT
@@ -557,7 +578,7 @@ def compact_stream_segments(
     # creeps toward STREAM_SEG_BASE.
     live_epochs = {
         _epoch_of(s)
-        for s in stream_ids
+        for s in all_live_inputs
         if COMPACT_SEG_BASE <= s < STREAM_SEG_BASE
     }
     used = live_epochs | _manifest_epochs(out_dir)
@@ -801,6 +822,7 @@ def maybe_compact(
     docs_per_segment: int | None = None,
     include_batch: bool = False,
     gc: bool = True,
+    strategy: str = "full",
 ) -> dict:
     """The compaction DECISION loop: cheap threshold checks, then
     :func:`compact_stream_segments` (+ :func:`gc_tombstones`) only when
@@ -847,13 +869,20 @@ def maybe_compact(
          "segments": n_live_considered, "pending_tombstones": n,
          "stats": <finalize stats> | None, "gc": <gc result> | None}
 
-    Rewrite-amplification note (single-level compaction): each
-    triggered pass rewrites the whole in-scope corpus, so a stream
-    that grows forever pays O(total/max_segments) rewrites of
-    everything — size ``docs_per_segment`` so the steady-state output
-    count stays well under ``max_segments`` and compactions stay
-    rare; tiered/leveled merging is the classic refinement if
-    amplification ever dominates."""
+    ``strategy``:
+
+    * ``"full"`` (default) — each triggered pass merges every
+      in-scope segment: simplest layout (fan-out collapses to the
+      target), but a stream that grows forever pays
+      O(total/max_segments) rewrites of everything.
+    * ``"tiered"`` — a segment-count trigger merges only the
+      smallest ~half of the live inputs (size-tiered LSM):
+      fresh micro-batch flushes fold together cheaply and large
+      previously-compacted runs are NOT rewritten every pass —
+      amortized rewrite work drops from quadratic to O(N log N) over
+      the stream's life.  Tombstone-triggered passes still merge the
+      full scope (a purge must reach every segment holding deleted
+      docs)."""
     import hashlib
     import math
 
@@ -866,6 +895,8 @@ def maybe_compact(
             f"num_segments={num_segments} > max_segments={max_segments}:"
             " every compaction would immediately re-trigger"
         )
+    if strategy not in ("full", "tiered"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     seg_dir = os.path.join(out_dir, "segments")
     if include_batch:
         dead = replaced_seg_ids(out_dir)
@@ -894,7 +925,15 @@ def maybe_compact(
     else:
         dps = docs_per_segment or DEFAULT_DOCS_PER_SEGMENT
         target = max(1, math.ceil(scope_docs / dps))
-    seg_threshold = max(max_segments, math.ceil(1.5 * target))
+    # the 1.5x-of-achievable-floor guard exists to stop FULL rewrites
+    # from refiring when the corpus outgrew (docs_per_segment,
+    # max_segments); a tiered pass rewrites only the smallest inputs,
+    # so it triggers on the plain bound
+    seg_threshold = (
+        max_segments
+        if strategy == "tiered"
+        else max(max_segments, math.ceil(1.5 * target))
+    )
     reason = None
     if len(live) > seg_threshold:
         reason = f"segments {len(live)} > {seg_threshold}"
@@ -917,12 +956,28 @@ def maybe_compact(
     }
     if reason is None:
         return out
+    max_inputs = None
+    if strategy == "tiered" and reason.startswith("segments"):
+        # fold at least enough smallest inputs to get back under the
+        # bound (accounting for the outputs the merge itself adds),
+        # but never fewer than HALF the live set: folding the bare
+        # minimum re-merges the same small run every batch, while
+        # half-at-a-time gives geometric run growth — the simulated
+        # 24/96-batch totals are full 273/4557 rewritten docs, bare-
+        # minimum 176/2444, half 138/1452 (O(N log N) amortization)
+        out_est = num_segments or 1
+        max_inputs = max(
+            2,
+            len(live) - max_segments + out_est,
+            -(-len(live) // 2),
+        )
     stats = compact_stream_segments(
         spark,
         out_dir,
         num_segments=num_segments,
         docs_per_segment=docs_per_segment,
         include_batch=include_batch,
+        max_inputs=max_inputs,
     )
     out["compacted"] = stats is not None
     out["stats"] = stats

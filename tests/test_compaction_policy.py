@@ -258,3 +258,119 @@ def test_policy_impossible_config_raises(spark, tmp_index_dir):
         maybe_compact(
             spark, tmp_index_dir, max_segments=4, num_segments=8
         )
+
+
+def _run_policy_stream(spark, out, docs, strategy, n_batches=24,
+                       per_batch=2, max_segments=6):
+    """Drive n_batches micro-batches with maybe_compact(strategy=...)
+    in the maintenance slot; returns total docs REWRITTEN by
+    compactions (sum of output-segment doc counts across all passes,
+    tracked via the compact manifests) and the peak live fan-out."""
+    from chearch_spark.streaming.ingest import _manifest_totals
+
+    import os
+
+    rewritten = 0
+    peak = 0
+    for b in range(n_batches):
+        ingest_batch(
+            docs.filter(f"pmod(doc_id, {n_batches}) = {b}"),
+            out, batch_id=b, num_segments=per_batch,
+        )
+        # epoch slots RECYCLE, so output seg ids repeat across passes;
+        # account per pass by diffing the live id set around the call
+        dead = replaced_seg_ids(out)
+        pre = {
+            s
+            for s in _seg_files(os.path.join(out, "segments"))
+            if s not in dead
+        }
+        res = maybe_compact(
+            spark, out, max_segments=max_segments, strategy=strategy
+        )
+        if res["compacted"]:
+            dead = replaced_seg_ids(out)
+            post = {
+                s
+                for s in _seg_files(os.path.join(out, "segments"))
+                if s not in dead
+            }
+            totals = _manifest_totals(out)
+            rewritten += sum(totals[s][0] for s in post - pre)
+        peak = max(peak, _live_stream_segments(out))
+    return rewritten, peak
+
+
+def test_tiered_strategy_bounds_fanout_with_less_rewrite(
+    spark, tmp_index_dir, tmp_path_factory
+):
+    """strategy='tiered' merges only the smallest inputs per pass:
+    fan-out stays bounded like 'full', total rewrite work is
+    SUBSTANTIALLY lower (size-tiered LSM amortization), and the final
+    index still answers exactly like a fresh batch build."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(ROWS, columns=["doc_id", "text"])
+    )
+    out_t = tmp_index_dir
+    rew_t, peak_t = _run_policy_stream(spark, out_t, docs, "tiered")
+    out_f = str(tmp_path_factory.mktemp("policy_full"))
+    rew_f, peak_f = _run_policy_stream(spark, out_f, docs, "full")
+
+    assert peak_t <= 6 + 2 and peak_f <= 6 + 2
+    # the amortization claim, measured: tiered rewrites well under
+    # the full strategy's total (full re-merges ALL docs every pass)
+    assert rew_t < 0.7 * rew_f, (rew_t, rew_f)
+
+    finalize_index(spark, out_t)
+    ix = Index(spark, out_t)
+    import tempfile
+
+    ref = tempfile.mkdtemp(prefix="chearch_tier_ref_")
+    try:
+        build_index(spark, docs, ref, num_segments=2, resume=False)
+        rix = Index(spark, ref)
+        assert ix.stats["content_fp"] == rix.stats["content_fp"]
+        for q in (Term("alpha"), Term("alpha") & Term("shared")):
+            got = [
+                (int(r.doc_id), float(r.score))
+                for r in ix.search(q, k=15).collect()
+            ]
+            want = [
+                (int(r.doc_id), float(r.score))
+                for r in rix.search(q, k=15).collect()
+            ]
+            assert got == want, q
+    finally:
+        import shutil
+
+        shutil.rmtree(ref, ignore_errors=True)
+
+
+def test_tiered_tombstone_pass_purges_full_scope(spark, tmp_index_dir):
+    """Under strategy='tiered' a TOMBSTONE-triggered pass still merges
+    the full stream scope — a purge must reach every segment holding
+    deleted docs, so tiering applies only to fan-out passes."""
+    out = tmp_index_dir
+    docs = spark.createDataFrame(
+        pd.DataFrame(ROWS, columns=["doc_id", "text"])
+    )
+    for b in range(3):
+        ingest_batch(
+            docs.filter(f"pmod(doc_id, 3) = {b}"), out,
+            batch_id=b, num_segments=2,
+        )
+    finalize_index(spark, out)
+    victims = list(range(0, 72, 4))
+    delete_docs(out, victims)
+    res = maybe_compact(
+        spark, out, max_segments=100, max_tombstone_frac=0.2,
+        num_segments=2, strategy="tiered",
+    )
+    assert res["compacted"] is True
+    assert res["stats"]["n_docs"] == 72 - len(victims)
+    assert load_tombstones(out).size == 0
+    live = {
+        int(r.doc_id)
+        for r in Index(spark, out).match_docs(Term("alpha")).collect()
+    }
+    assert len(live) == 72 - len(victims)
