@@ -593,7 +593,20 @@ def compact_stream_segments(
                 sid = int(fn[len("segment-"):-len(".parquet")])
                 if COMPACT_SEG_BASE <= sid < STREAM_SEG_BASE:
                     used.add(_epoch_of(sid))
-    epoch = 0
+    # MONOTONIC floor: the new outputs' seg ids must sort AFTER every
+    # live compact run's ids.  Merge kernels order duplicate external
+    # ids by input seg id (= creation order); with several tiered runs
+    # live at once, recycling a slot BELOW a live run would put newer
+    # data at lower ids and reverse that order vs a fresh build.
+    # Slots above the floor still recycle as their manifests GC, so
+    # the id space only creeps by one per pass that leaves the
+    # then-highest run alive.
+    floor = max(
+        (_epoch_of(s) + 1 for s in all_live_inputs
+         if COMPACT_SEG_BASE <= s < STREAM_SEG_BASE),
+        default=0,
+    )
+    epoch = floor
     while epoch in used:
         epoch += 1
     max_epochs = (STREAM_SEG_BASE - COMPACT_SEG_BASE) // COMPACT_EPOCH_STRIDE
@@ -934,10 +947,15 @@ def maybe_compact(
         if strategy == "tiered"
         else max(max_segments, math.ceil(1.5 * target))
     )
+    # TOMBSTONE debt is adjudicated FIRST: a tiered stream in steady
+    # state re-triggers the segment bound on (nearly) every call, and
+    # tiered fan-out passes purge only the merged smallest inputs — if
+    # the segment trigger shadowed this one, delete debt sitting in
+    # large unmerged runs would starve forever instead of getting its
+    # full-scope purge pass
     reason = None
-    if len(live) > seg_threshold:
-        reason = f"segments {len(live)} > {seg_threshold}"
-    elif (
+    tiered_inputs = None
+    if (
         len(tombs) >= min_tombstones
         and n_docs > 0
         and len(tombs) / n_docs > max_tombstone_frac
@@ -946,6 +964,37 @@ def maybe_compact(
         reason = (
             f"tombstones {len(tombs)}/{n_docs} > {max_tombstone_frac}"
         )
+    elif len(live) > seg_threshold:
+        if strategy == "tiered":
+            # fold at least enough smallest inputs to get back under
+            # the bound, but never fewer than HALF the live set:
+            # folding the bare minimum re-merges the same small run
+            # every batch, while half-at-a-time gives geometric run
+            # growth — simulated 24/96-batch rewrite totals: full
+            # 273/4557 docs, bare-minimum 176/2444, half 138/1452
+            # (O(N log N) amortization)
+            k = min(
+                len(live),
+                max(2, len(live) - max_segments + 1,
+                    -(-len(live) // 2)),
+            )
+            dps = docs_per_segment or DEFAULT_DOCS_PER_SEGMENT
+            sizes = sorted(
+                totals.get(s, (0, 0))[0] for s in live
+            )
+            out_need = max(1, math.ceil(sum(sizes[:k]) / dps))
+            # refire guard: when every candidate input is already at
+            # docs-per-segment capacity, folding k of them emits ~k
+            # outputs — no fan-out reduction, so firing would rewrite
+            # half the corpus on EVERY call forever (the tiered
+            # analogue of the full strategy's 1.5x floor guard).
+            # Stay quiet; the corpus has outgrown (docs_per_segment,
+            # max_segments) and needs a bigger dps.
+            if len(live) - k + out_need < len(live):
+                reason = f"segments {len(live)} > {seg_threshold}"
+                tiered_inputs = k
+        else:
+            reason = f"segments {len(live)} > {seg_threshold}"
     out = {
         "compacted": False,
         "reason": reason,
@@ -956,29 +1005,27 @@ def maybe_compact(
     }
     if reason is None:
         return out
-    max_inputs = None
-    if strategy == "tiered" and reason.startswith("segments"):
-        # fold at least enough smallest inputs to get back under the
-        # bound (accounting for the outputs the merge itself adds),
-        # but never fewer than HALF the live set: folding the bare
-        # minimum re-merges the same small run every batch, while
-        # half-at-a-time gives geometric run growth — the simulated
-        # 24/96-batch totals are full 273/4557 rewritten docs, bare-
-        # minimum 176/2444, half 138/1452 (O(N log N) amortization)
-        out_est = num_segments or 1
-        max_inputs = max(
-            2,
-            len(live) - max_segments + out_est,
-            -(-len(live) // 2),
+    if tiered_inputs is not None:
+        # tiered fan-out pass: outputs sized by docs_per_segment, NOT
+        # the caller's num_segments — forcing k small inputs into
+        # num_segments outputs would emit as many segments as it
+        # consumed and make tiering strictly worse than full
+        stats = compact_stream_segments(
+            spark,
+            out_dir,
+            num_segments=None,
+            docs_per_segment=docs_per_segment,
+            include_batch=include_batch,
+            max_inputs=tiered_inputs,
         )
-    stats = compact_stream_segments(
-        spark,
-        out_dir,
-        num_segments=num_segments,
-        docs_per_segment=docs_per_segment,
-        include_batch=include_batch,
-        max_inputs=max_inputs,
-    )
+    else:
+        stats = compact_stream_segments(
+            spark,
+            out_dir,
+            num_segments=num_segments,
+            docs_per_segment=docs_per_segment,
+            include_batch=include_batch,
+        )
     out["compacted"] = stats is not None
     out["stats"] = stats
     # gc runs whenever the pass was delete-motivated — even when the

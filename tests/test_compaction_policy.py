@@ -374,3 +374,65 @@ def test_tiered_tombstone_pass_purges_full_scope(spark, tmp_index_dir):
         for r in Index(spark, out).match_docs(Term("alpha")).collect()
     }
     assert len(live) == 72 - len(victims)
+
+
+def test_tiered_refire_guard_when_segments_at_capacity(
+    spark, tmp_index_dir
+):
+    """When every live segment already sits at docs-per-segment
+    capacity, a tiered fold emits as many outputs as it consumes — no
+    fan-out reduction is possible, so the trigger must stay QUIET
+    instead of rewriting half the corpus on every maintenance call."""
+    out = tmp_index_dir
+    docs = spark.createDataFrame(
+        pd.DataFrame(ROWS, columns=["doc_id", "text"])
+    )
+    for b in range(4):
+        ingest_batch(
+            docs.filter(f"pmod(doc_id, 4) = {b}"), out,
+            batch_id=b, num_segments=3,
+        )
+    # 12 live segments of >=2 docs each (hash split is uneven);
+    # docs_per_segment=2 means any fold of k segments needs >= k
+    # outputs -> no fan-out reduction achievable at this capacity
+    res = maybe_compact(
+        spark, out, max_segments=4, strategy="tiered",
+        docs_per_segment=2,
+    )
+    assert res["compacted"] is False and res["reason"] is None
+    # raising the capacity makes reduction possible -> fires and folds
+    res2 = maybe_compact(
+        spark, out, max_segments=4, strategy="tiered",
+        docs_per_segment=72,
+    )
+    assert res2["compacted"] is True
+    assert _live_stream_segments(out) <= 7  # 12 - k(6) + 1
+
+
+def test_tombstone_trigger_outranks_segment_trigger(
+    spark, tmp_index_dir
+):
+    """When BOTH triggers fire, the delete-motivated full-scope pass
+    runs (under tiered, a segment-first policy would purge only the
+    smallest inputs and starve delete debt in the large runs)."""
+    out = tmp_index_dir
+    docs = spark.createDataFrame(
+        pd.DataFrame(ROWS, columns=["doc_id", "text"])
+    )
+    for b in range(8):
+        ingest_batch(
+            docs.filter(f"pmod(doc_id, 8) = {b}"), out,
+            batch_id=b, num_segments=2,
+        )
+    finalize_index(spark, out)
+    victims = list(range(0, 72, 4))  # 25% > 20%
+    delete_docs(out, victims)
+    res = maybe_compact(
+        spark, out, max_segments=4, max_tombstone_frac=0.2,
+        strategy="tiered",
+    )
+    assert res["reason"].startswith("tombstones")
+    assert res["compacted"] is True
+    # FULL scope purged: every tombstone retired by the pass's gc
+    assert load_tombstones(out).size == 0
+    assert res["stats"]["n_docs"] == 72 - len(victims)
