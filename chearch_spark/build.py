@@ -67,8 +67,14 @@ SEGMENT_SCHEMA = (
 SUMMARY_SCHEMA = (
     "seg_id long, n_docs long, n_terms long, n_tokens long, "
     "n_postings long, bytes_written long, skipped boolean, "
-    "wall_sec double, content_fp long, bloom_m long, bloom binary"
+    "wall_sec double, content_fp long"
 )
+# Bloom filters do NOT ride the summary rows: at the ~10^5-segment
+# design point the per-segment filters (10 bits/term) sum to
+# O(total vocabulary) bytes — gigabytes through one driver collect.
+# Each kernel publishes its own one-row bloom parquet instead
+# (``write_bloom_file``), and the driver collects only the small stats
+# columns above.
 
 
 @dataclass
@@ -374,15 +380,19 @@ def write_dict_bounds(out_dir: str) -> dict:
     return bounds
 
 
-def _checkpoint_summary(seg_path: str, map_path: str) -> dict:
+def _checkpoint_summary(
+    seg_path: str, map_path: str, bloom_dir: str, seg_id: int
+) -> dict:
     """Summary fields recomputed from an EXISTING segment + docmap pair
-    (a resume/replay checkpoint hit): lineage fingerprint and bloom
-    rebuilt from the real files — zeros would corrupt lineage
-    consumers, and an empty bloom would wrongly prune the segment at
-    query time.  THE one implementation shared by the batch build's
-    resume branch and streaming ingest's replayed-batch branch (the
-    two feed the same SUMMARY_SCHEMA/manifest consumers and must never
-    drift)."""
+    (a resume/replay checkpoint hit): lineage fingerprint rebuilt from
+    the real files — zeros would corrupt lineage consumers.  Also
+    repairs a missing per-segment bloom file (crash window between the
+    segment write and the bloom write; an absent bloom only costs
+    pruning — uncovered segments are always scanned — but rebuilding
+    it here restores full coverage).  THE one implementation shared by
+    the batch build's resume branch and streaming ingest's
+    replayed-batch branch (the two feed the same
+    SUMMARY_SCHEMA/manifest consumers and must never drift)."""
     import pyarrow.parquet as pq
 
     mf = pq.read_table(map_path, columns=["doc_len", "sha256"])
@@ -393,7 +403,9 @@ def _checkpoint_summary(seg_path: str, map_path: str) -> dict:
         .to_pylist()
         if t != META_TERM
     ]
-    bm, bl = bloom_mod.make_bloom(terms)
+    if not os.path.exists(bloom_file_path(bloom_dir, seg_id)):
+        bm, bl = bloom_mod.make_bloom(terms)
+        write_bloom_file(bloom_dir, seg_id, bm, bl)
     dl = mf.column("doc_len").to_numpy()
     return {
         "n_docs": len(dl),
@@ -403,8 +415,6 @@ def _checkpoint_summary(seg_path: str, map_path: str) -> dict:
         "bytes_written": 0,
         "skipped": True,
         "content_fp": spec.content_fp(mf.column("sha256").to_pylist()),
-        "bloom_m": bm,
-        "bloom": bl,
     }
 
 
@@ -421,8 +431,6 @@ def _summary_row(seg_id: int, s: dict, wall_sec: float) -> dict:
         "skipped": s["skipped"],
         "wall_sec": wall_sec,
         "content_fp": s["content_fp"],
-        "bloom_m": s["bloom_m"],
-        "bloom": s["bloom"],
     }
 
 
@@ -449,6 +457,36 @@ def _atomic_write_parquet(pdf: pd.DataFrame, final_path: str) -> int:
     size = os.path.getsize(tmp)
     os.replace(tmp, final_path)  # atomic checkpoint: presence = done
     return size
+
+
+def bloom_file_path(bloom_dir: str, seg_id: int) -> str:
+    """Per-segment bloom parquet (10-digit id: stream/compact segment
+    ids reach 2^31).  The id-in-the-name lets restricted probes open
+    exactly the files they need (``read_bloom_map(seg_ids=...)``)
+    instead of footer-scanning the whole directory."""
+    return os.path.join(bloom_dir, f"bloom-{seg_id:010d}.parquet")
+
+
+def write_bloom_file(
+    bloom_dir: str, seg_id: int, bloom_m: int, bloom: bytes
+) -> None:
+    """Publish one segment's bloom filter FROM THE KERNEL that built
+    the segment (same dot-tmp atomic-rename rules as the segment file)
+    — the filter bytes never travel through a driver collect.  At 10
+    bits/term a 1M-distinct-term segment's filter is ~1.25 MB; across
+    the ~10^5-segment design point that is O(total vocabulary) bytes,
+    which must not funnel through one driver."""
+    os.makedirs(bloom_dir, exist_ok=True)
+    _atomic_write_parquet(
+        pd.DataFrame(
+            {
+                "seg_id": pd.Series([int(seg_id)], dtype="int64"),
+                "bloom_m": pd.Series([int(bloom_m)], dtype="int64"),
+                "bloom": pd.Series([bloom], dtype="object"),
+            }
+        ),
+        bloom_file_path(bloom_dir, seg_id),
+    )
 
 
 # Default per-segment document cap when num_segments is not given: the
@@ -654,12 +692,15 @@ def build_index(
         map_path = os.path.join(map_dir, f"docmap-{seg_id:05d}.parquet")
         k0 = time.time()
         if resume and os.path.exists(seg_path) and os.path.exists(map_path):
-            # checkpoint hit: per-partition resume (north rule)
+            # checkpoint hit: per-partition resume (north rule);
+            # repairs a missing bloom file from the crash window
             summary = pd.DataFrame(
                 [
                     _summary_row(
                         seg_id,
-                        _checkpoint_summary(seg_path, map_path),
+                        _checkpoint_summary(
+                            seg_path, map_path, bloom_dir_, seg_id
+                        ),
                         time.time() - k0,
                     )
                 ]
@@ -683,6 +724,12 @@ def build_index(
         )
         nbytes = _atomic_write_parquet(seg_pdf, seg_path)
         nbytes += _atomic_write_parquet(docmap_pdf, map_path)
+        # per-segment term Bloom filter published HERE, from the same
+        # kernel — never through the driver collect (SUMMARY_SCHEMA
+        # note).  Written after the segment: a crash in between leaves
+        # an uncovered segment (always scanned, safe) that the resume
+        # branch repairs.
+        write_bloom_file(bloom_dir_, seg_id, s["bloom_m"], s["bloom"])
         summary = pd.DataFrame(
             [
                 {
@@ -695,29 +742,12 @@ def build_index(
                     "skipped": False,
                     "wall_sec": time.time() - k0,
                     "content_fp": s["content_fp"],
-                    "bloom_m": s["bloom_m"],
-                    "bloom": s["bloom"],
                 }
             ]
         )
         yield pa.RecordBatch.from_pandas(summary)
 
     summaries = parted.mapInArrow(_kernel, SUMMARY_SCHEMA).collect()
-
-    # per-segment term Bloom filters -> segment pruning at query time
-    # (operators/bloom.py); tiny next to the segments themselves
-    bloom_dir = os.path.join(out_dir, "blooms")
-    os.makedirs(bloom_dir, exist_ok=True)
-    _atomic_write_parquet(
-        pd.DataFrame(
-            {
-                "seg_id": [int(r.seg_id) for r in summaries],
-                "bloom_m": [int(r.bloom_m) for r in summaries],
-                "bloom": [bytes(r.bloom) for r in summaries],
-            }
-        ),
-        os.path.join(bloom_dir, "blooms-build.parquet"),
-    )
 
     content_fp = int(sum(r.content_fp for r in summaries) % (2**63))
     manifest = {

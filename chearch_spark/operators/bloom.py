@@ -164,29 +164,55 @@ def read_bloom_map(
 ) -> dict[int, tuple[int, bytes]]:
     """{seg_id: (m, filter bytes)} from the blooms parquet — THE one
     decode shared by the driver-resident probes (full and restricted).
-    ``seg_ids`` pushes a row-group-prunable filter into the read so a
-    small restricted set never decodes the whole directory."""
+
+    Blooms are published as one file per segment named by its id
+    (``build.bloom_file_path``), so a restricted read opens EXACTLY
+    the |seg_ids| files it needs — no directory-wide footer scan.
+    Ids not found as per-segment files fall back to a filtered dataset
+    scan over the remaining (legacy grouped) files."""
     import os
 
     import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
 
     if not (os.path.isdir(bloom_dir) and os.listdir(bloom_dir)):
         return {}
-    dset = ds.dataset(bloom_dir, format="parquet")
-    flt = (
-        ds.field("seg_id").isin([int(s) for s in seg_ids])
-        if seg_ids is not None
-        else None
-    )
-    t = dset.to_table(filter=flt)
-    return {
-        int(s): (int(m), bytes(b))
-        for s, m, b in zip(
-            t.column("seg_id").to_pylist(),
-            t.column("bloom_m").to_pylist(),
-            t.column("bloom").to_pylist(),
+
+    def _rows_to_map(t) -> dict[int, tuple[int, bytes]]:
+        return {
+            int(s): (int(m), bytes(b))
+            for s, m, b in zip(
+                t.column("seg_id").to_pylist(),
+                t.column("bloom_m").to_pylist(),
+                t.column("bloom").to_pylist(),
+            )
+        }
+
+    if seg_ids is None:
+        return _rows_to_map(
+            ds.dataset(bloom_dir, format="parquet").to_table()
         )
-    }
+
+    out: dict[int, tuple[int, bytes]] = {}
+    missing = []
+    for s in seg_ids:
+        p = os.path.join(bloom_dir, f"bloom-{int(s):010d}.parquet")
+        if os.path.exists(p):
+            out.update(_rows_to_map(pq.read_table(p)))
+        else:
+            missing.append(int(s))
+    if missing:
+        legacy = [
+            os.path.join(bloom_dir, fn)
+            for fn in os.listdir(bloom_dir)
+            if fn.endswith(".parquet") and not fn.startswith("bloom-")
+        ]
+        if legacy:
+            t = ds.dataset(legacy, format="parquet").to_table(
+                filter=ds.field("seg_id").isin(missing)
+            )
+            out.update(_rows_to_map(t))
+    return out
 
 
 def probe_blooms_spark(

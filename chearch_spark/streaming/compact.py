@@ -64,6 +64,7 @@ from chearch_spark.build import (
     SUMMARY_SCHEMA,
     _atomic_write_parquet,
     _encode_groups,
+    write_bloom_file,
 )
 from chearch_spark.operators import bloom as bloom_mod
 from chearch_spark.operators import codec
@@ -669,6 +670,13 @@ def compact_stream_segments(
                 )
                 nbytes = _atomic_write_parquet(seg_pdf, seg_path)
                 nbytes += _atomic_write_parquet(map_pdf, map_path)
+                # bloom published kernel-side (build.SUMMARY_SCHEMA
+                # note): written before the summary returns, so blooms
+                # still land before the manifest publish below
+                write_bloom_file(
+                    os.path.join(out_abs, "blooms"),
+                    sid, s["bloom_m"], s["bloom"],
+                )
                 yield pa.RecordBatch.from_pylist(
                     [
                         {
@@ -681,8 +689,6 @@ def compact_stream_segments(
                             "skipped": False,
                             "wall_sec": time.time() - k0,
                             "content_fp": s["content_fp"],
-                            "bloom_m": s["bloom_m"],
-                            "bloom": s["bloom"],
                         }
                     ]
                 )
@@ -694,19 +700,10 @@ def compact_stream_segments(
         .collect()
     )
 
-    # publish: blooms + manifest first, then delete replaced inputs
+    # publish: manifest (blooms already landed kernel-side), then
+    # delete replaced inputs
     bloom_dir = os.path.join(out_dir, "blooms")
     os.makedirs(bloom_dir, exist_ok=True)
-    _atomic_write_parquet(
-        pd.DataFrame(
-            {
-                "seg_id": [int(r.seg_id) for r in summaries],
-                "bloom_m": [int(r.bloom_m) for r in summaries],
-                "bloom": [bytes(r.bloom) for r in summaries],
-            }
-        ),
-        os.path.join(bloom_dir, f"blooms-compact-{epoch:06d}.parquet"),
-    )
     replaced = [rel for s in stream_ids for rel in _rel_of(s)]
     manifest = {
         "epoch": epoch,
@@ -805,7 +802,18 @@ def compact_stream_segments(
 
     replaced_ids = {s for s in stream_ids}
     for fn in list(os.listdir(bloom_dir)):
-        if fn == f"blooms-compact-{epoch:06d}.parquet" or not (
+        if fn.startswith("bloom-") and fn.endswith(".parquet"):
+            # per-segment file: its one seg id is in the name
+            try:
+                sid = int(fn[len("bloom-"):-len(".parquet")])
+            except ValueError:
+                continue
+            if sid in replaced_ids:
+                os.remove(os.path.join(bloom_dir, fn))
+            continue
+        # grouped files from pre-distributed-publish indexes (legacy
+        # layout, still readable): purge once ALL their ids are dead
+        if not (
             fn.startswith("blooms-batch-")
             or fn.startswith("blooms-compact-")
             or fn == "blooms-build.parquet"  # retired by include_batch

@@ -36,6 +36,7 @@ from chearch_spark.build import (
     SUMMARY_SCHEMA,
     _atomic_write_parquet,
     _build_segment_tables,
+    write_bloom_file,
 )
 
 # Segment ids must be unique across (batch, partition) AND disjoint
@@ -63,8 +64,10 @@ def ingest_batch(
 
     seg_dir = os.path.join(out_dir, "segments")
     map_dir = os.path.join(out_dir, "docmap")
+    bloom_dir = os.path.join(out_dir, "blooms")
     os.makedirs(seg_dir, exist_ok=True)
     os.makedirs(map_dir, exist_ok=True)
+    os.makedirs(bloom_dir, exist_ok=True)
     if num_segments > BATCH_SEG_STRIDE:
         raise ValueError(
             f"num_segments {num_segments} exceeds the per-batch id stride"
@@ -129,7 +132,8 @@ def ingest_batch(
         if os.path.exists(seg_path) and os.path.exists(map_path):
             # replayed micro-batch (exactly-once via idempotent
             # writes): one shared checkpoint-summary implementation
-            # with the batch build's resume branch
+            # with the batch build's resume branch (also repairs a
+            # missing per-segment bloom file)
             from chearch_spark.build import (
                 _checkpoint_summary,
                 _summary_row,
@@ -139,7 +143,9 @@ def ingest_batch(
                 [
                     _summary_row(
                         seg_id,
-                        _checkpoint_summary(seg_path, map_path),
+                        _checkpoint_summary(
+                            seg_path, map_path, bloom_dir, seg_id
+                        ),
                         time.time() - k0,
                     )
                 ]
@@ -161,6 +167,9 @@ def ingest_batch(
         )
         nbytes = _atomic_write_parquet(seg_pdf, seg_path)
         nbytes += _atomic_write_parquet(docmap_pdf, map_path)
+        # bloom published kernel-side (see build.SUMMARY_SCHEMA note):
+        # the filter bytes never ride the summary collect
+        write_bloom_file(bloom_dir, seg_id, s["bloom_m"], s["bloom"])
         yield pa.RecordBatch.from_pylist(
             [
                 {
@@ -173,8 +182,6 @@ def ingest_batch(
                     "skipped": False,
                     "wall_sec": time.time() - k0,
                     "content_fp": s["content_fp"],
-                    "bloom_m": s["bloom_m"],
-                    "bloom": s["bloom"],
                 }
             ]
         )
@@ -189,18 +196,6 @@ def ingest_batch(
         .repartition(num_segments, "doc_id")
         .mapInArrow(_kernel, SUMMARY_SCHEMA)
         .collect()
-    )
-    bloom_dir = os.path.join(out_dir, "blooms")
-    os.makedirs(bloom_dir, exist_ok=True)
-    _atomic_write_parquet(
-        pd.DataFrame(
-            {
-                "seg_id": [int(r.seg_id) for r in summaries],
-                "bloom_m": [int(r.bloom_m) for r in summaries],
-                "bloom": [bytes(r.bloom) for r in summaries],
-            }
-        ),
-        os.path.join(bloom_dir, f"blooms-batch-{batch_id:06d}.parquet"),
     )
     lineage = {
         "batch_id": batch_id,

@@ -46,10 +46,32 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def _all_queries():
+    """Driver contract (≤50 entries, each gets a snapshot row) plus the
+    pytest-only overflow entries — identical oracle gate for both."""
+    q = dict(entry_mod.queries())
+    overlap = q.keys() & entry_mod.pytest_only_queries().keys()
+    assert not overlap, f"entry in both registries: {overlap}"
+    q.update(entry_mod.pytest_only_queries())
+    return q
+
+
+def _all_oracles():
+    sqls = dict(entry_mod.oracle_sql())
+    sqls.update(entry_mod.pytest_only_oracle_sql())
+    return sqls
+
+
+def test_driver_contract_fits_snapshot_cap():
+    """The driver records at most 50 correctness rows (observed r3/r4);
+    an overflowing queries() silently loses evidence for its tail."""
+    assert len(entry_mod.queries()) <= 50
+
+
+@pytest.mark.parametrize("name", sorted(_all_queries()))
 def test_query_matches_oracle(spark, duck, name):
-    q = entry_mod.queries()[name]
-    sqls = entry_mod.oracle_sql()
+    q = _all_queries()[name]
+    sqls = _all_oracles()
     got = _canon(q(spark, SF).toPandas())
     if name not in sqls:
         assert len(got) >= 0  # rows-only check

@@ -324,10 +324,12 @@ def test_include_batch_compaction_purges_batch_index(spark, tmp_index_dir):
 
 
 def test_include_batch_gc_retires_build_blooms(spark, tmp_index_dir):
-    """After include_batch retires every batch segment, the build's
-    bloom file must be GC'd (stale entries bloat every probe) and the
-    fsck must report no stale bloom ids."""
+    """After include_batch retires every batch segment, the retired
+    segments' per-segment bloom files must be GC'd (stale entries
+    bloat every probe) and the fsck must report no stale bloom ids."""
     import os
+
+    from chearch_spark.build import bloom_file_path
 
     out = tmp_index_dir
     docs = spark.createDataFrame(
@@ -335,9 +337,10 @@ def test_include_batch_gc_retires_build_blooms(spark, tmp_index_dir):
     )
     build_index(spark, docs, out, num_segments=4, resume=False)
     compact_stream_segments(spark, out, num_segments=2, include_batch=True)
-    assert not os.path.exists(
-        os.path.join(out, "blooms", "blooms-build.parquet")
-    )
+    for sid in range(4):  # the retired batch segments
+        assert not os.path.exists(
+            bloom_file_path(os.path.join(out, "blooms"), sid)
+        )
     rep = _fsck(out)
     assert rep["status"] == "INDEX_OK"
     assert rep["bloom_stale"] == [] and rep["bloom_uncovered"] == []
