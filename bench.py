@@ -95,17 +95,26 @@ def main() -> None:
             "q_or": Term("merge") | Term("sort") | Term("dup"),
             "q_nested": (Term("merge") & Term("sort")) | Term("dup"),
         }
-        # warm the segment-scan path once (file listing, codegen)
+        # warm the segment-scan path once (file listing, codegen);
+        # best-of-3 per query — the r4->r5 q_term_common postmortem
+        # (BENCH.md) traced a flagged +59% "regression" to these
+        # having been single draws on a VM with 2-5x draw spread
         ix.search(Term("batch"), k=k).collect()
         for name, node in queries.items():
-            t0 = time.time()
-            ix.search(node, k=k).collect()
-            timings[name] = time.time() - t0
+            best = 1e9
+            for _ in range(3):
+                t0 = time.time()
+                ix.search(node, k=k).collect()
+                best = min(best, time.time() - t0)
+            timings[name] = best
 
         # all six queries in ONE job (amortized scan/schedule/gather)
-        t0 = time.time()
-        ix.search_many(queries, k=k).collect()
-        timings["q_batch6"] = time.time() - t0
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            ix.search_many(queries, k=k).collect()
+            best = min(best, time.time() - t0)
+        timings["q_batch6"] = best
 
         # positions-based + relational ops (informational, best-of-3)
         for name, fn in {

@@ -1045,3 +1045,89 @@ def test_stream_build_auto_compact_bounds_fanout(spark, dirs):
             for r in bix.search(q, k=10).collect()
         ]
         assert got == want, q
+
+
+def test_finalize_driver_memory_at_10k_segments(spark, tmp_path_factory):
+    """BUILD/finalize-side scale pin (the query/probe side is pinned
+    separately at 102k segments): `finalize_index` over a stubbed
+    10^4-segment layout must keep DRIVER allocations O(segments) and
+    small — the pressure points are the one collected row carrying
+    `collect_set(seg_id)` and the dict_coverage.json write; everything
+    else (stats agg, dictionary merge + directory, parquet writes)
+    runs executor-side.  Measured ~29 MiB at 10^4 (mostly the listing
+    and the coverage ids), asserted under 64 MiB; a vocabulary-sized
+    driver structure would blow through that instantly (10^4 segments
+    x ~1 KiB of term rows each is already ~10x the bound)."""
+    import time
+    import tracemalloc
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chearch_spark.streaming.ingest import STREAM_SEG_BASE
+
+    out = str(tmp_path_factory.mktemp("finalize10k"))
+    seg_dir = os.path.join(out, "segments")
+    os.makedirs(seg_dir)
+    S = 10_000
+    for i in range(S):
+        sid = STREAM_SEG_BASE + i
+        t = pa.table(
+            {
+                "seg_id": pa.array([sid] * 3, pa.int32()),
+                "term": ["", "alpha", f"uniq{i:05d}"],
+                "df": pa.array([2, 2, 1], pa.int64()),
+                "cf": pa.array([4, 3, 1], pa.int64()),
+                "doc_ids": pa.array(
+                    [b"\x01\x01", b"\x00\x01", b"\x01"], pa.binary()
+                ),
+                "tfs": pa.array(
+                    [b"\x02\x02", b"\x02\x01", b"\x01"], pa.binary()
+                ),
+                "pos_counts": pa.array([b""] * 3, pa.binary()),
+                "positions": pa.array([b""] * 3, pa.binary()),
+                "blocks": pa.array([b""] * 3, pa.binary()),
+            }
+        )
+        pq.write_table(
+            t,
+            f"{seg_dir}/segment-{sid:09d}.parquet",
+            compression="none",
+        )
+    # manifest supplies per-segment fingerprints, so finalize never
+    # scans a docmap for them (the scale path)
+    with open(os.path.join(out, "manifest-batch-000000.json"), "w") as f:
+        json.dump(
+            {
+                "batch_id": 0,
+                "segments": [
+                    {
+                        "seg_id": STREAM_SEG_BASE + i,
+                        "n_docs": 2,
+                        "n_tokens": 4,
+                        "content_fp": i,
+                    }
+                    for i in range(S)
+                ],
+            },
+            f,
+        )
+
+    t0 = time.time()
+    tracemalloc.start()
+    stats = finalize_index(spark, out)
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    wall = time.time() - t0
+
+    assert stats["n_docs"] == 2 * S
+    assert stats["total_tokens"] == 4 * S
+    assert stats["num_segments"] == S
+    assert stats["content_fp"] == sum(range(S)) % (2**63)
+    with open(os.path.join(out, "dict_coverage.json")) as f:
+        cov = json.load(f)
+    assert len(cov["seg_ids"]) == S
+    assert peak < 64 * 1024 * 1024, f"driver allocated {peak} bytes"
+    # generous wall bound: catches an accidental O(S^2) listing or a
+    # per-segment driver loop, not VM noise (measured ~26 s on 4 cores)
+    assert wall < 180, f"finalize took {wall:.0f}s at 10k segments"
