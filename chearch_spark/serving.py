@@ -12,10 +12,20 @@ caller (`README.md:15`); :class:`TermIdMap` materializes it from the
 index dictionary (term_id = rank in term-sorted order, stable for a
 given snapshot).
 
-Scale notes: the serving layer is for the index-fits-in-RAM regime
-(the reference's regime — one locale's segment in memory).  For
-cluster-resident indexes, front this with the distributed
-``search_many`` batch path instead; the wire protocol is unchanged.
+Scale notes: the DEFAULT mode serves the index-fits-in-RAM regime
+(the reference's regime — one locale's segment in memory): answers
+come from the driver-local parity path and the term string table is
+materialized once.  ``mode="distributed"`` keeps the SAME wire
+protocol but survives indexes that exceed the serving host's RAM:
+each request runs the candidate-pruned Spark scan
+(:meth:`Index.parity_search` — collected rows are O(query postings),
+never O(index)), and term ids resolve through
+:class:`LazyTermIdMap`, which routes through the range-partitioned
+dictionary's bounds sidecar and holds at most a few part files —
+never the whole vocabulary.  Trade: ~0.1-0.5 s Spark scheduling per
+request instead of sub-ms — the right trade exactly when the index
+cannot live on one machine anyway (same rule as the distributed
+bloom probe).
 """
 
 from __future__ import annotations
@@ -54,6 +64,92 @@ class TermIdMap:
         return len(self._term_of)
 
 
+class LazyTermIdMap:
+    """:class:`TermIdMap` for vocabularies that must NOT be
+    materialized on the serving host.  Ids are the SAME dense ranks
+    over the sorted global dictionary (byte-identical responses for a
+    given snapshot), but resolution is O(1)-file:
+
+    * the range-partitioned dictionary's ``dict_bounds.json`` sidecar
+      orders the part files by term range (ranges are disjoint — the
+      build's ``repartitionByRange`` + sortWithinPartitions);
+    * per-file term COUNTS come from parquet footers (one metadata
+      read per file at startup — O(files) ints, never term strings);
+    * a term's global rank = its file's cumulative offset + its rank
+      within that one file; ``term_of`` inverts via the offsets.
+
+    A small per-file LRU (``cache_files``) keeps the hot ranges'
+    sorted term lists; everything else stays on disk."""
+
+    def __init__(self, index: Index, cache_files: int = 4) -> None:
+        import json
+        import os
+        from bisect import bisect_right
+        from collections import OrderedDict
+
+        import pyarrow.parquet as pq
+
+        self._bisect_right = bisect_right
+        self.dict_dir = index.dict_dir
+        with open(os.path.join(index.path, "dict_bounds.json")) as f:
+            bounds = json.load(f)["files"]
+        self._files = sorted(bounds, key=lambda fn: bounds[fn][0])
+        self._mins = [bounds[fn][0] for fn in self._files]
+        self._offsets = [0]
+        for fn in self._files:
+            n = pq.ParquetFile(
+                os.path.join(self.dict_dir, fn)
+            ).metadata.num_rows
+            self._offsets.append(self._offsets[-1] + n)
+        if self._offsets[-1] > 0xFFFFFFFF:
+            raise ValueError("vocabulary exceeds uint32 id space")
+        self._cache: OrderedDict[str, list[str]] = OrderedDict()
+        self._cache_files = int(cache_files)
+        self.files_read = 0  # instrumentation (tests pin laziness)
+
+    def _terms_of(self, fi: int) -> list[str]:
+        import os
+
+        import pyarrow.parquet as pq
+
+        fn = self._files[fi]
+        hit = self._cache.get(fn)
+        if hit is not None:
+            self._cache.move_to_end(fn)
+            return hit
+        terms = sorted(
+            pq.read_table(
+                os.path.join(self.dict_dir, fn), columns=["term"]
+            )
+            .column("term")
+            .to_pylist()
+        )
+        self.files_read += 1
+        self._cache[fn] = terms
+        while len(self._cache) > self._cache_files:
+            self._cache.popitem(last=False)
+        return terms
+
+    def id_of(self, term: str) -> int:
+        from bisect import bisect_left
+
+        fi = max(0, self._bisect_right(self._mins, term) - 1)
+        terms = self._terms_of(fi)
+        j = bisect_left(terms, term)
+        if j >= len(terms) or terms[j] != term:
+            raise KeyError(term)
+        return self._offsets[fi] + j
+
+    def term_of(self, tid: int):
+        if not 0 <= tid < self._offsets[-1]:
+            return None
+        fi = self._bisect_right(self._offsets, tid) - 1
+        return self._terms_of(fi)[tid - self._offsets[fi]]
+
+    def __len__(self) -> int:
+        return self._offsets[-1]
+
+
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self) -> None:  # one request per connection, like the ref
         head = self.request.recv(1)
@@ -80,10 +176,18 @@ class ChearchTCPServer(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
     def __init__(self, index: Index, host: str = "127.0.0.1",
-                 port: int = 0) -> None:
+                 port: int = 0, mode: str = "local") -> None:
+        if mode not in ("local", "distributed"):
+            raise ValueError(f"unknown serving mode {mode!r}")
         super().__init__((host, port), _Handler)
         self.index = index
-        self.term_ids = TermIdMap(index)
+        self.mode = mode
+        # distributed mode never materializes the vocabulary on the
+        # serving host — the whole point of the mode (module docstring)
+        self.term_ids = (
+            LazyTermIdMap(index) if mode == "distributed"
+            else TermIdMap(index)
+        )
         self._thread: threading.Thread | None = None
 
     # -- protocol ---------------------------------------------------------
@@ -97,7 +201,12 @@ class ChearchTCPServer(socketserver.ThreadingTCPServer):
             return self.term_ids.term_of(tid) or f"zzxq{tid}zzxq"
 
         node = chasm_wire.wire_to_ast(wire, resolve)
-        rows = self.index.local_parity_search(node)
+        if self.mode == "distributed":
+            # candidate-pruned Spark scan; the driver sees only the
+            # query terms' posting rows, never the index
+            rows = self.index.parity_search(node)
+        else:
+            rows = self.index.local_parity_search(node)
         out = []
         for term, pos, doc_id in rows[:chasm_wire.MAX_RECORDS]:
             out.append((self.term_ids.id_of(term), int(pos), int(doc_id)))

@@ -154,3 +154,70 @@ def test_local_parity_matches_spark_parity(served_index):
     for q in (Term("alpha"), And(Term("beta"), Term("alpha")),
               Or(Term("alpha"), Term("delta"))):
         assert ix.local_parity_search(q) == ix.parity_search(q), q
+
+
+def test_distributed_serving_mode(spark, tmp_path_factory):
+    """mode='distributed' — the index-exceeds-driver-RAM regime (r4
+    verdict stretch): responses are byte-identical to local mode, the
+    per-request path is the candidate-pruned Spark scan
+    (parity_search), and the term table is resolved LAZILY through the
+    bounds sidecar — the vocabulary is never materialized."""
+    from chearch_spark.serving import LazyTermIdMap, TermIdMap
+
+    # enough distinct terms to spread over several dictionary part
+    # files (write_dictionary range-partitions by term)
+    rows = [
+        (i, f"alpha shared term{i:04d} zz{i % 5}") for i in range(64)
+    ]
+    out = str(tmp_path_factory.mktemp("srv_dist_ix"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    build_index(spark, df, out, num_segments=4, resume=False)
+    ix = Index(spark, out)
+
+    # lazy map == eager map, id for id, with bounded file reads
+    eager = TermIdMap(ix)
+    lazy = LazyTermIdMap(ix, cache_files=2)
+    assert len(lazy) == len(eager)
+    for t in ("alpha", "term0000", "term0063", "zz3"):
+        assert lazy.id_of(t) == eager.id_of(t), t
+    for tid in (0, 1, len(eager) - 1):
+        assert lazy.term_of(tid) == eager.term_of(tid), tid
+    assert lazy.term_of(len(eager)) is None
+    with pytest.raises(KeyError):
+        lazy.id_of("zz_not_a_term_zz")
+    # laziness pinned: resolving a handful of terms must not have read
+    # every dictionary file, and the LRU held at most cache_files
+    assert lazy.files_read <= len(lazy._files)
+    assert len(lazy._cache) <= 2
+
+    srv = ChearchTCPServer(ix, mode="distributed")
+    calls = {"n": 0}
+    orig = ix.parity_search
+
+    def spying(node, *a, **k):
+        calls["n"] += 1
+        return orig(node, *a, **k)
+
+    ix.parity_search = spying
+    srv.start()
+    try:
+        assert isinstance(srv.term_ids, LazyTermIdMap)
+        tid = srv.term_ids.id_of("alpha")
+        wire = bytes([5, 1]) + struct.pack(">I", tid)
+        got = _ask(srv.port, wire)
+        assert calls["n"] == 1, "request did not take the Spark path"
+    finally:
+        srv.stop()
+        ix.parity_search = orig
+
+    # byte-identical to the local mode for the same request
+    srv_l = ChearchTCPServer(ix, mode="local")
+    srv_l.start()
+    try:
+        want = _ask(srv_l.port, wire)
+    finally:
+        srv_l.stop()
+    assert got == want
+
+    with pytest.raises(ValueError):
+        ChearchTCPServer(ix, mode="nope")
