@@ -91,8 +91,18 @@ class LazyTermIdMap:
 
         self._bisect_right = bisect_right
         self.dict_dir = index.dict_dir
-        with open(os.path.join(index.path, "dict_bounds.json")) as f:
-            bounds = json.load(f)["files"]
+        sidecar = os.path.join(index.path, "dict_bounds.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                bounds = json.load(f)["files"]
+        else:
+            # pre-sidecar index: the same shared legacy fallback the
+            # Index probe uses (one-time full read of the small
+            # dictionary metadata, never the terms at scale... the
+            # helper reads min/max per file)
+            from chearch_spark.build import compute_dict_bounds
+
+            bounds = compute_dict_bounds(self.dict_dir)
         self._files = sorted(bounds, key=lambda fn: bounds[fn][0])
         self._mins = [bounds[fn][0] for fn in self._files]
         self._offsets = [0]
@@ -105,6 +115,10 @@ class LazyTermIdMap:
             raise ValueError("vocabulary exceeds uint32 id space")
         self._cache: OrderedDict[str, list[str]] = OrderedDict()
         self._cache_files = int(cache_files)
+        # the server is a ThreadingTCPServer: concurrent handler
+        # threads share this map, and an unlocked get/move_to_end vs
+        # popitem race raises KeyError and kills a request
+        self._lock = threading.Lock()
         self.files_read = 0  # instrumentation (tests pin laziness)
 
     def _terms_of(self, fi: int) -> list[str]:
@@ -113,10 +127,11 @@ class LazyTermIdMap:
         import pyarrow.parquet as pq
 
         fn = self._files[fi]
-        hit = self._cache.get(fn)
-        if hit is not None:
-            self._cache.move_to_end(fn)
-            return hit
+        with self._lock:
+            hit = self._cache.get(fn)
+            if hit is not None:
+                self._cache.move_to_end(fn)
+                return hit
         terms = sorted(
             pq.read_table(
                 os.path.join(self.dict_dir, fn), columns=["term"]
@@ -124,10 +139,11 @@ class LazyTermIdMap:
             .column("term")
             .to_pylist()
         )
-        self.files_read += 1
-        self._cache[fn] = terms
-        while len(self._cache) > self._cache_files:
-            self._cache.popitem(last=False)
+        with self._lock:
+            self.files_read += 1
+            self._cache[fn] = terms
+            while len(self._cache) > self._cache_files:
+                self._cache.popitem(last=False)
         return terms
 
     def id_of(self, term: str) -> int:
@@ -202,9 +218,17 @@ class ChearchTCPServer(socketserver.ThreadingTCPServer):
 
         node = chasm_wire.wire_to_ast(wire, resolve)
         if self.mode == "distributed":
-            # candidate-pruned Spark scan; the driver sees only the
-            # query terms' posting rows, never the index
-            rows = self.index.parity_search(node)
+            # candidate-pruned Spark scan (the collected posting rows
+            # are O(query posting bytes), never O(index)).
+            # partition_limit mirrors the reference's per-segment
+            # truncation: segments replay in ascending-id order and
+            # each contributes its first rows, so the global first-8
+            # (the whole wire response) is unchanged — while the
+            # materialized occurrence tuples are bounded at
+            # 8/segment instead of every occurrence of a common term
+            rows = self.index.parity_search(
+                node, partition_limit=chasm_wire.MAX_RECORDS
+            )
         else:
             rows = self.index.local_parity_search(node)
         out = []

@@ -465,12 +465,19 @@ def _complete_pending(out_dir: str) -> None:
     a new one:
 
     * crash between manifest write and old-file deletion → delete every
-      ``replaced`` file that still exists (roll FORWARD);
+      ``replaced`` file that still exists (roll FORWARD), plus the
+      replaced segments' per-segment bloom files (published kernel-side
+      since r5 — the main pass's bloom purge only runs when that pass
+      completes, so the crash windows land here);
     * crash between the merge job and the manifest write → delete the
       orphan output files of the unpublished epoch (roll BACK — their
-      inputs are all still live, so nothing is lost)."""
+      inputs are all still live, so nothing is lost), including the
+      orphan outputs' already-written bloom files."""
     import glob
 
+    from chearch_spark.build import bloom_file_path
+
+    bloom_dir = os.path.join(out_dir, "blooms")
     for mp in sorted(glob.glob(os.path.join(out_dir, "manifest-compact-*.json"))):
         with open(mp) as f:
             m = json.load(f)
@@ -478,6 +485,13 @@ def _complete_pending(out_dir: str) -> None:
             p = os.path.join(out_dir, rel)
             if os.path.exists(p):
                 os.remove(p)
+            fn = os.path.basename(rel)
+            if fn.startswith("segment-") and fn.endswith(".parquet"):
+                bp = bloom_file_path(
+                    bloom_dir, int(fn[len("segment-"):-len(".parquet")])
+                )
+                if os.path.exists(bp):
+                    os.remove(bp)
     epochs = _manifest_epochs(out_dir)
     seg_dir = os.path.join(out_dir, "segments")
     map_dir = os.path.join(out_dir, "docmap")
@@ -497,6 +511,9 @@ def _complete_pending(out_dir: str) -> None:
                     )
                     if os.path.exists(mp):
                         os.remove(mp)
+                    bp = bloom_file_path(bloom_dir, sid)
+                    if os.path.exists(bp):
+                        os.remove(bp)
                     os.remove(os.path.join(seg_dir, fn))
     # sweep ghost docmaps whose segment is already gone (crash inside
     # the loop above, pre-fix layouts)
@@ -702,13 +719,24 @@ def compact_stream_segments(
         )
 
     # CONTIGUOUS split of the seg_id-sorted (= creation-ordered)
-    # inputs into G groups: output sid = base + g, so chunk g's docs
-    # land at the g-th output id and duplicate external ids spanning
-    # two inputs keep creation order ACROSS the run's outputs (a
-    # strided split can map an older input to a higher group than a
-    # newer one).  Which docs merge together is irrelevant to output
-    # bytes otherwise — each merge re-sorts docs by external id.
-    bounds = np.linspace(0, len(stream_ids), G + 1).astype(int)
+    # inputs: output sid = base + g, so chunk g's docs land at the
+    # g-th output id and duplicate external ids spanning two inputs
+    # keep creation order ACROSS the run's outputs (a strided split
+    # can map an older input to a higher group than a newer one).
+    # Chunk boundaries cut on CUMULATIVE DOC MASS, not input count:
+    # G is sized by total_docs/docs_per_segment, and a count split of
+    # a selection mixing one big run with tiny flushes would hand one
+    # kernel (which materializes its whole group) far more than the
+    # docs_per_segment memory bound.  Quantile cuts over skewed sizes
+    # can coincide — deduping them just emits fewer, fuller outputs.
+    cum = np.cumsum(
+        np.array([n_by_seg[s] for s in stream_ids], dtype=np.float64)
+    )
+    cuts = np.searchsorted(
+        cum, cum[-1] * np.arange(1, G) / G, side="left"
+    ) + 1
+    bounds = np.unique(np.concatenate(([0], cuts, [len(stream_ids)])))
+    G = len(bounds) - 1
     groups: list[tuple[int, list[int]]] = [
         (g, stream_ids[bounds[g]:bounds[g + 1]]) for g in range(G)
     ]
@@ -1071,9 +1099,23 @@ def maybe_compact(
             # the simulated totals vs full and vs the age-unsafe
             # smallest-k selection)
             k_min = max(2, len(live) - max_segments + 1)
+            # same docmap-footer fallback as the engine's n_by_seg:
+            # sizing a manifest-less segment (ingest crash window) as
+            # 0 docs would make the guard adjudicate a selection and
+            # an out_need the engine never executes
             size_by = {
                 s: totals.get(s, (0, 0))[0] for s in live
             }
+            missing_sz = [s for s in live if s not in totals]
+            if missing_sz:
+                import pyarrow.parquet as pq_
+
+                files = _seg_files(seg_dir)
+                for s in missing_sz:
+                    suffix = os.path.basename(files[s])[len("segment-"):]
+                    size_by[s] = pq_.ParquetFile(
+                        os.path.join(out_dir, "docmap", f"docmap-{suffix}")
+                    ).metadata.num_rows
             sel = _tiered_select(
                 live, size_by, len(live), min_inputs=k_min
             )

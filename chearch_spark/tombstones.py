@@ -111,6 +111,22 @@ def load_tombstones(out_dir: str) -> np.ndarray:
     return np.unique(col.astype(np.int64))
 
 
+def _is_vanished_input(e: Exception) -> bool:
+    """True when a Spark failure means an input file disappeared under
+    the job (a racing gc's snapshot removal) — matched on the standard
+    error classes Spark raises for the condition."""
+    msg = str(e)
+    return any(
+        s in msg
+        for s in (
+            "FileNotFoundException",
+            "PATH_NOT_FOUND",
+            "FILE_NOT_EXIST",
+            "does not exist",
+        )
+    )
+
+
 def gc_tombstones(spark, out_dir: str) -> dict:
     """Retire tombstones no LIVE docmap row references (they were
     physically purged by compactions, or never existed).  One
@@ -162,7 +178,15 @@ def gc_tombstones(spark, out_dir: str) -> dict:
                     os.remove(p)
             except OSError:
                 pass
-    snapshot = sorted(f for f in listing if f.endswith(".parquet"))
+    # a racing gc may have removed snapshot files since the listing
+    # (its committed keep-set preserves any still-live ids from them):
+    # adjudicate only what still exists, and treat files that vanish
+    # MID-JOB the same way — already-done work, not an error
+    snapshot = sorted(
+        f
+        for f in listing
+        if f.endswith(".parquet") and os.path.exists(os.path.join(d, f))
+    )
     if not snapshot:
         return {"kept": 0, "dropped": 0}
     tomb_df = (
@@ -181,9 +205,10 @@ def gc_tombstones(spark, out_dir: str) -> dict:
     # distinct's exchange.  Huge sets (above the broadcast budget,
     # judged by on-disk bytes): shuffle semi-join, both sides stay
     # executor-resident end to end.
-    snap_bytes = sum(
-        os.path.getsize(os.path.join(d, f)) for f in snapshot
-    )
+    snap_bytes = 0
+    for f in snapshot:
+        with contextlib.suppress(FileNotFoundError):
+            snap_bytes += os.path.getsize(os.path.join(d, f))
     if snap_bytes <= _GC_BROADCAST_BYTES:
         kept_df = (
             dm.join(F.broadcast(tomb_df), "doc_id", "left_semi")
@@ -192,22 +217,30 @@ def gc_tombstones(spark, out_dir: str) -> dict:
         )
     else:
         kept_df = tomb_df.join(dm, "doc_id", "left_semi")
-    n_tombs = tomb_df.count()
-    if n_tombs == 0:
-        tomb_df.unpersist()
-        for f in snapshot:
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(os.path.join(d, f))
-        return {"kept": 0, "dropped": 0}
-    # distributed write to a dot-prefixed staging dir INSIDE the
-    # tombstone dir (same filesystem for os.replace; the '.' prefix
-    # hides it from Spark and pyarrow dataset scans), then move each
-    # non-empty part file in under the canonical naming scheme.  The
-    # kept count comes from the staged files' parquet FOOTERS —
-    # O(files) metadata reads, no row decode, no driver collect.
     stage = os.path.join(d, f".gc-{uuid.uuid4().hex[:8]}")
     try:
+        n_tombs = tomb_df.count()
+        if n_tombs == 0:
+            for f in snapshot:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(os.path.join(d, f))
+            return {"kept": 0, "dropped": 0}
+        # distributed write to a dot-prefixed staging dir INSIDE the
+        # tombstone dir (same filesystem for os.replace; the '.'
+        # prefix hides it from Spark and pyarrow dataset scans), then
+        # move each non-empty part file in under the canonical naming
+        # scheme.  The kept count comes from the staged files' parquet
+        # FOOTERS — O(files) metadata reads, no row decode, no driver
+        # collect.
         kept_df.write.mode("overwrite").parquet(stage)
+    except Exception as e:  # noqa: BLE001 — narrow re-raise below
+        if _is_vanished_input(e):
+            # a racing gc removed snapshot files under the running
+            # job; its keep-set is committed, so there is nothing
+            # left for THIS run to adjudicate
+            shutil.rmtree(stage, ignore_errors=True)
+            return {"kept": 0, "dropped": 0}
+        raise
     finally:
         tomb_df.unpersist()
     import pyarrow.parquet as pq

@@ -133,3 +133,106 @@ def test_merge_equals_direct_build(corpus, store_positions):
     for key in ("n_docs", "n_terms", "n_tokens", "n_postings",
                 "content_fp", "bloom_m", "bloom"):
         assert got_sum[key] == want_sum[key], key
+
+
+def test_merge_groups_cut_by_doc_mass(spark, tmp_path_factory):
+    """Merge groups must be cut on cumulative DOC MASS, not input
+    count: G is sized by total_docs/docs_per_segment, and a count
+    split of a selection mixing one big run with tiny flushes would
+    hand one kernel (which materializes its whole group) far more
+    than the docs_per_segment memory bound."""
+    import os
+
+    from chearch_spark.streaming.compact import compact_stream_segments
+    from chearch_spark.streaming.ingest import (
+        _manifest_totals,
+        _seg_files,
+        finalize_index,
+        ingest_batch,
+    )
+
+    out = str(tmp_path_factory.mktemp("mass_cut"))
+
+    def _ingest(b, n, base):
+        rows = [(base + i, f"alpha shared unique_{base + i:04d}")
+                for i in range(n)]
+        ingest_batch(
+            spark.createDataFrame(
+                pd.DataFrame(rows, columns=["doc_id", "text"])
+            ),
+            out, batch_id=b, num_segments=1,
+        )
+
+    # one big run (20 docs) + three 1-doc flushes
+    _ingest(0, 10, 0)
+    _ingest(1, 10, 100)
+    compact_stream_segments(spark, out, num_segments=1)  # run: 20 docs
+    for b, base in ((2, 200), (3, 300), (4, 400)):
+        _ingest(b, 1, base)
+    # docs_per_segment=12 over 23 total docs -> G=2; a count split
+    # would put [run, flush] = 21 docs in ONE kernel; the mass split
+    # must isolate the 20-doc run
+    compact_stream_segments(spark, out, docs_per_segment=12)
+    finalize_index(spark, out)
+    from chearch_spark.streaming.compact import replaced_seg_ids
+
+    dead = replaced_seg_ids(out)
+    totals = _manifest_totals(out)
+    live = [
+        s
+        for s in _seg_files(os.path.join(out, "segments"))
+        if s not in dead
+    ]
+    sizes = sorted(totals[s][0] for s in live)
+    assert sizes == [3, 20], sizes
+
+
+def test_complete_pending_clears_bloom_litter(spark, tmp_path_factory):
+    """Crash-window bloom cleanup: _complete_pending must delete (a)
+    an unpublished epoch's orphan bloom files (crash between the merge
+    job and the manifest write) and (b) replaced inputs' bloom files
+    (crash between the manifest publish and the old-file deletion) —
+    otherwise fsck reports bloom_stale forever with no clearing
+    mechanism."""
+    import json
+    import os
+
+    from chearch_spark.build import bloom_file_path, write_bloom_file
+    from chearch_spark.streaming.compact import (
+        COMPACT_SEG_BASE,
+        _complete_pending,
+    )
+    from chearch_spark.streaming.ingest import STREAM_SEG_BASE
+
+    out = str(tmp_path_factory.mktemp("bloom_litter"))
+    seg_dir = os.path.join(out, "segments")
+    map_dir = os.path.join(out, "docmap")
+    bloom_dir = os.path.join(out, "blooms")
+    for p in (seg_dir, map_dir, bloom_dir):
+        os.makedirs(p)
+
+    # (a) orphan compact output: epoch 1 has no manifest
+    orphan = COMPACT_SEG_BASE + 100_000
+    open(os.path.join(seg_dir, f"segment-{orphan:09d}.parquet"), "wb").close()
+    open(os.path.join(map_dir, f"docmap-{orphan:09d}.parquet"), "wb").close()
+    write_bloom_file(bloom_dir, orphan, 64, b"\x00" * 8)
+
+    # (b) replaced stream input whose files linger post-publish
+    replaced_sid = STREAM_SEG_BASE + 7
+    rel_seg = f"segments/segment-{replaced_sid:09d}.parquet"
+    open(os.path.join(out, rel_seg), "wb").close()
+    write_bloom_file(bloom_dir, replaced_sid, 64, b"\x00" * 8)
+    with open(
+        os.path.join(out, "manifest-compact-000000.json"), "w"
+    ) as f:
+        json.dump(
+            {"epoch": 0, "segments": [], "replaced": [rel_seg]}, f
+        )
+
+    _complete_pending(out)
+    assert not os.path.exists(bloom_file_path(bloom_dir, orphan))
+    assert not os.path.exists(bloom_file_path(bloom_dir, replaced_sid))
+    assert not os.path.exists(os.path.join(out, rel_seg))
+    assert not os.path.exists(
+        os.path.join(seg_dir, f"segment-{orphan:09d}.parquet")
+    )
