@@ -745,6 +745,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     DuckDB comparison, so they keep the same correctness gate — just
     in pytest instead of the driver snapshot.
     """
+    from chearch_spark.operators import ann as A
     from chearch_spark.operators import dedup as D
 
     return {
@@ -754,12 +755,40 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "minhash_signatures": lambda s, sf: D.minhash_signatures(
             _docs(s, sf)
         ),
+        # Product quantization (r5): seed-codebook ADC top-k and its
+        # recall gauge — deterministic end to end, exact DuckDB
+        # mirrors; the k-means-trained variant is recall-floored in
+        # tests/test_pipeline_ops.py instead.
+        "pq_topk": lambda s, sf: A.pq_flat_topk(
+            _emb(s, sf), _ANN_QUERY_IDS, k=10
+        ),
+        "pq_recall": lambda s, sf: A.pq_recall(
+            _emb(s, sf), _ANN_QUERY_IDS, k=10
+        ),
+        # Exact-substring (token-window) dedup, Lee et al. 2022 (r5).
+        # n=5 on the synthetic corpus (short docs, tiny vocabulary);
+        # real corpora use the paper's 50-token default.
+        "window_dup_groups": lambda s, sf: D.window_dup_groups(
+            _docs(s, sf), n=5
+        ),
+        "window_dup_fraction": lambda s, sf: D.window_dup_fraction(
+            _docs(s, sf), n=5
+        ),
     }
 
 
 def pytest_only_oracle_sql() -> dict[str, str]:
+    from chearch_spark.operators import ann as A
     from chearch_spark.operators import dedup as D
 
     return {
         "minhash_signatures": D.minhash_signatures_sql(),
+        "pq_topk": A.pq_flat_topk_sql(
+            _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
+        ),
+        "pq_recall": A.pq_recall_sql(
+            _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
+        ),
+        "window_dup_groups": D.window_dup_groups_sql(n=5),
+        "window_dup_fraction": D.window_dup_fraction_sql(n=5),
     }

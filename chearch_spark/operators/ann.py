@@ -943,3 +943,448 @@ def lsh_ann_topk(
         .distinct()
     )
     return _rank_topk(cand, k, vec_col)
+
+
+# ---------------------------------------------------------------------
+# Product quantization (IVF-PQ's code path), Jégou, Douze, Schmid,
+# "Product Quantization for Nearest Neighbor Search" (TPAMI 2011) —
+# re-expressed as Spark plans.  PQ is the 100 TB memory/scan win: a
+# D-dim float32 vector (4D bytes) compresses to M uint8 codes, and
+# queries score candidates via ADC lookup tables without touching the
+# original vectors.  Same verifiable/production split as IVF:
+#
+# * :func:`pq_flat_topk` — SEED codebooks (sub-slices of the k_codes
+#   lowest-id vectors, normalized — derived in-plan from the data, no
+#   training), so the whole path is deterministic and has an exact
+#   DuckDB mirror (:func:`pq_flat_topk_sql`) + a recall gauge
+#   (:func:`pq_recall`), both value-hash-gated in pytest.
+# * :func:`pq_train` / :func:`pq_ann_topk` — per-subspace k-means
+#   codebooks over the md5-ordered driver sample (deterministic, no
+#   RNG state), recall-floored in pytest (spec.PQ_RECALL_FLOOR).
+#
+# Float parity: every dot/sum that must match DuckDB is computed as an
+# explicit SEQUENTIAL fold (a d-loop of vectorized adds) — numpy's
+# np.sum/np.dot use 8-way-unrolled pairwise summation whose grouping
+# differs from DuckDB's sequential list_dot_product in the last ulp,
+# which a value-hash gate cannot tolerate.
+
+# Defaults tuned on the synthetic 64-dim embeddings (BENCH-style
+# sweep, r5): more subspaces beat more codes on near-random vectors —
+# m=16 x 64 codes (96 bits/vector = 26x smaller than the float32 row)
+# measured mean recall@10: seed 0.43-0.58, trained 0.52-0.63 across
+# sf0.001/0.01/0.1.  Floors pinned in spec.py.
+PQ_M = 16
+PQ_CODES = 64
+
+
+def _seq_dot(a, b):
+    """Sequential-fold dot over the LAST axis (broadcasting allowed):
+    bit-matches DuckDB's list_dot_product / Catalyst's aggregate fold,
+    unlike np.sum/np.dot (pairwise summation)."""
+    s = a[..., 0] * b[..., 0]
+    for d in range(1, a.shape[-1]):
+        s = s + a[..., d] * b[..., d]
+    return s
+
+
+def _normalize_rows(x):
+    import numpy as np
+
+    n = np.sqrt(_seq_dot(x, x))
+    return x / np.maximum(n, 1e-12)[..., None]
+
+
+def pq_seed_codebooks(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k_codes: int = PQ_CODES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """(m, k_codes, dim/m) float64 SEED codebooks: sub-slices of the
+    ``k_codes`` lowest-id vectors, unit-normalized — the training-free
+    quantizer that makes :func:`pq_flat_topk` exactly mirrorable (the
+    SQL derives the identical codebooks from the table).  Driver cost:
+    ``k_codes`` rows."""
+    import numpy as np
+
+    rows = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+        .orderBy("vec_id")
+        .limit(k_codes)
+        .collect()
+    )
+    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    xn = _normalize_rows(x)
+    return (
+        xn.reshape(k_codes, m, dim // m).transpose(1, 0, 2).copy()
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k_codes: int = PQ_CODES,
+    sample: int = 512,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_order: str = "hash",
+):
+    """Per-subspace k-means codebooks over the md5-ordered driver
+    sample (same determinism story as :func:`kmeans_centroids`: no RNG
+    state, init = first ``k_codes`` sample sub-vectors, fixed
+    iterations).  At 100 TB the sample is O(100k) vectors — the one
+    driver-side step of a PQ deployment."""
+    import numpy as np
+
+    from chearch_spark.functions.hashing import md5_long
+
+    key = (
+        md5_long(F.col(id_col)) if sample_order == "hash"
+        else F.col(id_col)
+    )
+    pdf = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+        .orderBy(key, F.col(id_col))
+        .limit(sample)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    xn = _normalize_rows(x)
+    out = np.empty((m, k_codes, dsub), dtype=np.float64)
+    for mi in range(m):
+        xs = xn[:, mi * dsub:(mi + 1) * dsub]
+        c = xs[:k_codes].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k_codes):
+                members = xs[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+        out[mi] = c
+    return out
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, codes array<int>) — each vector unit-normalized then
+    quantized per subspace to argmax(dot(x_m, c_j) - 0.5*dot(c_j,c_j))
+    (= argmin L2, in the exact float form the SQL mirror uses), ties
+    to the lowest code.  Arrow-batched kernel; the corpus is never
+    shuffled.  At scale the codes column (m small ints) is the
+    persisted index payload — a ~4D/m-fold reduction over the raw
+    vectors."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, k_codes, dsub = cb.shape
+    half_c2 = 0.5 * _seq_dot(cb, cb)  # (m, k)
+
+    def _kernel(batches):
+        for pdf in batches:
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(x):
+                xn = _normalize_rows(x)
+                codes = np.empty((len(x), m), dtype=np.int32)
+                for mi in range(m):
+                    xs = xn[:, mi * dsub:(mi + 1) * dsub]
+                    s = _seq_dot(xs[:, None, :], cb[mi][None, :, :])
+                    codes[:, mi] = (s - half_c2[mi][None, :]).argmax(
+                        axis=1
+                    )
+                code_lists = list(codes)
+            else:
+                code_lists = []
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "codes": [list(map(int, c)) for c in code_lists],
+                }
+            )
+
+    return emb.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
+        _kernel, "vec_id long, codes array<int>"
+    )
+
+
+def _pq_adc_topk(
+    emb: DataFrame,
+    codebooks,
+    query_ids: list[int],
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared ADC scorer: encode the corpus, precompute per-query
+    lookup tables driver-side (n_q × m × k_codes partial dots), score
+    every code row inside an Arrow kernel (a LUT gather + sequential
+    m-fold — the original vectors are never touched), emit each
+    partition's per-query top-k, then one global rank.  Scale shape:
+    no corpus shuffle, the exchange carries ≤ partitions × queries × k
+    rows."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, k_codes, dsub = cb.shape
+    qrows = (
+        emb.filter(F.col(id_col).isin([int(i) for i in query_ids]))
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+        .collect()
+    )
+    q_ids = np.array([int(r.vec_id) for r in qrows], dtype=np.int64)
+    qx = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = _normalize_rows(qx) if len(qx) else qx
+    # LUT[(query, m, j)] = seq-dot(q_m, c_j)
+    luts = np.empty((len(q_ids), m, k_codes), dtype=np.float64)
+    for mi in range(m):
+        qs = qn[:, mi * dsub:(mi + 1) * dsub]
+        luts[:, mi, :] = _seq_dot(qs[:, None, :], cb[mi][None, :, :])
+
+    codes_df = pq_encode(emb, codebooks, vec_col, id_col)
+
+    def _kernel(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            if not len(ids) or not len(q_ids):
+                yield pd.DataFrame(
+                    {
+                        "query_id": pd.Series(dtype="int64"),
+                        "vec_id": pd.Series(dtype="int64"),
+                        "score": pd.Series(dtype="float64"),
+                    }
+                )
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            # sequential m-fold of LUT gathers (order = SQL's explicit
+            # left-assoc sum)
+            s = luts[:, 0, codes[:, 0]]
+            for mi in range(1, m):
+                s = s + luts[:, mi, codes[:, mi]]
+            out = {"query_id": [], "vec_id": [], "score": []}
+            kk = min(k, len(ids))
+            for qi in range(len(q_ids)):
+                sq = s[qi]
+                mask = ids != q_ids[qi]
+                order = np.lexsort((ids[mask], -sq[mask]))[:kk]
+                sel_ids = ids[mask][order]
+                sel_s = sq[mask][order]
+                out["query_id"].extend([int(q_ids[qi])] * len(order))
+                out["vec_id"].extend(int(i) for i in sel_ids)
+                out["score"].extend(float(v) for v in sel_s)
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out["query_id"], dtype="int64"),
+                    "vec_id": pd.Series(out["vec_id"], dtype="int64"),
+                    "score": pd.Series(out["score"], dtype="float64"),
+                }
+            )
+
+    scored = codes_df.mapInPandas(
+        _kernel, "query_id long, vec_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def pq_flat_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = PQ_M,
+    k_codes: int = PQ_CODES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ/ADC approximate top-k with SEED codebooks — the verifiable
+    PQ (exact DuckDB mirror :func:`pq_flat_topk_sql`).  Approximate by
+    design (scores are quantized reconstructions), fully
+    deterministic."""
+    cb = pq_seed_codebooks(emb, m, k_codes, vec_col, id_col)
+    return _pq_adc_topk(emb, cb, query_ids, k, vec_col, id_col)
+
+
+def pq_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = PQ_M,
+    k_codes: int = PQ_CODES,
+    sample: int = 512,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks=None,
+) -> DataFrame:
+    """PQ/ADC approximate top-k with k-means-TRAINED codebooks (or
+    caller-provided ones) — the recall-tuned production path;
+    deterministic (md5-ordered sample) but not SQL-mirrorable, so it
+    is gated by the :func:`pq_recall` floor in pytest instead."""
+    if codebooks is None:
+        codebooks = pq_train(
+            emb, m, k_codes, sample, iters, vec_col, id_col
+        )
+    return _pq_adc_topk(emb, codebooks, query_ids, k, vec_col, id_col)
+
+
+def pq_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = PQ_M,
+    k_codes: int = PQ_CODES,
+    trained: bool = False,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall of the PQ path vs the exact top-k, computed in-plan:
+    (query_id, n_exact, n_hit, recall).  ``trained=False`` (seed
+    codebooks) has the exact DuckDB mirror (:func:`pq_recall_sql`);
+    ``trained=True`` is the pytest-floored production gauge."""
+    ex = cosine_topk(emb, query_ids, k, vec_col, id_col).select(
+        "query_id", "vec_id"
+    )
+    ap = (
+        pq_ann_topk(emb, query_ids, k, m, k_codes,
+                    vec_col=vec_col, id_col=id_col)
+        if trained
+        else pq_flat_topk(emb, query_ids, k, m, k_codes, vec_col, id_col)
+    ).select("query_id", "vec_id", F.lit(1).alias("hit"))
+    return (
+        ex.join(ap, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_hit") / F.col("n_exact"), 6)
+        )
+        .select("query_id", "n_exact", "n_hit", "recall")
+    )
+
+
+def pq_flat_topk_sql(
+    query_ids: list[int],
+    k: int = 10,
+    m: int = PQ_M,
+    k_codes: int = PQ_CODES,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of :func:`pq_flat_topk`: derives the identical
+    seed codebooks from the table, encodes with the same
+    argmax(dot - 0.5*c·c) form, and sums the ADC terms in the same
+    explicit left-associative subspace order."""
+    ids = ", ".join(str(i) for i in query_ids)
+    dsub = dim // m
+    slices = [(mi, mi * dsub + 1, (mi + 1) * dsub) for mi in range(m)]
+    grid = ", ".join(f"({mi}, {a}, {b})" for mi, a, b in slices)
+    code_cols = ", ".join(
+        f"max(CASE WHEN m = {mi} THEN j END) AS j{mi}"
+        for mi, _a, _b in slices
+    )
+    seed_joins = "\n".join(
+        f"JOIN seed s{mi} ON s{mi}.j = p.j{mi}" for mi, _a, _b in slices
+    )
+    adc_terms = " + ".join(
+        f"list_dot_product(list_slice(q.qn, {a}, {b}), "
+        f"list_slice(s{mi}.c, {a}, {b}))"
+        for mi, a, b in slices
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+), n AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+  FROM e
+), seed AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vn AS c
+  FROM (SELECT vec_id, vn FROM n ORDER BY vec_id LIMIT {k_codes})
+), g(m, a, b) AS (VALUES {grid}),
+enc AS (
+  SELECT vec_id, m, j,
+         row_number() OVER (
+           PARTITION BY vec_id, m ORDER BY score DESC, j ASC
+         ) AS rn
+  FROM (
+    SELECT n.vec_id, g.m, s.j,
+           list_dot_product(list_slice(n.vn, g.a, g.b),
+                            list_slice(s.c, g.a, g.b))
+           - 0.5 * list_dot_product(list_slice(s.c, g.a, g.b),
+                                    list_slice(s.c, g.a, g.b)) AS score
+    FROM n, g, seed s
+  )
+), p AS (
+  SELECT vec_id, {code_cols} FROM enc WHERE rn = 1 GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS query_id, vn AS qn FROM n WHERE vec_id IN ({ids})
+), adc AS (
+  SELECT q.query_id, p.vec_id, {adc_terms} AS score
+  FROM p
+  {seed_joins}
+  , q
+  WHERE p.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id, round(score, 6) AS score,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def pq_recall_sql(
+    query_ids: list[int],
+    k: int = 10,
+    m: int = PQ_M,
+    k_codes: int = PQ_CODES,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of :func:`pq_recall` (seed variant; composed
+    mirrors)."""
+    ex = cosine_topk_sql(query_ids, k, table)
+    ap = pq_flat_topk_sql(query_ids, k, m, k_codes, dim, table)
+    return f"""
+WITH ex AS (SELECT query_id, vec_id FROM ({ex})),
+ap AS (SELECT query_id, vec_id FROM ({ap}))
+SELECT ex.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(ap.vec_id) AS BIGINT) AS n_hit,
+       round(CAST(count(ap.vec_id) AS DOUBLE) / count(*), 6) AS recall
+FROM ex
+LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+GROUP BY ex.query_id
+"""

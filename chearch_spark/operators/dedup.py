@@ -719,3 +719,175 @@ WITH e AS (
 SELECT vec_a, vec_b, round(p.cos, 6) AS cos
 FROM p ORDER BY p.cos DESC, vec_a ASC, vec_b ASC LIMIT {k}
 """
+
+
+# ======================================================================
+# exact-substring (token-window) dedup — Lee et al., "Deduplicating
+# Training Data Makes Language Models Better" (ACL 2022): training
+# corpora are contaminated by REPEATED SPANS (boilerplate, licenses,
+# mirrored passages) that document-level dedup cannot see.  The paper
+# dedupes 50-token substrings with suffix arrays; the Spark-native
+# re-expression hashes fixed-length token windows (stride-1 by
+# default = every substring boundary) and aggregates window-hash
+# occurrence counts — one explode to O(total tokens / stride) rows of
+# 8-byte md5-derived keys, one map-side-combined groupBy, one hash
+# join.  No suffix array materializes anywhere; skew is impossible on
+# the uniform hash key (hot WINDOWS are the output, not a hazard).
+# ======================================================================
+
+WINDOW_N = 50  # Lee et al.'s span length; synthetic tests use smaller
+
+
+def _window_hashes(
+    df: DataFrame, n: int, stride: int, text_col: str
+) -> DataFrame:
+    """(doc_id, wh) — md5-derived hash of every n-token window starting
+    at 0, stride, 2*stride, ... (full windows only; docs shorter than n
+    emit none)."""
+    toks = df.select(
+        "doc_id", tokens_col(F.col(text_col)).alias("toks")
+    )
+    idx = F.when(
+        F.size("toks") >= n,
+        F.sequence(F.lit(0), F.size("toks") - n, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        idx,
+        lambda i: md5_long(
+            F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n))
+        ),
+    )
+    return toks.select(
+        "doc_id", F.explode(wins).alias("wh")
+    )
+
+
+def _window_hashes_sql(
+    n: int, stride: int, table: str, text_col: str
+) -> str:
+    toks = TOKENS_SQL.format(t=text_col)
+    wh = md5_long_sql(
+        f"array_to_string(list_slice(toks, i + 1, i + {n}), ' ')"
+    )
+    return f"""
+tok AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+), w AS (
+  SELECT tok.doc_id, {wh} AS wh
+  FROM tok, unnest(range(0, len(toks) - {n} + 1, {stride})) AS u(i)
+)"""
+
+
+def window_dup_groups(
+    df: DataFrame,
+    n: int = WINDOW_N,
+    stride: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated-span directory: for every n-token window occurring
+    more than once in the corpus — (wh, n_occurrences, n_docs,
+    min_doc_id).  The corpus-level view of span contamination (which
+    spans, how widespread)."""
+    return (
+        _window_hashes(df, n, stride, text_col)
+        .groupBy("wh")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+def window_dup_groups_sql(
+    n: int = WINDOW_N,
+    stride: int = 1,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    return f"""
+WITH {_window_hashes_sql(n, stride, table, text_col)}
+SELECT wh,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc_id
+FROM w
+GROUP BY wh
+HAVING count(*) > 1
+"""
+
+
+def window_dup_fraction(
+    df: DataFrame,
+    n: int = WINDOW_N,
+    stride: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document span-contamination metric — (doc_id, n_windows,
+    n_dup_windows, dup_fraction): the fraction of the doc's n-token
+    windows whose hash occurs more than once corpus-wide (including
+    within-doc repeats).  The per-doc score a cleaning pipeline
+    thresholds on (Lee et al. drop or trim the duplicated spans; the
+    repo's pipeline composes this with the quality filters).  Docs
+    shorter than n score 0 over 0 windows."""
+    w = _window_hashes(df, n, stride, text_col)
+    counts = w.groupBy("wh").agg(F.count("*").alias("c"))
+    per = (
+        w.join(counts, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias(
+                "n_dup_windows"
+            ),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_dup_windows") / F.col("n_windows"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
+def window_dup_fraction_sql(
+    n: int = WINDOW_N,
+    stride: int = 1,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    return f"""
+WITH {_window_hashes_sql(n, stride, table, text_col)},
+counts AS (
+  SELECT wh, count(*) AS c FROM w GROUP BY wh
+), per AS (
+  SELECT w.doc_id,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN counts.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+  FROM w JOIN counts ON counts.wh = w.wh
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_windows, 0) AS n_windows,
+       coalesce(per.n_dup_windows, 0) AS n_dup_windows,
+       CASE WHEN coalesce(per.n_windows, 0) > 0
+            THEN round(CAST(per.n_dup_windows AS DOUBLE)
+                       / per.n_windows, 6)
+            ELSE 0.0 END AS dup_fraction
+FROM {table} d LEFT JOIN per ON per.doc_id = d.doc_id
+"""

@@ -77,6 +77,12 @@ NGRAM_MAX_SHINGLE_DF = 256
 # the measured values (tripwire, not a quality target).
 LSH_RECALL_FLOOR = 0.30
 IVF_RECALL_FLOOR = 0.70
+# PQ (m=16, 64 codes; r5): seed-codebook mean recall@10 measured
+# 0.43-0.58 (per-query min 0.30), k-means-trained 0.52-0.63 (min
+# 0.40) across sf0.001/0.01/0.1 — random-ish synthetic embeddings are
+# PQ's worst case (no cluster structure for the codebooks to exploit)
+PQ_SEED_RECALL_FLOOR = 0.30
+PQ_RECALL_FLOOR = 0.40
 
 SPEC_VERSION = "1"
 

@@ -525,3 +525,109 @@ def test_injected_decoder_owns_kind_support(spark):
         M.extract_features(
             media.withColumn("kind", F.lit("video")), decoder=pdf_decoder
         ).collect()
+
+
+def test_pq_recall_floors_and_determinism(spark):
+    """Product-quantization quality floors (spec.PQ_SEED_RECALL_FLOOR /
+    spec.PQ_RECALL_FLOOR) + determinism: the codebooks (seed and
+    md5-sample-trained) carry no RNG state, so two independent runs
+    must produce identical codes and scores."""
+    from chearch_spark import spec
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    qids = list(range(10))
+    seed = A.pq_recall(emb, qids, k=10).collect()
+    assert sum(r.recall for r in seed) / len(seed) >= (
+        spec.PQ_SEED_RECALL_FLOOR
+    )
+    trained = A.pq_recall(emb, qids, k=10, trained=True).collect()
+    assert sum(r.recall for r in trained) / len(trained) >= (
+        spec.PQ_RECALL_FLOOR
+    )
+    once = sorted(
+        map(tuple, A.pq_ann_topk(emb, qids, k=10).collect())
+    )
+    again = sorted(
+        map(tuple, A.pq_ann_topk(emb, qids, k=10).collect())
+    )
+    assert once == again
+
+
+def test_pq_adc_score_is_reconstruction_dot(spark):
+    """ADC semantics: the summed lookup-table score must equal the
+    dot product of the normalized query with the vector's CODEBOOK
+    RECONSTRUCTION (concatenated chosen sub-centroids) — the defining
+    identity of product quantization (Jegou et al. 2011)."""
+    import numpy as np
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    cb = A.pq_train(emb, m=A.PQ_M, k_codes=A.PQ_CODES)
+    m, k_codes, dsub = cb.shape
+    codes = {
+        int(r.vec_id): list(r.codes)
+        for r in A.pq_encode(emb, cb).collect()
+    }
+    rows = {int(r.vec_id): np.array(list(r.embedding), dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").limit(50).collect()}
+    got = {
+        (r.query_id, r.vec_id): r.score
+        for r in A.pq_ann_topk(emb, [3], k=10, codebooks=cb).collect()
+    }
+    q = rows[3] / np.linalg.norm(rows[3])
+    for (qid, vid), score in got.items():
+        recon = np.concatenate(
+            [cb[mi][codes[vid][mi]] for mi in range(m)]
+        )
+        assert score == pytest.approx(float(q @ recon), abs=1e-5), (
+            qid, vid,
+        )
+
+
+def test_pq_codes_are_compact(spark):
+    """The persisted payload story: m small ints per vector — the
+    codes column must carry exactly PQ_M codes in [0, PQ_CODES)."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    cb = A.pq_seed_codebooks(emb)
+    rows = A.pq_encode(emb, cb).collect()
+    assert len(rows) == emb.count()
+    for r in rows[:20]:
+        assert len(r.codes) == A.PQ_M
+        assert all(0 <= c < A.PQ_CODES for c in r.codes)
+
+
+def test_window_dedup_planted_span(spark):
+    """Exact-substring dedup semantics (Lee et al. 2022): a repeated
+    SPAN inside otherwise-distinct documents must be found at window
+    granularity (document-level exact dedup sees nothing here), and
+    per-doc dup_fraction must reflect exactly the contaminated
+    windows."""
+    span = "shared license header tokens alpha beta gamma delta"
+    rows = [
+        (0, span + " unique zero body content here"),
+        (1, "different opening words " + span + " tail one"),
+        (2, "totally unrelated content with no overlap at all xyz"),
+        (3, "tiny"),  # shorter than the window -> 0 windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 8  # the span is exactly 8 tokens
+
+    groups = D.window_dup_groups(df, n=n).collect()
+    # the full span window occurs in docs 0 and 1; doc-level exact
+    # dedup finds nothing
+    assert any(g.n_docs == 2 and g.min_doc_id == 0 for g in groups)
+    assert D.exact_duplicates(df).count() == 0
+
+    frac = {r.doc_id: r for r in D.window_dup_fraction(df, n=n).collect()}
+    # doc 0: 13 tokens -> 6 windows, exactly ONE (the span itself,
+    # start 0) duplicated; doc 1: span starts at token 3 of 13
+    assert frac[0].n_windows == 6 and frac[0].n_dup_windows == 1
+    assert frac[1].n_dup_windows == 1
+    assert frac[2].n_dup_windows == 0
+    assert frac[3].n_windows == 0 and frac[3].dup_fraction == 0.0
+    assert frac[0].dup_fraction == pytest.approx(1 / 6, abs=1e-6)
