@@ -46,6 +46,15 @@ LSH_PLANES = 16
 LSH_BANDS = 4
 LSH_ROWS = LSH_PLANES // LSH_BANDS
 
+# Product-quantization defaults, tuned on the synthetic 64-dim
+# embeddings (BENCH-style sweep, r5): more subspaces beat more codes
+# on near-random vectors — m=16 x 64 codes (96 bits/vector = 26x
+# smaller than the float32 row), measured mean recall@10: seed
+# 0.43-0.58, trained 0.52-0.63 across sf0.001/0.01/0.1.  Floors are
+# pinned in spec.py; the operators live at the bottom of this module.
+PQ_M = 16
+PQ_CODES = 64
+
 
 def _rank_topk(cand, k: int, vec_col: str = "embedding"):
     """Shared tail of EVERY ANN query path (exact, IVF one-shot, IVF
@@ -179,37 +188,64 @@ def kmeans_centroids(
 
 
 def ivf_assign(
-    emb: DataFrame, centroids, vec_col: str = "embedding"
+    emb: DataFrame, centroids, vec_col: str = "embedding",
+    pq_codebooks=None,
 ) -> DataFrame:
     """Adds a ``cell`` column: nearest centroid by cosine.  Arrow-batched
     numpy matmul (one pass over the corpus; in a real deployment the
-    assignment is persisted with the index, not recomputed per query)."""
+    assignment is persisted with the index, not recomputed per query).
+    ``pq_codebooks`` additionally emits the PQ ``codes`` column in the
+    SAME pass (the IVF-PQ build — a separate encode pass would re-read
+    and re-shuffle the corpus)."""
     import numpy as np
     import pandas as pd
 
     c = centroids
+    cb = (
+        np.asarray(pq_codebooks, dtype=np.float64)
+        if pq_codebooks is not None
+        else None
+    )
+    if cb is not None:
+        m, _k_codes, dsub = cb.shape
+        half_c2 = 0.5 * _seq_dot(cb, cb)
 
     def _kernel(batches):
         for pdf in batches:
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             if len(x):
-                x = x / np.maximum(
+                xn = x / np.maximum(
                     np.linalg.norm(x, axis=1, keepdims=True), 1e-12
                 )
-                cell = (x @ c.T).argmax(axis=1).astype("int32")
+                cell = (xn @ c.T).argmax(axis=1).astype("int32")
             else:
+                xn = x
                 cell = np.empty(0, dtype="int32")
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].astype("int64"),
-                    vec_col: pdf[vec_col],
-                    "cell": cell,
-                }
-            )
+            out = {
+                "vec_id": pdf["vec_id"].astype("int64"),
+                vec_col: pdf[vec_col],
+                "cell": cell,
+            }
+            if cb is not None:
+                if len(xn):
+                    codes = np.empty((len(xn), m), dtype=np.int32)
+                    for mi in range(m):
+                        xs = xn[:, mi * dsub:(mi + 1) * dsub]
+                        s = _seq_dot(
+                            xs[:, None, :], cb[mi][None, :, :]
+                        )
+                        codes[:, mi] = (
+                            s - half_c2[mi][None, :]
+                        ).argmax(axis=1)
+                    out["codes"] = [list(map(int, r)) for r in codes]
+                else:
+                    out["codes"] = []
+            yield pd.DataFrame(out)
 
-    return emb.select("vec_id", vec_col).mapInPandas(
-        _kernel, f"vec_id long, {vec_col} array<float>, cell int"
-    )
+    schema = f"vec_id long, {vec_col} array<float>, cell int"
+    if cb is not None:
+        schema += ", codes array<int>"
+    return emb.select("vec_id", vec_col).mapInPandas(_kernel, schema)
 
 
 def ivf_build(
@@ -222,10 +258,19 @@ def ivf_build(
     id_col: str = "vec_id",
     lookup_files: int | None = None,
     sample_order: str = "hash",
+    pq_m: int | None = None,
+    pq_codes: int = PQ_CODES,
 ) -> dict:
     """Build and PERSIST an IVF index: k-means centroids (driver-side
     deterministic sample) + the full-corpus cell assignment, written as
-    parquet partitioned by ``cell``.  The one corpus pass happens here,
+    parquet partitioned by ``cell``.
+
+    ``pq_m`` additionally trains per-subspace PQ codebooks and stores
+    each vector's ``codes`` column alongside (computed in the SAME
+    assignment pass) — the FAISS IVFADC layout: :func:`ivf_query`
+    with ``adc=True`` then serves from the probed cells' CODES column
+    only (parquet column pruning: ~m small ints per row instead of
+    the float vector), the 100 TB scan shape for large query batches.  The one corpus pass happens here,
     at build time; :func:`ivf_query` then serves any number of queries
     from the persisted artifact with a partition-pruned scan of only
     the probed cells — recomputing the assignment per query (the old
@@ -255,7 +300,17 @@ def ivf_build(
     c = kmeans_centroids(
         base, n_centroids, sample, iters, vec_col, sample_order
     )
-    assigned = with_norm(ivf_assign(base, c, vec_col), vec_col)
+    cb = (
+        pq_train(
+            base, pq_m, pq_codes, sample, iters, vec_col, "vec_id",
+            sample_order,
+        )
+        if pq_m
+        else None
+    )
+    assigned = with_norm(
+        ivf_assign(base, c, vec_col, pq_codebooks=cb), vec_col
+    )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(out_dir, "assigned")
     )
@@ -281,6 +336,15 @@ def ivf_build(
         "vec_col": vec_col,
         "centroids": [[float(x) for x in row] for row in c],
     }
+    if cb is not None:
+        meta["pq"] = {
+            "m": int(pq_m),
+            "k_codes": int(pq_codes),
+            "codebooks": [
+                [[float(x) for x in row] for row in book]
+                for book in cb
+            ],
+        }
     tmp = os.path.join(out_dir, "ivf_meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -377,6 +441,7 @@ def ivf_query(
     n_probe: int = 4,
     query_vectors=None,
     exclude_self: bool | None = None,
+    adc: bool = False,
 ) -> DataFrame:
     """Query a persisted IVF index (:func:`ivf_build`).  No assignment
     job runs: centroids load from the tiny sidecar, probe cells are a
@@ -489,6 +554,79 @@ def ivf_query(
     probe_cells = sorted({int(cell) for row in probes for cell in row})
     if exclude_self is None:
         exclude_self = query_ids is not None
+    if adc:
+        # IVFADC (Jégou et al. 2011): score the probed cells' PQ CODES
+        # via per-query lookup tables — the scan reads (vec_id, codes)
+        # only (parquet column pruning), never the float vectors.
+        # Approximate like any PQ score; rank/tie-break identical to
+        # the exact path's shape.
+        if "pq" not in meta:
+            raise ValueError(
+                "adc=True needs an index built with ivf_build(pq_m=...)"
+            )
+        pqm = meta["pq"]
+        cb = np.array(pqm["codebooks"], dtype=np.float64)
+        m, _k_codes, dsub = cb.shape
+        luts = np.empty((len(qpdf), m, _k_codes), dtype=np.float64)
+        for mi in range(m):
+            qs = qx[:, mi * dsub:(mi + 1) * dsub]
+            luts[:, mi, :] = _seq_dot(qs[:, None, :], cb[mi][None, :, :])
+        lut_of = {
+            int(v): luts[i] for i, v in enumerate(qpdf["vec_id"])
+        }
+
+        def _adc_kernel(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    yield pd.DataFrame(
+                        {
+                            "query_id": pd.Series(dtype="int64"),
+                            "vec_id": pd.Series(dtype="int64"),
+                            "score": pd.Series(dtype="float64"),
+                        }
+                    )
+                    continue
+                codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+                scores = np.empty(len(pdf), dtype=np.float64)
+                qcol = pdf["query_id"].to_numpy(np.int64)
+                for qid in np.unique(qcol):
+                    sel = qcol == qid
+                    lut = lut_of[int(qid)]
+                    s = lut[0, codes[sel, 0]]
+                    for mi in range(1, m):
+                        s = s + lut[mi, codes[sel, mi]]
+                    scores[sel] = s
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].astype("int64"),
+                        "vec_id": pdf["vec_id"].astype("int64"),
+                        "score": scores,
+                    }
+                )
+
+        cand = (
+            assigned.filter(F.col("cell").isin(probe_cells))
+            .select("vec_id", "cell", "codes")
+            .join(F.broadcast(probe_df), "cell")
+        )
+        if exclude_self:
+            cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+        scored = cand.select("query_id", "vec_id", "codes").mapInPandas(
+            _adc_kernel, "query_id long, vec_id long, score double"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "vec_id",
+                F.round("score", 6).alias("cos"),
+                F.col("rank").cast("int").alias("rank"),
+            )
+        )
     cand = (
         assigned.filter(F.col("cell").isin(probe_cells))
         .join(F.broadcast(probe_df), "cell")
@@ -968,13 +1106,8 @@ def lsh_ann_topk(
 # differs from DuckDB's sequential list_dot_product in the last ulp,
 # which a value-hash gate cannot tolerate.
 
-# Defaults tuned on the synthetic 64-dim embeddings (BENCH-style
-# sweep, r5): more subspaces beat more codes on near-random vectors —
-# m=16 x 64 codes (96 bits/vector = 26x smaller than the float32 row)
-# measured mean recall@10: seed 0.43-0.58, trained 0.52-0.63 across
-# sf0.001/0.01/0.1.  Floors pinned in spec.py.
-PQ_M = 16
-PQ_CODES = 64
+# (PQ_M / PQ_CODES are defined at the top of the module — ivf_build's
+# signature references them.)
 
 
 def _seq_dot(a, b):

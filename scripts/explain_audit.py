@@ -273,6 +273,38 @@ def main() -> None:
     print("OK  IVF query over the persisted index: partition-pruned, "
           f"kernel-free, vector fetch {n_files}/{n_sidecar_files} files")
 
+    # IVFADC (pq_m build + adc=True query): the candidate scan must
+    # read the codes column and NEVER the float vectors (the PQ byte
+    # win), while the probed-cell partition pruning stays intact
+    ivfpq_dir = tempfile.mkdtemp(prefix="chearch_audit_ivfpq_")
+    A.ivf_build(emb, ivfpq_dir, n_centroids=16, pq_m=A.PQ_M)
+    adc_q = A.ivf_query(
+        spark, ivfpq_dir, [0, 1, 2], k=10, n_probe=4, adc=True
+    )
+    p = plan_of(adc_q)
+    assert "PartitionFilters" in p and "cell" in p, (
+        "ivfadc: no partition pruning"
+    )
+    scan_lines = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scan_lines and all(
+        "embedding" not in ln for ln in scan_lines
+    ), "ivfadc: scan reads the float vectors"
+    assert any("codes" in ln for ln in scan_lines), (
+        "ivfadc: scan does not read the codes column"
+    )
+    sections.append(
+        (
+            "IVFADC query (PQ codes) over the persisted index",
+            p,
+            [("probed-cell partition pruning intact; ReadSchema carries "
+              "codes and never the float vectors (both asserted)", "—")],
+        )
+    )
+    print("OK  IVFADC query: partition-pruned, codes-only ReadSchema")
+    import shutil as _sh
+
+    _sh.rmtree(ivfpq_dir, ignore_errors=True)
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — audited physical plans\n\n"

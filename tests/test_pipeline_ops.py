@@ -631,3 +631,54 @@ def test_window_dedup_planted_span(spark):
     assert frac[2].n_dup_windows == 0
     assert frac[3].n_windows == 0 and frac[3].dup_fraction == 0.0
     assert frac[0].dup_fraction == pytest.approx(1 / 6, abs=1e-6)
+
+
+def test_ivf_pq_adc_serving(spark, tmp_path_factory):
+    """IVFADC (ivf_build(pq_m=...) + ivf_query(adc=True)): the probed
+    cells are scored from the persisted PQ CODES — the scan must read
+    the codes column and NOT the float vectors (the 100 TB byte win);
+    results are deterministic, recall-floored vs the exact top-k, and
+    an index built without PQ refuses adc."""
+    from chearch_spark import spec
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    qids = [0, 1, 2, 5, 9]
+    out = str(tmp_path_factory.mktemp("ivfpq_ix"))
+    meta = A.ivf_build(emb, out, n_centroids=16, pq_m=A.PQ_M)
+    assert meta["pq"]["m"] == A.PQ_M
+
+    got = A.ivf_query(spark, out, qids, k=10, n_probe=8, adc=True)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # column pruning: the ADC scan reads codes, never the vectors
+    assert "codes" in plan
+    scan_lines = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert scan_lines and all(
+        "embedding" not in ln for ln in scan_lines
+    ), scan_lines
+    assert "PartitionFilters" in plan  # probed-cell pruning intact
+
+    rows = got.collect()
+    assert {r.query_id for r in rows} == set(qids)
+    again = A.ivf_query(
+        spark, out, qids, k=10, n_probe=8, adc=True
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in A.cosine_topk(emb, qids, 10).collect()
+    }
+    hits = sum(
+        1 for r in rows if (r.query_id, r.vec_id) in exact
+    )
+    assert hits / len(exact) >= spec.PQ_RECALL_FLOOR
+
+    # an index without PQ codes refuses the adc path loudly
+    out2 = str(tmp_path_factory.mktemp("ivf_nopq"))
+    A.ivf_build(emb, out2, n_centroids=16)
+    with pytest.raises(ValueError, match="pq_m"):
+        A.ivf_query(spark, out2, qids, k=10, adc=True).collect()
