@@ -96,6 +96,88 @@ LIMIT 10
 """
 
 
+def _bm25_ranked_sql(
+    name: str, terms: list[str], require: str, topn: int
+) -> str:
+    """Ranked (query, doc_id, rank) form of :func:`_bm25_sql` for RRF
+    fusion — row_number over the UNROUNDED score (ties doc_id asc),
+    exactly the order `search_many` ranks by.  Kept to 1-2 term
+    queries in the hybrid contract: a two-operand double sum is
+    order-independent, so the raw scores are bit-identical across
+    engines (the 3+-term sum order is engine-internal)."""
+    flags = ",\n         ".join(
+        f"max(CASE WHEN tf.term = '{t}' THEN 1 ELSE 0 END) AS has_{t}"
+        for t in terms
+    )
+    return f"""
+SELECT '{name}' AS query, doc_id,
+       row_number() OVER (ORDER BY matched.score DESC, doc_id ASC)
+         AS rank
+FROM (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * ({_K1} + 1)
+              / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl))
+            ) AS score,
+         {flags}
+  FROM tf
+  JOIN dfs d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ({_sql_terms(terms)})
+  GROUP BY tf.doc_id
+) AS matched
+WHERE {require}
+QUALIFY rank <= {topn}
+"""
+
+
+def _rrf_sql(
+    lex_specs: list[tuple],
+    sem_pairs: list[tuple],
+    k: int = 10,
+    k0: int = 60,
+    topn: int = 10,
+) -> str:
+    """DuckDB mirror of `operators/fusion.py` hybrid_rrf.
+    ``lex_specs``: (name, terms, require); ``sem_pairs``:
+    (vec_id, name).  CAST(1 AS DOUBLE) everywhere — DuckDB's bare
+    ``1.0`` is DECIMAL and would divide in decimal arithmetic."""
+    from chearch_spark.operators.ann import cosine_topk_sql
+
+    lex = "\nUNION ALL\n".join(
+        _bm25_ranked_sql(name, terms, require, topn)
+        for name, terms, require in lex_specs
+    )
+    sem_ids = sorted({vid for vid, _ in sem_pairs})
+    values = ", ".join(f"({vid}, '{nm}')" for vid, nm in sem_pairs)
+    return f"""{_BASE_CTE}
+, lex AS (
+{lex}
+), sem AS (
+  SELECT m.query, r.vec_id AS doc_id, r.rank
+  FROM ({cosine_topk_sql(sem_ids, k=topn)}) AS r
+  JOIN (VALUES {values}) AS m(query_id, query)
+    ON m.query_id = r.query_id
+), fused AS (
+  SELECT coalesce(l.query, s.query) AS query,
+         coalesce(l.doc_id, s.doc_id) AS doc_id,
+         coalesce(CAST(1 AS DOUBLE) / ({k0} + l.rank),
+                  CAST(0 AS DOUBLE))
+         + coalesce(CAST(1 AS DOUBLE) / ({k0} + s.rank),
+                    CAST(0 AS DOUBLE)) AS rrf
+  FROM lex l FULL OUTER JOIN sem s
+    ON s.query = l.query AND s.doc_id = l.doc_id
+)
+SELECT query, doc_id, round(fused.rrf, 6) AS rrf,
+       CAST(row_number() OVER (PARTITION BY query
+                               ORDER BY fused.rrf DESC, doc_id ASC)
+            AS INTEGER) AS rank
+FROM fused
+QUALIFY rank <= {k}
+"""
+
+
 def _docset_sql(
     terms: list[str], require: str, src: str = "documents"
 ) -> str:
@@ -735,6 +817,31 @@ FROM top t JOIN dl2 d ON d.doc_id = t.doc_id
     }
 
 
+# hybrid-RRF contract shape, pinned once for BOTH engines: name ->
+# (lexical terms+require for the oracle, semantic vec_id).  Lexical
+# queries are 1-2 terms by design (raw-score rank bit-stability).
+_HYBRID_SPECS = [
+    ("h_and", ["merge", "sort"], "has_merge = 1 AND has_sort = 1", 0),
+    ("h_or", ["merge", "dup"], "has_merge = 1 OR has_dup = 1", 1),
+    ("h_single", ["sort"], "has_sort = 1", 2),
+]
+
+
+def _hybrid_rrf_query(spark, sf):
+    from chearch_spark.operators.fusion import hybrid_rrf
+    from chearch_spark.plans.query import Term
+
+    nodes = {
+        "h_and": Term("merge") & Term("sort"),
+        "h_or": Term("merge") | Term("dup"),
+        "h_single": Term("sort"),
+    }
+    pairs = {
+        name: (nodes[name], vid) for name, _t, _r, vid in _HYBRID_SPECS
+    }
+    return hybrid_rrf(_get_index(spark, sf), _emb(spark, sf), pairs)
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-gated entries NOT exposed to the driver snapshot.
 
@@ -774,6 +881,11 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "window_dup_fraction": lambda s, sf: D.window_dup_fraction(
             _docs(s, sf), n=5
         ),
+        # Hybrid retrieval (r5): RRF fusion of the index's BM25
+        # search_many lists with cosine ANN lists — lexical queries
+        # kept to <=2 terms so the raw-score rank order is bit-stable
+        # across engines (see _bm25_ranked_sql).
+        "hybrid_rrf": _hybrid_rrf_query,
     }
 
 
@@ -791,4 +903,8 @@ def pytest_only_oracle_sql() -> dict[str, str]:
         ),
         "window_dup_groups": D.window_dup_groups_sql(n=5),
         "window_dup_fraction": D.window_dup_fraction_sql(n=5),
+        "hybrid_rrf": _rrf_sql(
+            [(n, t, r) for n, t, r, _v in _HYBRID_SPECS],
+            [(v, n) for n, _t, _r, v in _HYBRID_SPECS],
+        ),
     }

@@ -273,6 +273,46 @@ def main() -> None:
     print("OK  IVF query over the persisted index: partition-pruned, "
           f"kernel-free, vector fetch {n_files}/{n_sidecar_files} files")
 
+    # Hybrid RRF fusion: the lexical branch must keep its term-pruned
+    # pushdown (ONE segments scan for all queries), the semantic
+    # branch its broadcast-query shape, and the vec_id->name mapping
+    # must broadcast — fusion adds no corpus scan or corpus shuffle
+    from chearch_spark.operators.fusion import hybrid_rrf
+
+    hyb = hybrid_rrf(
+        ix,
+        emb,
+        {
+            "h_and": (Term("merge") & Term("sort"), 0),
+            "h_or": (Term("merge") | Term("dup"), 1),
+        },
+    )
+    p = plan_of(hyb)
+    # formatted half only — plan_of also appends the simple dump,
+    # where the same scan would be counted a second time
+    fmt = p.split("--- simple ---")[0]
+    n_seg = sum(
+        "segments" in ln for ln in fmt.splitlines() if "Location" in ln
+    )
+    assert "PushedFilters: [In(term" in p, "hybrid: lexical pushdown lost"
+    assert n_seg == 1, f"hybrid: expected 1 segments scan, saw {n_seg}"
+    assert p.count("BroadcastExchange") >= 2, (
+        "hybrid: query-vector / mapping sides not broadcast"
+    )
+    sections.append(
+        (
+            "Hybrid RRF (BM25 search_many + cosine ANN fusion)",
+            p,
+            [
+                ("ONE term-pruned segments scan feeds ALL lexical "
+                 "queries; semantic query vectors and the vec_id->name "
+                 "mapping broadcast; fusion joins two top-n-reduced "
+                 "relations (no corpus shuffle) — all asserted", "—"),
+            ],
+        )
+    )
+    print("OK  hybrid RRF: 1 pruned segments scan, broadcast semantic sides")
+
     # IVFADC (pq_m build + adc=True query): the candidate scan must
     # read the codes column and NEVER the float vectors (the PQ byte
     # win), while the probed-cell partition pruning stays intact

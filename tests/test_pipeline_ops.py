@@ -682,3 +682,35 @@ def test_ivf_pq_adc_serving(spark, tmp_path_factory):
     A.ivf_build(emb, out2, n_centroids=16)
     with pytest.raises(ValueError, match="pq_m"):
         A.ivf_query(spark, out2, qids, k=10, adc=True).collect()
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF invariants on planted lists: a doc in BOTH lists outranks
+    any single-list doc at comparable ranks; rank ties break on
+    doc_id; k0 dampening keeps deep ranks positive."""
+    from chearch_spark.operators.fusion import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q", 10, 1), ("q", 11, 2), ("q", 12, 3)],
+        "query string, doc_id long, rank int",
+    )
+    sem = spark.createDataFrame(
+        [("q", 11, 1), ("q", 20, 2), ("q", 21, 3)],
+        "query string, doc_id long, rank int",
+    )
+    rows = rrf_fuse(lex, sem, k=10).orderBy("rank").collect()
+    # doc 11 (rank 2 lex + rank 1 sem) beats every single-list doc
+    assert rows[0].doc_id == 11
+    assert rows[0].rrf == pytest.approx(1 / 62 + 1 / 61, abs=1e-6)
+    # union of both lists, nothing dropped below k
+    assert {r.doc_id for r in rows} == {10, 11, 12, 20, 21}
+    # single-list docs with the SAME rank tie on score -> doc_id asc
+    tied = [r for r in rows if abs(r.rrf - 1 / 61) < 1e-6]
+    assert [r.doc_id for r in tied] == [10]  # sem rank1 is doc 11
+    # 1/62 bucket: lex rank-2 is doc 11 (fused higher), so only the
+    # sem rank-2 doc remains
+    r2 = [r for r in rows if abs(r.rrf - 1 / 62) < 1e-6]
+    assert [r.doc_id for r in r2] == [20]
+    # determinism
+    again = rrf_fuse(lex, sem, k=10).orderBy("rank").collect()
+    assert rows == again
