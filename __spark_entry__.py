@@ -881,6 +881,15 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "window_dup_fraction": lambda s, sf: D.window_dup_fraction(
             _docs(s, sf), n=5
         ),
+        # SQ8 scalar quantization (r5): per-dimension min/max bounds
+        # are EXACT aggregations, so train+encode+decode+score all
+        # mirror exactly — no seed-vs-trained split needed.
+        "sq_topk": lambda s, sf: A.sq_topk(
+            _emb(s, sf), _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
+        ),
+        "sq_recall": lambda s, sf: A.sq_recall(
+            _emb(s, sf), _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
+        ),
         # Hybrid retrieval (r5): RRF fusion of the index's BM25
         # search_many lists with cosine ANN lists — lexical queries
         # kept to <=2 terms so the raw-score rank order is bit-stable
@@ -903,6 +912,8 @@ def pytest_only_oracle_sql() -> dict[str, str]:
         ),
         "window_dup_groups": D.window_dup_groups_sql(n=5),
         "window_dup_fraction": D.window_dup_fraction_sql(n=5),
+        "sq_topk": A.sq_topk_sql(_ANN_QUERY_IDS, k=10),
+        "sq_recall": A.sq_recall_sql(_ANN_QUERY_IDS, k=10),
         "hybrid_rrf": _rrf_sql(
             [(n, t, r) for n, t, r, _v in _HYBRID_SPECS],
             [(v, n) for n, _t, _r, v in _HYBRID_SPECS],

@@ -147,6 +147,7 @@ def main() -> None:
         from chearch_spark.functions import text as T
         from chearch_spark.operators import ann as A
         from chearch_spark.operators import dedup as D
+        from chearch_spark.operators import fusion as FU
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         pipeline = {
@@ -170,6 +171,18 @@ def main() -> None:
                 emb, [0, 1, 2, 3, 4], k=k
             ).count(),
             "p_text_quality": lambda: T.quality_scores(corpus).count(),
+            # hybrid RRF: 3 lexical queries (one search_many scan) +
+            # 3 semantic queries (one broadcast cosine pass) + fusion
+            "p_hybrid_rrf": lambda: FU.hybrid_rrf(
+                ix,
+                emb,
+                {
+                    "h_and": (Term("merge") & Term("sort"), 0),
+                    "h_or": (Term("merge") | Term("dup"), 1),
+                    "h_single": (Term("sort"), 2),
+                },
+                k=k,
+            ).count(),
         }
         for name, fn in pipeline.items():
             fn()  # first run pays Janino codegen for the wide exprs

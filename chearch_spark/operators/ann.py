@@ -1521,3 +1521,234 @@ FROM ex
 LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
 GROUP BY ex.query_id
 """
+
+
+# --- scalar quantization (SQ8) -------------------------------------------
+#
+# FAISS-style per-dimension 8-bit scalar quantization: code_d =
+# round((x_d - min_d) / scale_d) with scale_d = (max_d - min_d)/255 —
+# 4x smaller than float32 rows, decoded on the fly at query time
+# (asymmetric: raw query vector vs decoded corpus).  Unlike PQ's
+# sampled k-means, the trained parameters here are EXACT per-dimension
+# min/max aggregations — deterministic on any engine — so the whole
+# path (train + encode + decode + score) has an exact DuckDB mirror
+# and rides the hash gate, with no seed-vs-trained split needed.
+# Complements PQ: SQ8 keeps per-dimension resolution (better recall,
+# 4x shrink); PQ trades resolution for 26x shrink.
+
+SQ_LEVELS = 255  # 8-bit code range 0..255
+
+
+def sq_bounds(
+    emb: DataFrame, dim: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension (min, scale) over the corpus — ONE map-side-
+    combined aggregation pass (2*dim scalar aggs, no shuffle of
+    vectors), returned as a 1-row (mins, scales) DF to broadcast.
+    min/max are exact (no float summation), so both engines derive
+    bit-identical bounds from the same data."""
+    v = F.col(vec_col)
+    aggs = [
+        F.min(F.element_at(v, i + 1).cast("double")).alias(f"_mn{i}")
+        for i in range(dim)
+    ] + [
+        F.max(F.element_at(v, i + 1).cast("double")).alias(f"_mx{i}")
+        for i in range(dim)
+    ]
+    return emb.agg(*aggs).select(
+        F.array(*[F.col(f"_mn{i}") for i in range(dim)]).alias("mins"),
+        F.array(
+            *[
+                (F.col(f"_mx{i}") - F.col(f"_mn{i}"))
+                / F.lit(float(SQ_LEVELS))
+                for i in range(dim)
+            ]
+        ).alias("scales"),
+    )
+
+
+def _sq_code(x, i):
+    """Quantize one component given broadcast (mins, scales) columns:
+    clip(floor((x - mn)/sc + 0.5), 0, 255); degenerate (constant)
+    dimensions quantize to 0.  All-double arithmetic in the exact
+    order the DuckDB mirror uses."""
+    mn = F.element_at(F.col("mins"), i + F.lit(1))
+    sc = F.element_at(F.col("scales"), i + F.lit(1))
+    q = F.floor((x.cast("double") - mn) / sc + F.lit(0.5))
+    return (
+        F.when(sc == F.lit(0.0), F.lit(0.0))
+        .otherwise(F.least(F.greatest(q, F.lit(0.0)), F.lit(255.0)))
+        .cast("int")
+    )
+
+
+def sq_encode(
+    emb: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, codes array<int> in 0..255) — int codes bit-pack to
+    ~1 byte/component in parquet (values <= 255), the 4x scan-byte
+    win.  Bounds ride a 1-row broadcast; encoding is a pure JVM
+    projection (no kernel, no shuffle)."""
+    b = sq_bounds(emb, dim, vec_col)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col)
+    ).crossJoin(F.broadcast(b))
+    codes = F.transform(F.col(vec_col), lambda x, i: _sq_code(x, i))
+    return base.select("vec_id", codes.alias("codes"))
+
+
+def sq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric SQ8 top-k: raw query vectors against the decoded
+    (quantized) corpus — (query_id, vec_id, cos, rank), same tie-break
+    and rounding as every ANN path.  Approximate like any SQ score,
+    yet fully deterministic: exact DuckDB mirror in
+    :func:`sq_topk_sql`, recall gauge in :func:`sq_recall`.
+
+    Plan shape: one agg pass for bounds (broadcast 1 row), one corpus
+    projection encode+decode (JVM transform, codes materialized in a
+    separate select — the Catalyst HOF-inlining trap), broadcast
+    query side, per-partition partial top-k under the final window.
+    The corpus is never shuffled."""
+    b = sq_bounds(emb, dim, vec_col)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col)
+    ).crossJoin(F.broadcast(b))
+    codes = F.transform(F.col(vec_col), lambda x, i: _sq_code(x, i))
+    enc = base.select("vec_id", "mins", "scales", codes.alias("codes"))
+    xhat = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(F.col("mins"), i + F.lit(1))
+        + c.cast("double")
+        * F.element_at(F.col("scales"), i + F.lit(1)),
+    )
+    dec = enc.select("vec_id", xhat.alias("xhat"))
+    dec = dec.withColumn(
+        "norm", F.sqrt(_dot(F.col("xhat"), F.col("xhat")))
+    )
+    q = (
+        with_norm(
+            emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col)),
+            vec_col,
+        )
+        .filter(F.col("vec_id").isin(list(query_ids)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col("norm").alias("qn"),
+        )
+    )
+    cand = dec.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    return _rank_topk(cand, k, "xhat")
+
+
+def sq_topk_sql(
+    query_ids: list[int],
+    k: int = 10,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of :func:`sq_topk`: identical bounds (exact
+    min/max), identical quantize/decode expression order, the proven
+    sequential-fold dot.  CAST(... AS DOUBLE) literals — bare DuckDB
+    decimals would change the arithmetic."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+), comp AS (
+  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS d
+  FROM e
+), b AS (
+  SELECT d, min(val) AS mn,
+         (max(val) - min(val)) / CAST(255 AS DOUBLE) AS sc
+  FROM comp GROUP BY d
+), dec AS (
+  SELECT comp.vec_id, comp.d,
+         b.mn + (CASE WHEN b.sc = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+                 ELSE least(greatest(
+                        floor((comp.val - b.mn) / b.sc + CAST(0.5 AS DOUBLE)),
+                        CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE)) END)
+              * b.sc AS xh
+  FROM comp JOIN b USING (d)
+), xhat AS (
+  SELECT vec_id, list(xh ORDER BY d) AS xh, 
+         sqrt(list_dot_product(list(xh ORDER BY d),
+                               list(xh ORDER BY d))) AS nrm
+  FROM dec GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS query_id, v AS qv,
+         sqrt(list_dot_product(v, v)) AS qn
+  FROM e WHERE vec_id IN ({ids})
+), scored AS (
+  SELECT q.query_id, h.vec_id,
+         list_dot_product(q.qv, h.xh) / (q.qn * h.nrm) AS cos
+  FROM xhat h JOIN q ON h.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 6) AS cos,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def sq_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall of SQ8 vs the exact top-k, in-plan:
+    (query_id, n_exact, n_hit, recall) — exact DuckDB mirror
+    (:func:`sq_recall_sql`)."""
+    ex = cosine_topk(emb, query_ids, k, vec_col, id_col).select(
+        "query_id", "vec_id"
+    )
+    ap = sq_topk(emb, query_ids, k, dim, vec_col, id_col).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        ex.join(ap, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_hit") / F.col("n_exact"), 6)
+        )
+        .select("query_id", "n_exact", "n_hit", "recall")
+    )
+
+
+def sq_recall_sql(
+    query_ids: list[int], k: int = 10, table: str = "embeddings"
+) -> str:
+    """DuckDB mirror of :func:`sq_recall` (composed mirrors)."""
+    ex = cosine_topk_sql(query_ids, k, table)
+    ap = sq_topk_sql(query_ids, k, table)
+    return f"""
+WITH ex AS (SELECT query_id, vec_id FROM ({ex})),
+ap AS (SELECT query_id, vec_id FROM ({ap}))
+SELECT ex.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(ap.vec_id) AS BIGINT) AS n_hit,
+       round(CAST(count(ap.vec_id) AS DOUBLE) / count(*), 6) AS recall
+FROM ex
+LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+GROUP BY ex.query_id
+"""

@@ -273,6 +273,32 @@ def main() -> None:
     print("OK  IVF query over the persisted index: partition-pruned, "
           f"kernel-free, vector fetch {n_files}/{n_sidecar_files} files")
 
+    # SQ8 top-k: bounds (1 row) and query vectors broadcast; the
+    # corpus is projected (encode+decode JVM transforms) but NEVER
+    # shuffled — no hashpartitioning of corpus rows before the
+    # partial top-k under the final window
+    sq = A.sq_topk(emb, [0, 1, 2], k=10, dim=64)
+    p = plan_of(sq)
+    assert p.count("BroadcastExchange") >= 2, (
+        "sq8: bounds / query side not broadcast"
+    )
+    assert "embedding" not in [
+        ln for ln in p.splitlines() if "hashpartitioning" in ln
+    ], "sq8: corpus vectors shuffled"
+    assert not any(
+        "hashpartitioning" in ln and "xhat" in ln
+        for ln in p.splitlines()
+    ), "sq8: decoded corpus shuffled"
+    sections.append(
+        (
+            "SQ8 scalar-quantized top-k",
+            p,
+            [("bounds row + query vectors broadcast; corpus projected "
+              "in place (no corpus exchange) — asserted", "—")],
+        )
+    )
+    print("OK  SQ8 top-k: broadcast bounds/queries, corpus unshuffled")
+
     # Hybrid RRF fusion: the lexical branch must keep its term-pruned
     # pushdown (ONE segments scan for all queries), the semantic
     # branch its broadcast-query shape, and the vec_id->name mapping
