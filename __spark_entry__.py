@@ -852,8 +852,10 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     DuckDB comparison, so they keep the same correctness gate — just
     in pytest instead of the driver snapshot.
     """
+    from chearch_spark.functions import text as _T
     from chearch_spark.operators import ann as A
     from chearch_spark.operators import dedup as D
+    from chearch_spark.operators import fuzzy as _FZ
 
     return {
         # Signature table for the MinHash chain; the driver-gated
@@ -881,6 +883,16 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "window_dup_fraction": lambda s, sf: D.window_dup_fraction(
             _docs(s, sf), n=5
         ),
+        # Fuzzy term matching (r5): SymSpell deletion-variant
+        # candidates + native levenshtein verify, distance <= 1.
+        "fuzzy_terms": lambda s, sf: _FZ.fuzzy_terms(
+            _docs(s, sf), "merg"
+        ),
+        # KWIC snippets (r5): the presentation layer over the search
+        # results — first match position + token window.
+        "snippets": lambda s, sf: _T.snippets(
+            _docs(s, sf), ["merge", "sort"], width=3
+        ),
         # SQ8 scalar quantization (r5): per-dimension min/max bounds
         # are EXACT aggregations, so train+encode+decode+score all
         # mirror exactly — no seed-vs-trained split needed.
@@ -899,6 +911,8 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
 
 
 def pytest_only_oracle_sql() -> dict[str, str]:
+    from chearch_spark.functions import text as _T
+    from chearch_spark.operators import fuzzy as _FZ
     from chearch_spark.operators import ann as A
     from chearch_spark.operators import dedup as D
 
@@ -912,6 +926,8 @@ def pytest_only_oracle_sql() -> dict[str, str]:
         ),
         "window_dup_groups": D.window_dup_groups_sql(n=5),
         "window_dup_fraction": D.window_dup_fraction_sql(n=5),
+        "fuzzy_terms": _FZ.fuzzy_terms_sql("merg"),
+        "snippets": _T.snippets_sql(["merge", "sort"], width=3),
         "sq_topk": A.sq_topk_sql(_ANN_QUERY_IDS, k=10),
         "sq_recall": A.sq_recall_sql(_ANN_QUERY_IDS, k=10),
         "hybrid_rrf": _rrf_sql(

@@ -386,3 +386,89 @@ SELECT doc_id, n_lines,
        round(greatest(lf, wf, gf), 6) AS repetition
 FROM fr
 """
+
+
+# --- snippet extraction (keyword-in-context) -----------------------------
+
+
+def snippets(
+    df: DataFrame,
+    terms: list[str],
+    width: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Search-result snippets: for each document containing >= 1 of
+    ``terms``, the FIRST match position (0-based token index, min over
+    all matching terms) and the surrounding ``2*width+1``-token window
+    joined by single spaces — what a result page renders next to a
+    hit.  (doc_id, pos int, snippet string); non-matching docs are
+    dropped.  Windows clamped at the document START keep the full
+    2*width+1 length by extending right (both ends clamp only at the
+    document boundary) — a hit on token 0 still yields a full-width
+    snippet.
+
+    The reference returns bare doc ids (`chearch_srv.chpl:44-69`);
+    this completes the serving surface with the presentation layer a
+    user switching engines needs.  Pure JVM expression tree — tokens
+    materialized once per row (separate select: the Catalyst
+    HOF-inlining trap), no shuffle, no UDF, predicate pushdown
+    preserved for any upstream filter.  Deterministic and
+    DuckDB-mirrorable (:func:`snippets_sql`)."""
+    tset = sorted({t.lower() for t in terms})
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    match_pos = F.filter(
+        F.transform(
+            F.col("_toks"),
+            lambda t, i: F.when(t.isin(tset), i).otherwise(F.lit(-1)),
+        ),
+        lambda v: v >= 0,
+    )
+    first = toked.select(
+        "doc_id", "_toks", F.array_min(match_pos).alias("pos")
+    ).filter(F.col("pos").isNotNull())
+    start = F.greatest(F.col("pos") - F.lit(width), F.lit(0)) + F.lit(1)
+    return first.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.array_join(
+            F.slice(F.col("_toks"), start, 2 * width + 1), " "
+        ).alias("snippet"),
+    )
+
+
+def snippets_sql(
+    terms: list[str],
+    width: int = 3,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`snippets` — same tokenizer, 0-based
+    first-match position via unnest+subscripts, list_slice with the
+    same clamp semantics (both engines truncate at the array ends)."""
+    tset = sorted({t.lower() for t in terms})
+    in_list = ", ".join(f"'{t}'" for t in tset)
+    toks = TOKENS_SQL.format(t=text_col)
+    return f"""
+WITH toked AS (
+  SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+), pos AS (
+  SELECT doc_id, min(p - 1) AS pos
+  FROM (SELECT doc_id, unnest(t) AS tok,
+               generate_subscripts(t, 1) AS p
+        FROM toked)
+  WHERE tok IN ({in_list})
+  GROUP BY doc_id
+)
+SELECT toked.doc_id, CAST(pos.pos AS INTEGER) AS pos,
+       array_to_string(
+         list_slice(toked.t,
+                    greatest(pos.pos - {width}, 0) + 1,
+                    greatest(pos.pos - {width}, 0) + {2 * width + 1}),
+         ' ') AS snippet
+FROM toked JOIN pos ON pos.doc_id = toked.doc_id
+"""

@@ -334,6 +334,60 @@ class Index:
             )
         return terms
 
+    def fuzzy_terms(self, query: str, max_edits: int = 1):
+        """Fuzzy dictionary probe: every indexed term within
+        ``max_edits`` (1) of ``query`` — (term, df, dist) DataFrame.
+
+        Runs as a Spark job over the range-partitioned dictionary
+        parquet: a distance-1 match can differ in its FIRST character,
+        so no range pruning applies and the honest plan is one narrow
+        (term, df) scan with the deletion-variant candidate projection
+        + native levenshtein verify (operators/fuzzy.py) — all
+        Catalyst expressions, no kernel, vocabulary-sized not
+        corpus-sized."""
+        from pyspark.sql import functions as F
+
+        from chearch_spark.operators.fuzzy import fuzzy_match_col
+
+        if max_edits != 1:
+            raise ValueError("fuzzy_terms supports max_edits=1")
+        q = query.lower()
+        d = self.spark.read.parquet(self.dict_dir).select("term", "df")
+        return d.filter(fuzzy_match_col(F.col("term"), q)).select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.levenshtein(F.col("term"), F.lit(q)).cast("int").alias(
+                "dist"
+            ),
+        )
+
+    def fuzzy_search(
+        self,
+        query: str,
+        k: int = spec.DEFAULT_K,
+        max_edits: int = 1,
+        max_expansions: int | None = None,
+    ):
+        """BM25 top-k for a possibly-misspelled term: expand to the
+        fuzzy dictionary matches (exact match first, then nearer /
+        higher-df / lexicographically-smaller terms) capped at
+        ``max_expansions``, OR-fold, and reuse :meth:`search` — the
+        expansion list is tiny (a driver collect of <= cap rows), the
+        search itself keeps its audited plan."""
+        from chearch_spark.operators.fuzzy import MAX_FUZZY_EXPANSIONS
+
+        cap = max_expansions or MAX_FUZZY_EXPANSIONS
+        rows = self.fuzzy_terms(query, max_edits).collect()
+        ranked = sorted(
+            rows, key=lambda r: (r.dist, -r.df, r.term)
+        )[:cap]
+        if not ranked:
+            return self.search(Term(query.lower()), k=k)  # empty path
+        node: Node = Term(ranked[0].term)
+        for r in ranked[1:]:
+            node = Or(node, Term(r.term))
+        return self.search(node, k=k)
+
     def _expand(self, node: Node) -> Node:
         """Replace Prefix leaves with OR-folds of dictionary matches."""
         if isinstance(node, Prefix):

@@ -273,6 +273,29 @@ def main() -> None:
     print("OK  IVF query over the persisted index: partition-pruned, "
           f"kernel-free, vector fetch {n_files}/{n_sidecar_files} files")
 
+    # Fuzzy dictionary probe: a pure filter+project over the
+    # dictionary parquet — vocabulary-sized, ReadSchema carries only
+    # (term, df), and there is NO exchange anywhere in the plan (the
+    # deletion-variant candidate test and levenshtein verify are
+    # row-local Catalyst expressions)
+    fz = ix.fuzzy_terms("merg")
+    p = plan_of(fz)
+    assert "Exchange" not in p, "fuzzy: unexpected shuffle"
+    fz_scans = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert fz_scans and all(
+        "term" in ln and "cf" not in ln and "segs" not in ln
+        for ln in fz_scans
+    ), "fuzzy: dictionary scan reads more than (term, df)"
+    sections.append(
+        (
+            "Fuzzy dictionary probe (deletion-variant + levenshtein)",
+            p,
+            [("zero exchanges; (term, df)-only ReadSchema over the "
+              "dictionary — both asserted", "—")],
+        )
+    )
+    print("OK  fuzzy probe: no shuffle, (term, df)-only dictionary scan")
+
     # SQ8 top-k: bounds (1 row) and query vectors broadcast; the
     # corpus is projected (encode+decode JVM transforms) but NEVER
     # shuffled — no hashpartitioning of corpus rows before the

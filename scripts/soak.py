@@ -116,15 +116,24 @@ def main() -> None:
                 ix.search(node, k=K).collect()
                 best = min(best, time.time() - t0)
             r[name] = round(best, 3)
-        t0 = time.time()
-        ix.search_many(qset, k=K).collect()
-        r["q_batch4"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        ix.search_with_meta(qset["q_and"], k=K).collect()
-        r["q_meta"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        ix.match_phrase(["merge", "sort"]).limit(100).collect()
-        r["q_phrase_100"] = round(time.time() - t0, 3)
+        # best-of-2 like everything else (these were single cold
+        # shots through round 4 — first-call Janino codegen plus a
+        # tenant burst once produced a 6x outlier draw)
+        for name, fn in {
+            "q_batch4": lambda: ix.search_many(qset, k=K).collect(),
+            "q_meta": lambda: ix.search_with_meta(
+                qset["q_and"], k=K
+            ).collect(),
+            "q_phrase_100": lambda: ix.match_phrase(
+                ["merge", "sort"]
+            ).limit(100).collect(),
+        }.items():
+            best = 1e9
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            r[name] = round(best, 3)
 
         # warm driver-local path at 256 segments
         ix.local_search(qset["q_and"], k=K)

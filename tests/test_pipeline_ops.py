@@ -749,3 +749,104 @@ def test_sq8_quantization(spark):
     assert all(cs[0] == 0 for cs in crows.values())
     t = A.sq_topk(const, [0], k=3, dim=2).collect()
     assert len(t) == 3 and all(r.cos is not None for r in t)
+
+
+def test_snippets_semantics(spark, corpus):
+    """KWIC snippets: first-match position is the min over matching
+    terms, the window clamps at both document ends, and non-matching /
+    empty docs are dropped."""
+    rows = {
+        r.doc_id: r
+        for r in T.snippets(corpus, ["fox", "bank"], width=2).collect()
+    }
+    # BASE: 'the quick brown fox jumps over the lazy dog near the
+    # river bank' -> first match 'fox' at 0-based pos 3
+    assert rows[0].pos == 3
+    assert rows[0].snippet == "quick brown fox jumps over"
+    assert rows[1].snippet == rows[0].snippet  # exact dup doc
+    assert 3 not in rows and 5 not in rows  # no match / empty doc
+
+    # window clamps at the start
+    head = {
+        r.doc_id: r
+        for r in T.snippets(corpus, ["the"], width=2).collect()
+    }
+    # left-clamped windows keep the full 2w+1 length (extend right)
+    assert head[0].pos == 0
+    assert head[0].snippet == "the quick brown fox jumps"
+    # ... and at the end ('bank' is the last token)
+    tail = T.snippets(corpus, ["bank"], width=2).collect()
+    t0 = next(r for r in tail if r.doc_id == 0)
+    assert t0.snippet == "the river bank"
+
+
+def test_fuzzy_terms_semantics(spark):
+    """Deletion-variant candidates + levenshtein verify equal the
+    brute-force distance-1 definition on a vocabulary with planted
+    neighbors of every edit kind (sub/ins/del/equal), and distance-2
+    lookalikes ('ab' vs 'ba') are rejected by the verify step."""
+    from chearch_spark.operators import fuzzy as FZ
+
+    rows = [
+        (0, "merge target"),
+        (1, "merje sub"),        # substitution
+        (2, "merg deletion"),    # term is missing a char
+        (3, "mmerge insertion"), # term has an extra char
+        (4, "marge sub2"),
+        (5, "ab ba transposition lookalike"),
+        (6, "unrelated tokens entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.term, r.dist) for r in FZ.fuzzy_terms(df, "merge").collect()}
+    assert ("merge", 0) in got
+    assert ("merje", 1) in got and ("merg", 1) in got
+    assert ("mmerge", 1) in got and ("marge", 1) in got
+    assert all(t not in {"sub", "unrelated"} for t, _ in got)
+
+    # classic levenshtein: 'ab' <-> 'ba' is distance 2 (no
+    # transposition edit) even though they share deletion variants
+    got_ab = {r.term for r in FZ.fuzzy_terms(df, "ab").collect()}
+    assert "ab" in got_ab and "ba" not in got_ab
+
+    with pytest.raises(ValueError, match="max_edits=1"):
+        FZ.fuzzy_terms(df, "merge", max_edits=2)
+
+
+def test_index_fuzzy_probe_and_search(spark, tmp_path_factory):
+    """Index.fuzzy_terms over the dictionary parquet matches the
+    docs-level operator (same vocabulary invariant), and fuzzy_search
+    equals search() over the OR-fold of the expansion terms."""
+    from chearch_spark.build import build_index
+    from chearch_spark.operators import fuzzy as FZ
+    from chearch_spark.plans.query import Term
+    from chearch_spark.search import Index
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    out = str(tmp_path_factory.mktemp("fuzzy_ix"))
+    build_index(spark, docs, out, num_segments=4, resume=False)
+    ix = Index(spark, out)
+
+    a = {(r.term, r.df, r.dist) for r in ix.fuzzy_terms("merg").collect()}
+    b = {
+        (r.term, r.df, r.dist)
+        for r in FZ.fuzzy_terms(docs, "merg").collect()
+    }
+    assert a == b
+    assert any(t == "merge" for t, _d, _x in a)
+
+    fs = ix.fuzzy_search("merg", k=10).collect()
+    exp = sorted(
+        ix.fuzzy_terms("merg").collect(),
+        key=lambda r: (r.dist, -r.df, r.term),
+    )[:FZ.MAX_FUZZY_EXPANSIONS]
+    node = Term(exp[0].term)
+    for r in exp[1:]:
+        node = node | Term(r.term)
+    want = ix.search(node, k=10).collect()
+    assert [(r.doc_id, r.score) for r in fs] == [
+        (r.doc_id, r.score) for r in want
+    ]
+    # a query with no dictionary neighbors -> empty, no crash
+    assert ix.fuzzy_search("zzqqxx", k=5).count() == 0
