@@ -171,6 +171,14 @@ def main() -> None:
                 emb, [0, 1, 2, 3, 4], k=k
             ).count(),
             "p_text_quality": lambda: T.quality_scores(corpus).count(),
+            "p_snippets": lambda: T.snippets(
+                corpus, ["merge", "sort"], width=3
+            ).count(),
+            # fuzzy: dictionary expansion (driver path at this dict
+            # size) + the expanded OR search
+            "p_fuzzy_search": lambda: ix.fuzzy_search(
+                "merg", k=k
+            ).count(),
             # hybrid RRF: 3 lexical queries (one search_many scan) +
             # 3 semantic queries (one broadcast cosine pass) + fusion
             "p_hybrid_rrf": lambda: FU.hybrid_rrf(

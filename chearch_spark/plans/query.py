@@ -113,6 +113,22 @@ class Prefix(Node):
 MAX_PREFIX_EXPANSION = 4096
 
 
+@dataclass(frozen=True)
+class Fuzzy(Node):
+    """Fuzzy-term leaf (e.g. ``Fuzzy("merg")``), expanded against the
+    index dictionary into an OR of terms within edit distance 1 —
+    ranked (dist asc, df desc, term asc) and CAPPED at
+    ``operators.fuzzy.MAX_FUZZY_EXPANSIONS`` (Lucene FuzzyQuery
+    discipline: the neighborhood is ranked, so capping keeps the best
+    expansions — unlike Prefix whose unbounded ranges must raise).
+    Extension — the reference hashes exact term ids only."""
+
+    term: str
+
+    def _terms(self):
+        yield from ()  # resolved during expansion, not term lookup
+
+
 def scoring_terms(node: Node) -> list[str]:
     """Distinct terms that CONTRIBUTE to the BM25 score (excludes the
     negative side of Diff)."""
@@ -126,7 +142,7 @@ def scoring_terms(node: Node) -> list[str]:
         return seen
     if isinstance(node, Diff):
         return scoring_terms(node.a)
-    if isinstance(node, Prefix):
+    if isinstance(node, (Prefix, Fuzzy)):
         return []
     raise TypeError(node)
 
@@ -146,7 +162,7 @@ def to_postfix(node: Node) -> list[tuple]:
             walk(n.b)
             walk(n.a)
             out.append(("AND",) if isinstance(n, And) else ("OR",))
-        elif isinstance(n, (Diff, Prefix)):
+        elif isinstance(n, (Diff, Prefix, Fuzzy)):
             raise ValueError(
                 f"{type(n).__name__} is an engine extension with no "
                 "opcode in the reference's 4-op wire format"

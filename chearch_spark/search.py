@@ -44,6 +44,7 @@ from chearch_spark.plans.query import (
     MAX_PREFIX_EXPANSION,
     And,
     Diff,
+    Fuzzy,
     Node,
     Or,
     Prefix,
@@ -70,12 +71,40 @@ def _normalize(node: Node) -> Node:
         if not p or spec.tokenize(p) != [p]:
             raise ValueError(f"prefix {node.prefix!r} is not a token prefix")
         return Prefix(p)
+    if isinstance(node, Fuzzy):
+        q = node.term.lower()
+        if not q or spec.tokenize(q) != [q]:
+            raise ValueError(f"fuzzy term {node.term!r} is not a token")
+        return Fuzzy(q)
     raise TypeError(node)
 
 
 # a token that can never exist in the index ('-' is not in the token
 # alphabet) — stands in for a Prefix that matched nothing
 _IMPOSSIBLE = Term("-impossible-")
+
+# dictionaries whose part files total at most this expand Fuzzy leaves
+# driver-side (one pyarrow (term, df) read + the two-pointer check);
+# larger ones use the distributed fuzzy_terms probe
+FUZZY_DRIVER_DICT_BYTES = 8 << 20
+
+
+def _within_one_edit(a: str, b: str) -> bool:
+    """Classic Levenshtein <= 1 via the two-pointer scan (exact for
+    distance 1; no transposition edit, matching engine + oracle
+    levenshtein semantics)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is exactly one longer: skip one char of b
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
 
 # tombstone sets larger than this ship to kernels as a Spark broadcast
 # instead of a closure capture (see Index._tomb_handle).  100k int64s
@@ -270,6 +299,11 @@ class Index:
                 self._dict_coverage = None
         return self._dict_coverage
 
+    def _dict_files_all(self) -> list[str]:
+        """Every dictionary part file (bounds-sidecar order)."""
+        bounds = self._load_dict_bounds()
+        return [os.path.join(self.dict_dir, fn) for fn in sorted(bounds)]
+
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """{term: (df, cf)} dictionary probe (the reference's hash-table
         probe, `memorysegment.chpl:254-265`).
@@ -361,6 +395,49 @@ class Index:
             ),
         )
 
+    def _fuzzy_expansion_terms(
+        self, query: str, max_expansions: int | None = None
+    ) -> list[str]:
+        """Ranked, capped expansion list for a Fuzzy leaf: (dist asc,
+        df desc, term asc), cap ``MAX_FUZZY_EXPANSIONS``.
+
+        Small dictionaries (sum of part-file bytes under
+        ``FUZZY_DRIVER_DICT_BYTES``) expand DRIVER-SIDE — a pyarrow
+        (term, df) read plus the two-pointer distance-1 check, no
+        Spark job, keeping local_search latency in the ms range.
+        Bigger dictionaries use the distributed probe
+        (:meth:`fuzzy_terms`).  A parity test pins the two paths to
+        identical expansions."""
+        from chearch_spark.operators.fuzzy import MAX_FUZZY_EXPANSIONS
+
+        cap = max_expansions or MAX_FUZZY_EXPANSIONS
+        q = query.lower()
+        files = self._dict_files_all()
+        if not files:
+            return []
+        total = sum(os.path.getsize(f) for f in files)
+        if total <= FUZZY_DRIVER_DICT_BYTES:
+            import pyarrow.dataset as ds
+
+            table = ds.dataset(files, format="parquet").to_table(
+                columns=["term", "df"]
+            )
+            rows = [
+                (t, int(df), 0 if t == q else 1)
+                for t, df in zip(
+                    table.column("term").to_pylist(),
+                    table.column("df").to_pylist(),
+                )
+                if _within_one_edit(t, q)
+            ]
+        else:
+            rows = [
+                (r.term, r.df, r.dist)
+                for r in self.fuzzy_terms(q).collect()
+            ]
+        ranked = sorted(rows, key=lambda r: (r[2], -r[1], r[0]))[:cap]
+        return [t for t, _df, _d in ranked]
+
     def fuzzy_search(
         self,
         query: str,
@@ -368,24 +445,18 @@ class Index:
         max_edits: int = 1,
         max_expansions: int | None = None,
     ):
-        """BM25 top-k for a possibly-misspelled term: expand to the
-        fuzzy dictionary matches (exact match first, then nearer /
-        higher-df / lexicographically-smaller terms) capped at
-        ``max_expansions``, OR-fold, and reuse :meth:`search` — the
-        expansion list is tiny (a driver collect of <= cap rows), the
-        search itself keeps its audited plan."""
-        from chearch_spark.operators.fuzzy import MAX_FUZZY_EXPANSIONS
-
-        cap = max_expansions or MAX_FUZZY_EXPANSIONS
-        rows = self.fuzzy_terms(query, max_edits).collect()
-        ranked = sorted(
-            rows, key=lambda r: (r.dist, -r.df, r.term)
-        )[:cap]
-        if not ranked:
-            return self.search(Term(query.lower()), k=k)  # empty path
-        node: Node = Term(ranked[0].term)
-        for r in ranked[1:]:
-            node = Or(node, Term(r.term))
+        """BM25 top-k for a possibly-misspelled term — sugar for
+        ``search(Fuzzy(query), k)`` (the Fuzzy leaf composes with the
+        whole algebra; see plans/query.py).  The expansion list is
+        tiny (capped), the search itself keeps its audited plan."""
+        if max_edits != 1:
+            raise ValueError("fuzzy_search supports max_edits=1")
+        terms = self._fuzzy_expansion_terms(query, max_expansions)
+        if not terms:
+            return self.search(_IMPOSSIBLE, k=k)  # empty result shape
+        node: Node = Term(terms[0])
+        for t in terms[1:]:
+            node = Or(node, Term(t))
         return self.search(node, k=k)
 
     def _expand(self, node: Node) -> Node:
@@ -398,6 +469,14 @@ class Index:
             for t in terms[1:]:
                 out = Or(out, Term(t))
             return out
+        if isinstance(node, Fuzzy):
+            terms = self._fuzzy_expansion_terms(node.term)
+            if not terms:
+                return _IMPOSSIBLE
+            out2: Node = Term(terms[0])
+            for t in terms[1:]:
+                out2 = Or(out2, Term(t))
+            return out2
         if isinstance(node, And):
             return And(self._expand(node.a), self._expand(node.b))
         if isinstance(node, Or):

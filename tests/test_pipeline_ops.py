@@ -850,3 +850,57 @@ def test_index_fuzzy_probe_and_search(spark, tmp_path_factory):
     ]
     # a query with no dictionary neighbors -> empty, no crash
     assert ix.fuzzy_search("zzqqxx", k=5).count() == 0
+
+
+def test_fuzzy_leaf_composes_and_paths_agree(spark, tmp_path_factory):
+    """The Fuzzy query leaf expands inside the algebra (AND/OR/Diff
+    compose), the driver-side and distributed expansions are
+    identical, and local_search answers Fuzzy queries too."""
+    from chearch_spark.build import build_index
+    from chearch_spark.operators.fuzzy import MAX_FUZZY_EXPANSIONS
+    from chearch_spark.plans.query import Fuzzy, Term
+    from chearch_spark.search import Index
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    out = str(tmp_path_factory.mktemp("fuzzy_leaf_ix"))
+    build_index(spark, docs, out, num_segments=4, resume=False)
+    ix = Index(spark, out)
+
+    # driver-path expansion == distributed probe, ranked identically
+    drv = ix._fuzzy_expansion_terms("merg")
+    dist = sorted(
+        ix.fuzzy_terms("merg").collect(),
+        key=lambda r: (r.dist, -r.df, r.term),
+    )[:MAX_FUZZY_EXPANSIONS]
+    assert drv == [r.term for r in dist] and "merge" in drv
+
+    # Fuzzy(q) == OR-fold of the expansion; composes under AND
+    a = ix.search(Fuzzy("merg"), k=10).collect()
+    assert a == ix.fuzzy_search("merg", k=10).collect()
+    comp = ix.search(Fuzzy("merg") & Term("sort"), k=10).collect()
+    exp = ix.search(
+        _or_fold([Term(t) for t in drv]) & Term("sort"), k=10
+    ).collect()
+    assert comp == exp
+
+    # local path answers the same query shape
+    loc = ix.local_search(Fuzzy("merg"), k=10)
+    assert [(r[0], round(r[1], 9)) for r in loc] == [
+        (r.doc_id, round(r.score, 9)) for r in a
+    ]
+
+    # MixedCase + non-token fuzzy input
+    assert ix.search(Fuzzy("MERG"), k=5).collect() == ix.search(
+        Fuzzy("merg"), k=5
+    ).collect()
+    with pytest.raises(ValueError, match="not a token"):
+        ix.search(Fuzzy("two words"), k=5).collect()
+
+
+def _or_fold(terms):
+    node = terms[0]
+    for t in terms[1:]:
+        node = node | t
+    return node
