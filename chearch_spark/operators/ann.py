@@ -1539,30 +1539,60 @@ GROUP BY ex.query_id
 SQ_LEVELS = 255  # 8-bit code range 0..255
 
 
+# above this dimensionality the 2*dim-agg-column plan stresses Janino
+# codegen (wide projections compile quadratically); the posexplode
+# path shuffles only (dim, min, max) partials — identical exact result
+SQ_BOUNDS_JVM_MAX_DIM = 256
+
+
 def sq_bounds(
     emb: DataFrame, dim: int, vec_col: str = "embedding"
 ) -> DataFrame:
-    """Per-dimension (min, scale) over the corpus — ONE map-side-
-    combined aggregation pass (2*dim scalar aggs, no shuffle of
-    vectors), returned as a 1-row (mins, scales) DF to broadcast.
-    min/max are exact (no float summation), so both engines derive
-    bit-identical bounds from the same data."""
-    v = F.col(vec_col)
-    aggs = [
-        F.min(F.element_at(v, i + 1).cast("double")).alias(f"_mn{i}")
-        for i in range(dim)
-    ] + [
-        F.max(F.element_at(v, i + 1).cast("double")).alias(f"_mx{i}")
-        for i in range(dim)
-    ]
-    return emb.agg(*aggs).select(
-        F.array(*[F.col(f"_mn{i}") for i in range(dim)]).alias("mins"),
-        F.array(
-            *[
-                (F.col(f"_mx{i}") - F.col(f"_mn{i}"))
-                / F.lit(float(SQ_LEVELS))
-                for i in range(dim)
-            ]
+    """Per-dimension (min, scale) over the corpus, returned as a 1-row
+    (mins, scales) DF to broadcast.  min/max are exact (no float
+    summation), so both engines derive bit-identical bounds from the
+    same data regardless of computation strategy.
+
+    Two plans, same exact result: dim <= ``SQ_BOUNDS_JVM_MAX_DIM``
+    uses ONE map-side-combined pass of 2*dim scalar aggs (no shuffle);
+    real embedding dims (768-4096) would blow up whole-stage codegen
+    with thousands of agg columns, so larger dims posexplode to
+    (d, v) rows — map-side partial min/max per dimension, a
+    dim-row shuffle (KBs), and an in-plan array rebuild."""
+    if dim <= SQ_BOUNDS_JVM_MAX_DIM:
+        v = F.col(vec_col)
+        aggs = [
+            F.min(F.element_at(v, i + 1).cast("double")).alias(f"_mn{i}")
+            for i in range(dim)
+        ] + [
+            F.max(F.element_at(v, i + 1).cast("double")).alias(f"_mx{i}")
+            for i in range(dim)
+        ]
+        return emb.agg(*aggs).select(
+            F.array(*[F.col(f"_mn{i}") for i in range(dim)]).alias(
+                "mins"
+            ),
+            F.array(
+                *[
+                    (F.col(f"_mx{i}") - F.col(f"_mn{i}"))
+                    / F.lit(float(SQ_LEVELS))
+                    for i in range(dim)
+                ]
+            ).alias("scales"),
+        )
+    ex = emb.select(F.posexplode(F.col(vec_col)).alias("d", "_v"))
+    per_dim = ex.groupBy("d").agg(
+        F.min(F.col("_v").cast("double")).alias("mn"),
+        F.max(F.col("_v").cast("double")).alias("mx"),
+    )
+    packed = per_dim.select(
+        F.struct("d", "mn", "mx").alias("s")
+    ).agg(F.sort_array(F.collect_list("s")).alias("ss"))
+    return packed.select(
+        F.transform(F.col("ss"), lambda s: s["mn"]).alias("mins"),
+        F.transform(
+            F.col("ss"),
+            lambda s: (s["mx"] - s["mn"]) / F.lit(float(SQ_LEVELS)),
         ).alias("scales"),
     )
 

@@ -904,3 +904,32 @@ def _or_fold(terms):
     for t in terms[1:]:
         node = node | t
     return node
+
+
+def test_sq_bounds_large_dim_path_identical(spark):
+    """The posexplode bounds path (dim > SQ_BOUNDS_JVM_MAX_DIM) and
+    the wide-agg JVM path produce IDENTICAL (mins, scales) on the same
+    data, and sq_topk works end-to-end through the large-dim path."""
+    rng = np.random.default_rng(11)
+    dim = 300
+    rows = [
+        (i, [float(x) for x in rng.normal(size=dim).astype(np.float32)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    import chearch_spark.operators.ann as ann
+
+    big = A.sq_bounds(df, dim=dim).collect()[0]  # explode path
+    old = ann.SQ_BOUNDS_JVM_MAX_DIM
+    try:
+        ann.SQ_BOUNDS_JVM_MAX_DIM = 10_000  # force the JVM path
+        jvm = A.sq_bounds(df, dim=dim).collect()[0]
+    finally:
+        ann.SQ_BOUNDS_JVM_MAX_DIM = old
+    assert list(big.mins) == list(jvm.mins)
+    assert list(big.scales) == list(jvm.scales)
+
+    got = A.sq_topk(df, [0, 1], k=5, dim=dim).collect()
+    assert len(got) == 10 and all(r.cos is not None for r in got)
