@@ -178,6 +178,21 @@ QUALIFY rank <= {k}
 """
 
 
+def _facet_sql(terms: list[str], require: str, cols: list[str]) -> str:
+    """DuckDB mirror of Index.facet_counts over the same doc set."""
+    ds = _docset_sql(terms, require)
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS facet, CAST(d.{c} AS VARCHAR) AS value,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN ds ON ds.doc_id = d.doc_id
+GROUP BY d.{c}"""
+        for c in cols
+    )
+    return f"""WITH ds AS (SELECT doc_id FROM ({ds}))
+{branches}
+"""
+
+
 def _docset_sql(
     terms: list[str], require: str, src: str = "documents"
 ) -> str:
@@ -853,6 +868,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     in pytest instead of the driver snapshot.
     """
     from chearch_spark.functions import text as _T
+    from chearch_spark.plans.query import Term
     from chearch_spark.operators import ann as A
     from chearch_spark.operators import dedup as D
     from chearch_spark.operators import fuzzy as _FZ
@@ -882,6 +898,11 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         ),
         "window_dup_fraction": lambda s, sf: D.window_dup_fraction(
             _docs(s, sf), n=5
+        ),
+        # Faceted search (r5): per-facet value counts over a query's
+        # doc set — one semi-join + one melted groupBy.
+        "facet_counts": lambda s, sf: _get_index(s, sf).facet_counts(
+            Term("merge") | Term("dup"), _docs(s, sf), ["lang", "source"]
         ),
         # Fuzzy term matching (r5): SymSpell deletion-variant
         # candidates + native levenshtein verify, distance <= 1.
@@ -926,6 +947,10 @@ def pytest_only_oracle_sql() -> dict[str, str]:
         ),
         "window_dup_groups": D.window_dup_groups_sql(n=5),
         "window_dup_fraction": D.window_dup_fraction_sql(n=5),
+        "facet_counts": _facet_sql(
+            ["merge", "dup"], "has_merge = 1 OR has_dup = 1",
+            ["lang", "source"],
+        ),
         "fuzzy_terms": _FZ.fuzzy_terms_sql("merg"),
         "snippets": _T.snippets_sql(["merge", "sort"], width=3),
         "sq_topk": A.sq_topk_sql(_ANN_QUERY_IDS, k=10),

@@ -1221,6 +1221,50 @@ class Index:
         return [(int(d), float(s)) for d, s in zip(ids, scores)]
 
     # -- boolean retrieval (doc sets, no scores) -------------------------
+    def facet_counts(
+        self,
+        query: Node | str,
+        meta: "DataFrame",
+        cols: list[str],
+        id_col: str = "doc_id",
+    ):
+        """Faceted search (the Elasticsearch-aggregations surface over
+        the reference's bare doc-id results): per-facet value counts
+        of the documents matching ``query`` — (facet, value, n_docs).
+
+        Plan shape: the matching doc-id set (:meth:`match_docs`, the
+        term-pruned scan) semi-joins the metadata relation once, every
+        requested facet column is melted into (facet, value) rows by
+        ONE in-plan explode, and a single map-side-combined groupBy
+        counts them — one join + one aggregation regardless of how
+        many facets are requested (per-facet groupBys would re-join
+        per facet).  Facet cardinality bounds the shuffle, not corpus
+        size.  NULL facet values count under value NULL, like SQL
+        GROUP BY."""
+        from pyspark.sql import functions as F
+
+        ids = self.match_docs(query).select(
+            F.col("doc_id").alias("__fid")
+        )
+        joined = meta.join(
+            ids, meta[id_col] == F.col("__fid"), "left_semi"
+        )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("facet"),
+                    F.col(c).cast("string").alias("value"),
+                )
+                for c in cols
+            ]
+        )
+        return (
+            joined.select(F.explode(pairs).alias("fv"))
+            .select("fv.facet", "fv.value")
+            .groupBy("facet", "value")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+        )
+
     def match_docs(self, query: Node | str, partition_limit: int | None = None):
         """All matching external doc ids (AND=intersection, OR=union).
 

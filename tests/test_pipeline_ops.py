@@ -933,3 +933,40 @@ def test_sq_bounds_large_dim_path_identical(spark):
 
     got = A.sq_topk(df, [0, 1], k=5, dim=dim).collect()
     assert len(got) == 10 and all(r.cos is not None for r in got)
+
+
+def test_facet_counts_semantics(spark, tmp_path_factory):
+    """Facet counts over a query's doc set: per-value totals,
+    multi-facet melt in one pass, NULL facet values counted like SQL
+    GROUP BY."""
+    from chearch_spark.build import build_index
+    from chearch_spark.plans.query import Term
+    from chearch_spark.search import Index
+
+    rows = [
+        (0, "alpha beta", "en", "web"),
+        (1, "alpha gamma", "en", None),
+        (2, "alpha", "de", "web"),
+        (3, "delta only", "fr", "books"),
+    ]
+    meta = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = str(tmp_path_factory.mktemp("facet_ix"))
+    build_index(
+        spark, meta.select("doc_id", "text"), out,
+        num_segments=2, resume=False,
+    )
+    ix = Index(spark, out)
+    got = {
+        (r.facet, r.value): r.n_docs
+        for r in ix.facet_counts(
+            Term("alpha"), meta, ["lang", "source"]
+        ).collect()
+    }
+    assert got == {
+        ("lang", "en"): 2,
+        ("lang", "de"): 1,
+        ("source", "web"): 2,
+        ("source", None): 1,
+    }
