@@ -273,6 +273,26 @@ def main() -> None:
     print("OK  IVF query over the persisted index: partition-pruned, "
           f"kernel-free, vector fetch {n_files}/{n_sidecar_files} files")
 
+    # Faceted search: the melted (facet, value) groupBy must carry a
+    # map-side partial aggregation (partial_count below the exchange)
+    # so the shuffle is facet-cardinality-bounded, not docset-sized
+    docs_meta = spark.read.parquet(f"{SF}/documents.parquet")
+    fc = ix.facet_counts(
+        Term("merge") | Term("dup"), docs_meta, ["lang", "source"]
+    )
+    p = plan_of(fc)
+    assert "partial_count" in p, "facets: no map-side partial agg"
+    sections.append(
+        (
+            "Faceted search (facet_counts)",
+            p,
+            [("one semi-join + one melted groupBy for ALL facets; "
+              "map-side partial_count asserted (shuffle bounded by "
+              "facet cardinality)", "—")],
+        )
+    )
+    print("OK  faceted search: melted groupBy with map-side partial agg")
+
     # Fuzzy dictionary probe: a pure filter+project over the
     # dictionary parquet — vocabulary-sized, ReadSchema carries only
     # (term, df), and there is NO exchange anywhere in the plan (the
