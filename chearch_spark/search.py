@@ -486,9 +486,15 @@ class Index:
         return node
 
     def _prep(self, query: Node | str) -> Node:
-        return self._expand(
-            _normalize(Term(query) if isinstance(query, str) else query)
-        )
+        if isinstance(query, str):
+            # full query-string grammar (plans/parser.py): whitespace =
+            # AND, OR/NOT keywords, parens, -negation, tok* prefix,
+            # tok~ fuzzy.  A single bare token parses to Term(token),
+            # so the historical string behavior is unchanged.
+            from chearch_spark.plans.parser import parse_query
+
+            query = parse_query(query)
+        return self._expand(_normalize(query))
 
     def dictionary(self):
         """Full dictionary DataFrame (term, df, cf)."""

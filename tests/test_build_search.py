@@ -743,3 +743,36 @@ def test_byte_lru_skips_oversized_entries():
     c.put("small", "v3", 500)
     assert c.get("small") is None
     assert c.total == 0
+
+
+def test_string_queries_use_full_grammar(index):
+    """Strings passed to search()/match_docs() now parse through the
+    full grammar (plans/parser.py): single tokens behave as before,
+    and operators/markers reach the same plans as the programmatic
+    API."""
+    from chearch_spark.plans.query import Term
+
+    # historical behavior unchanged: bare token == Term
+    assert _collect(index.search("merge", k=10)) == _collect(
+        index.search(Term("merge"), k=10)
+    )
+    # whitespace = AND; OR keyword; negation; fuzzy marker
+    assert _collect(index.search("merge sort", k=10)) == _collect(
+        index.search(Term("merge") & Term("sort"), k=10)
+    )
+    assert _collect(index.search("merge OR dup", k=10)) == _collect(
+        index.search(Term("merge") | Term("dup"), k=10)
+    )
+    assert _collect(index.search("merge -sort", k=10)) == _collect(
+        index.search(Term("merge") - Term("sort"), k=10)
+    )
+    assert _collect(index.search("merg~", k=10)) == _collect(
+        index.fuzzy_search("merg", k=10)
+    )
+    # match_docs accepts the same strings
+    a = {r.doc_id for r in index.match_docs("merge -sort").collect()}
+    b = {
+        r.doc_id
+        for r in index.match_docs(Term("merge") - Term("sort")).collect()
+    }
+    assert a == b

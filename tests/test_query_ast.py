@@ -52,3 +52,42 @@ def test_nary_folding():
 def test_halt_stops():
     node = from_postfix([("PUSH", "a"), ("HALT",)])
     assert node == Term("a")
+
+
+# --- query-string parser --------------------------------------------------
+
+
+def test_parse_query_grammar():
+    from chearch_spark.plans.parser import QueryParseError, parse_query
+    from chearch_spark.plans.query import (
+        And, Diff, Fuzzy, Or, Prefix, Term,
+    )
+    import pytest
+
+    assert parse_query("merge") == Term("merge")
+    # whitespace = AND; builder sugar order (a & b -> And(b, a))
+    assert parse_query("merge sort") == (Term("merge") & Term("sort"))
+    assert parse_query("merge AND sort") == (Term("merge") & Term("sort"))
+    # OR binds looser than adjacency
+    assert parse_query("a b OR c") == ((Term("a") & Term("b")) | Term("c"))
+    # parens override
+    assert parse_query("a (b OR c)") == (
+        Term("a") & (Term("b") | Term("c"))
+    )
+    # negation groups: a -b -c == a AND NOT (b OR c)
+    assert parse_query("a -b -c") == Diff(
+        Term("a"), Term("b") | Term("c")
+    )
+    assert parse_query("a NOT b") == Diff(Term("a"), Term("b"))
+    # leaf markers
+    assert parse_query("mer*") == Prefix("mer")
+    assert parse_query("merg~") == Fuzzy("merg")
+    assert parse_query("a merg~ OR mer*") == (
+        (Term("a") & Fuzzy("merg")) | Prefix("mer")
+    )
+    # keywords are case-insensitive
+    assert parse_query("a or b") == (Term("a") | Term("b"))
+
+    for bad in ["", "   ", "-a", "a AND", "(a", "a)", "a - ", "NOT a"]:
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
