@@ -96,6 +96,47 @@ LIMIT 10
 """
 
 
+def _bm25_positional_sql(t0: str, t1: str, cond: str) -> str:
+    """Top-10 BM25 over docs matching a POSITIONAL predicate (phrase
+    adjacency / NEAR window over the 255-capped stored positions) —
+    the doc set the engine's Phrase/Near algebra leaves produce,
+    scored exactly like :func:`_bm25_sql` over both member terms
+    (both are present in every positional match by construction)."""
+    return _BASE_CTE + f"""
+, ptok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '{_SPLIT}'), x -> x <> '')) AS term,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text),
+                '{_SPLIT}'), x -> x <> ''), 1) - 1 AS pos
+  FROM documents
+), pt AS (
+  SELECT doc_id, term, pos FROM ptok WHERE pos <= 255
+), pdocs AS (
+  SELECT DISTINCT p0.doc_id
+  FROM pt p0
+  JOIN pt p1 ON p1.doc_id = p0.doc_id AND {cond}
+  WHERE p0.term = '{t0}' AND p1.term = '{t1}'
+), matched AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * ({_K1} + 1)
+              / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN dfs d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ({_sql_terms(sorted({t0, t1}))})
+    AND tf.doc_id IN (SELECT doc_id FROM pdocs)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(matched.score, 6) AS score
+FROM matched
+ORDER BY matched.score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def _bm25_ranked_sql(
     name: str, terms: list[str], require: str, topn: int
 ) -> str:
@@ -928,6 +969,23 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # kept to <=2 terms so the raw-score rank order is bit-stable
         # across engines (see _bm25_ranked_sql).
         "hybrid_rrf": _hybrid_rrf_query,
+        # Query-STRING positional syntax (r6, VERDICT r5 #1): quoted
+        # phrases and infix NEAR parse to Phrase/Near algebra leaves
+        # routed through the positions kernel — the string form must
+        # produce the dedicated matchers' doc sets, and scored
+        # retrieval must BM25-score the position-filtered set.
+        "phrase_query_string": lambda s, sf: _match(
+            s, sf, '"merge sort"'
+        ),
+        "near_query_string": lambda s, sf: _match(
+            s, sf, "merge NEAR/3 sort"
+        ),
+        "bm25_topk_phrase": lambda s, sf: _search(
+            s, sf, '"merge sort"'
+        ),
+        "bm25_topk_near": lambda s, sf: _search(
+            s, sf, "merge NEAR/3 sort"
+        ),
     }
 
 
@@ -958,5 +1016,17 @@ def pytest_only_oracle_sql() -> dict[str, str]:
         "hybrid_rrf": _rrf_sql(
             [(n, t, r) for n, t, r, _v in _HYBRID_SPECS],
             [(v, n) for n, _t, _r, v in _HYBRID_SPECS],
+        ),
+        # string-form positional queries: doc sets reuse the
+        # phrase_match / near_match oracles verbatim (same semantics,
+        # different front end); scored forms add BM25 over the
+        # position-filtered doc set
+        "phrase_query_string": oracle_sql()["phrase_match"],
+        "near_query_string": oracle_sql()["near_match"],
+        "bm25_topk_phrase": _bm25_positional_sql(
+            "merge", "sort", "p1.pos = p0.pos + 1"
+        ),
+        "bm25_topk_near": _bm25_positional_sql(
+            "merge", "sort", "abs(p1.pos - p0.pos) <= 3"
         ),
     }

@@ -5,19 +5,30 @@ Grammar (Lucene-flavored, covers every leaf the engine has):
     query    :=  or_expr
     or_expr  :=  and_expr ( OR and_expr )*
     and_expr :=  clause+                      # whitespace = AND
-    clause   :=  '-' atom | NOT atom | atom   # negation -> Diff
-    atom     :=  '(' query ')' | word
+    clause   :=  '-' prox | NOT prox | prox   # negation -> Diff
+    prox     :=  atom ( NEAR[/k] atom )?      # proximity -> Near
+    atom     :=  '(' query ')' | phrase | word
+    phrase   :=  '"' token+ '"' -> Phrase(tokens)
     word     :=  token '*'  -> Prefix(token)
               |  token '~'  -> Fuzzy(token)
               |  token      -> Term(token)
 
-``AND`` / ``OR`` / ``NOT`` keywords are case-insensitive; adjacency
-binds tighter than OR (standard search-engine precedence: ``a b OR c``
-parses as ``(a AND b) OR c``).  Negative clauses subtract from the
-positive conjunction of their group (``a -b -c`` = ``a AND NOT (b OR
-c)``, the engine's Diff); a group with ONLY negative clauses raises —
-"everything except b" has no doc-set anchor, matching the engine's
-lack of a full-corpus NOT (SURVEY §2.5).
+``AND`` / ``OR`` / ``NOT`` / ``NEAR`` keywords are case-insensitive;
+adjacency binds tighter than OR (standard search-engine precedence:
+``a b OR c`` parses as ``(a AND b) OR c``).  ``a NEAR/3 b`` matches
+docs where the terms occur within 3 stored positions of each other
+(bare ``NEAR`` = window 5, :data:`DEFAULT_NEAR_WINDOW`); both
+operands must be plain terms, and ``NEAR`` is an operator only in
+infix position — at clause start it is an ordinary search term.
+``"exact phrase"`` builds a :class:`Phrase` leaf routed to the
+positions kernel (`search.py` ``match_phrase``).  Negative clauses
+subtract from the positive conjunction of their group (``a -b -c`` =
+``a AND NOT (b OR c)``, the engine's Diff); a group with ONLY
+negative clauses raises — "everything except b" has no doc-set
+anchor, matching the engine's lack of a full-corpus NOT (SURVEY
+§2.5).  ``-`` is negation only at clause start: intra-word hyphens
+(``covid-19``) stay part of the token, which downstream
+normalization tokenizes into the adjacent-token conjunction.
 
 The parser produces exactly the same Nodes the programmatic API
 builds, so every downstream path (normalization, Prefix/Fuzzy
@@ -31,12 +42,43 @@ from __future__ import annotations
 
 import re
 
-from chearch_spark.plans.query import Diff, Fuzzy, Node, Or, Prefix, Term
+from chearch_spark.plans.query import (
+    Diff,
+    Fuzzy,
+    Near,
+    Node,
+    Or,
+    Phrase,
+    Prefix,
+    Term,
+)
 
-# token / operator lexer: parens, the postfix markers * and ~, '-'
-# negation, and bare tokens (the tokenizer's alphabet plus '.' etc. is
-# validated later by _normalize, so the lexer accepts any word chars)
-_LEX = re.compile(r"\(|\)|-|[^\s()\-]+")
+# token / operator lexer: quoted phrases, parens, and bare word tokens
+# (the tokenizer's alphabet plus '.', intra-word '-', etc. is
+# validated later by _normalize).  Leading '-'s are split off word
+# tokens in a post-pass (negation is positional: only at clause
+# start), so 'covid-19' stays one token while '-covid' lexes as
+# ('-', 'covid').
+_LEX = re.compile(r'"[^"]*"|\(|\)|[^\s()"]+')
+
+_NEAR_RE = re.compile(r"NEAR(?:/(\d+))?", re.IGNORECASE)
+
+DEFAULT_NEAR_WINDOW = 5
+
+
+def _lex(text: str) -> list[str]:
+    if text.count('"') % 2:
+        raise QueryParseError("unbalanced '\"' (unterminated phrase)")
+    toks: list[str] = []
+    for t in _LEX.findall(text):
+        if t.startswith('"'):
+            toks.append(t)
+            continue
+        while t.startswith("-") and len(t) > 1:
+            toks.append("-")
+            t = t[1:]
+        toks.append(t)
+    return toks
 
 
 class QueryParseError(ValueError):
@@ -59,7 +101,7 @@ def _or_fold(parts: list[Node]) -> Node:
 
 class _Parser:
     def __init__(self, text: str):
-        self.toks = _LEX.findall(text)
+        self.toks = _lex(text)
         self.i = 0
 
     def peek(self) -> str | None:
@@ -107,9 +149,9 @@ class _Parser:
                     "NOT",
                 ):
                     raise QueryParseError("dangling negation")
-                neg.append(self.atom())
+                neg.append(self.prox())
                 continue
-            pos.append(self.atom())
+            pos.append(self.prox())
         if not pos:
             if neg:
                 raise QueryParseError(
@@ -122,8 +164,44 @@ class _Parser:
             node = Diff(node, _or_fold(neg))
         return node
 
+    def prox(self) -> Node:
+        """atom, optionally followed by an infix ``NEAR[/k] atom``.
+        NEAR is an operator only BETWEEN two operands — at clause
+        start or clause end the token is an ordinary term, so a user
+        can still search for the word 'near'."""
+        node = self.atom()
+        t = self.peek()
+        if t is None or t.startswith('"') or t in ("(", ")", "-"):
+            return node
+        m = _NEAR_RE.fullmatch(t)
+        if m is None:
+            return node
+        nxt = (
+            self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        )
+        if nxt is None or nxt in (")", "-") or (
+            not nxt.startswith('"')
+            and nxt != "("
+            and nxt.upper() in ("AND", "OR", "NOT")
+        ):
+            return node  # trailing 'near' = a term, not an operator
+        self.take()
+        right = self.atom()
+        if not isinstance(node, Term) or not isinstance(right, Term):
+            raise QueryParseError(
+                "NEAR operands must be plain terms (no phrases, "
+                "prefixes, fuzzies, or groups)"
+            )
+        window = int(m.group(1)) if m.group(1) else DEFAULT_NEAR_WINDOW
+        return Near(node.term, right.term, window)
+
     def atom(self) -> Node:
         t = self.take()
+        if t.startswith('"'):
+            words = tuple(t[1:-1].split())
+            if not words:
+                raise QueryParseError("empty phrase")
+            return Phrase(words)
         if t == "(":
             node = self.or_expr()
             if self.peek() != ")":

@@ -96,6 +96,44 @@ class Diff(Node):
 
 
 @dataclass(frozen=True)
+class Phrase(Node):
+    """Exact-consecutive-phrase leaf (e.g. ``Phrase(("merge",
+    "sort"))``): matches docs where the words occur at consecutive
+    stored positions (the reference's 8-bit ``textLocation`` cap,
+    `documentid.chpl:22` — positions > 255 are unrecorded, so phrases
+    starting past 255 are unmatchable; the same data-model cap
+    :meth:`Index.match_phrase` pins).  Composes with the whole algebra
+    (docset = phrase-start docs); BM25 scoring sums the member terms'
+    contributions (an AND whose doc set is position-filtered).
+    Extension — the reference stores no positions in its query
+    algebra."""
+
+    words: tuple[str, ...]
+
+    def __post_init__(self):
+        object.__setattr__(self, "words", tuple(self.words))
+
+    def _terms(self):
+        yield from self.words
+
+
+@dataclass(frozen=True)
+class Near(Node):
+    """Unordered proximity leaf: docs where ``a`` and ``b`` occur
+    within ``window`` stored positions of each other (the NEAR
+    operator; same ≤255 position cap as :class:`Phrase`).  Scoring
+    sums both terms' BM25 contributions."""
+
+    a: str
+    b: str
+    window: int = 5
+
+    def _terms(self):
+        yield self.a
+        yield self.b
+
+
+@dataclass(frozen=True)
 class Prefix(Node):
     """Term-prefix leaf (e.g. ``Prefix("merg")``), expanded against the
     index dictionary into an OR of matching terms at query time.
@@ -142,6 +180,8 @@ def scoring_terms(node: Node) -> list[str]:
         return seen
     if isinstance(node, Diff):
         return scoring_terms(node.a)
+    if isinstance(node, (Phrase, Near)):
+        return node.terms()
     if isinstance(node, (Prefix, Fuzzy)):
         return []
     raise TypeError(node)
@@ -162,7 +202,7 @@ def to_postfix(node: Node) -> list[tuple]:
             walk(n.b)
             walk(n.a)
             out.append(("AND",) if isinstance(n, And) else ("OR",))
-        elif isinstance(n, (Diff, Prefix, Fuzzy)):
+        elif isinstance(n, (Diff, Prefix, Fuzzy, Phrase, Near)):
             raise ValueError(
                 f"{type(n).__name__} is an engine extension with no "
                 "opcode in the reference's 4-op wire format"
@@ -193,6 +233,46 @@ def from_postfix(program: list[tuple]) -> Node:
     if len(stack) != 1:
         raise ValueError(f"malformed program, stack depth {len(stack)}")
     return stack[0]
+
+
+def has_positional(node: Node) -> bool:
+    """True when the tree contains a Phrase/Near leaf — evaluating it
+    needs the stored positions columns in the segment scan."""
+    if isinstance(node, (Phrase, Near)):
+        return True
+    if isinstance(node, (And, Or, Diff)):
+        return has_positional(node.a) or has_positional(node.b)
+    return False
+
+
+def positional_terms(node: Node) -> set[str]:
+    """Terms whose OCCURRENCE KEYS (positions) a positional kernel
+    must decode — only Phrase/Near member terms, so a mixed tree
+    (``And(Phrase(...), Term("hot"))``) never pays the position
+    decode for its plain-term side."""
+    if isinstance(node, Phrase):
+        return set(node.words)
+    if isinstance(node, Near):
+        return {node.a, node.b}
+    if isinstance(node, (And, Or, Diff)):
+        return positional_terms(node.a) | positional_terms(node.b)
+    return set()
+
+
+def all_terms_required(node: Node) -> bool:
+    """True when EVERY term the tree yields must appear in a matching
+    segment — pure conjunctions whose leaves are Term, Phrase, or
+    Near (a phrase doc contains every member word; a NEAR doc both
+    operands).  Lets segment pruning (directory/blooms) INTERSECT the
+    per-term candidate sets instead of unioning them; strictly
+    generalizes ``conjunctive_terms(node) is not None`` (which must
+    stay Term-only: the WAND fast path it guards scores plain AND
+    semantics and would drop the position filter)."""
+    if isinstance(node, (Term, Phrase, Near)):
+        return True
+    if isinstance(node, And):
+        return all_terms_required(node.a) and all_terms_required(node.b)
+    return False
 
 
 def conjunctive_terms(node: Node) -> list[str] | None:

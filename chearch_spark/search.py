@@ -45,21 +45,66 @@ from chearch_spark.plans.query import (
     And,
     Diff,
     Fuzzy,
+    Near,
     Node,
     Or,
+    Phrase,
     Prefix,
     Term,
+    all_terms_required,
     conjunctive_terms,
     disjunctive_terms,
+    has_positional,
+    positional_terms,
     scoring_terms,
 )
 
 
 def _normalize(node: Node) -> Node:
     """Normalize every query term through the tokenizer so raw user
-    strings ('MERGE') match the lowercased index."""
+    strings ('MERGE') match the lowercased index.
+
+    A Term whose string tokenizes to MULTIPLE tokens ('covid-19',
+    'foo.bar') folds into their conjunction — the index tokenizer
+    split that text the same way at build time, so the AND is the
+    query that finds those documents (a raised error would make every
+    hyphenated user string a dead end).  A Phrase re-tokenizes its
+    joined words (so 'covid-19' inside quotes becomes the adjacent
+    token pair) and degrades to a plain Term when one token remains.
+    """
     if isinstance(node, Term):
-        return Term(spec.normalize_term(node.term))
+        toks = spec.tokenize(node.term)
+        if not toks:
+            raise ValueError(
+                f"query term {node.term!r} contains no indexable token"
+            )
+        out: Node = Term(toks[0])
+        for t in toks[1:]:
+            out = And(Term(t), out)  # postfix parity: a=later term
+        return out
+    if isinstance(node, Phrase):
+        toks = spec.tokenize(" ".join(node.words))
+        if not toks:
+            raise ValueError(
+                f"phrase {node.words!r} contains no indexable token"
+            )
+        if len(toks) == 1:
+            return Term(toks[0])
+        return Phrase(tuple(toks))
+    if isinstance(node, Near):
+        w = int(node.window)
+        if not (1 <= w <= spec.MAX_POSITION):
+            raise ValueError(
+                f"NEAR window must be in [1, {spec.MAX_POSITION}]"
+            )
+        ta = spec.normalize_term(node.a)
+        tb = spec.normalize_term(node.b)
+        if ta == tb:
+            raise ValueError(
+                "NEAR of a term with itself is ambiguous (every "
+                "occurrence is within 0 of itself); use a plain term"
+            )
+        return Near(ta, tb, w)
     if isinstance(node, And):
         return And(_normalize(node.a), _normalize(node.b))
     if isinstance(node, Or):
@@ -657,7 +702,7 @@ class Index:
         live = sorted(all_segs) if dead else None
         if not terms:
             return live
-        require_all = conjunctive_terms(node) is not None
+        require_all = all_terms_required(node)
 
         live_set = set(all_segs)
         covered = self._load_dict_coverage()
@@ -825,9 +870,14 @@ class Index:
         }
         n_docs, avgdl = self.n_docs, self.avgdl
         tomb_h = self._tomb_handle()
+        cols = ["seg_id", "term", "df", "doc_ids", "tfs", "blocks"]
+        if has_positional(node):
+            # Phrase/Near leaves need the stored positions; plain
+            # queries keep the narrower ReadSchema
+            cols += ["pos_counts", "positions"]
         scan = self._segment_scan(
             terms,
-            ["seg_id", "term", "df", "doc_ids", "tfs", "blocks"],
+            cols,
             segs=self.candidate_segments(node),
         )
 
@@ -1023,22 +1073,32 @@ class Index:
         else:
             segs = None
         tomb_h = self._tomb_handle()
-        scan = self._segment_scan(
-            union_terms,
-            ["seg_id", "term", "doc_ids", "tfs", "blocks"],
-            segs=segs,
-        )
+        pos_terms = set().union(
+            *(positional_terms(n) for n in nodes.values())
+        ) if nodes else set()
+        cols = ["seg_id", "term", "doc_ids", "tfs", "blocks"]
+        if pos_terms:
+            cols += ["pos_counts", "positions"]
+        scan = self._segment_scan(union_terms, cols, segs=segs)
 
         def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             postings, meta_ids, doc_lens, blocks = _decode_segment(pdf)
+            tomb = _resolve_tomb(tomb_h)
+            occ = None
+            if pos_terms:
+                # one decode shared by every positional query in the
+                # batch (occurrence keys are per-(term, segment))
+                occ = _drop_occ_tombstoned(
+                    _decode_occurrences(pdf, pos_terms), meta_ids, tomb
+                )
             postings, blocks = _drop_tombstoned(
-                postings, blocks, meta_ids, _resolve_tomb(tomb_h)
+                postings, blocks, meta_ids, tomb
             )
             out = {"query": [], "doc_id": [], "score": []}
             for name, node in nodes.items():
                 ids, scores, _ = _score_decoded(
                     node, postings, meta_ids, doc_lens, blocks, idfs,
-                    avgdl, k,
+                    avgdl, k, occ,
                 )
                 out["query"].extend([name] * len(ids))
                 out["doc_id"].extend(ids.tolist())
@@ -1168,6 +1228,51 @@ class Index:
             out[t] = fresh[t]
         return out
 
+    def _load_occurrences(
+        self, terms: set[str]
+    ) -> dict[str, dict[int, np.ndarray]]:
+        """{term: {seg_id: occurrence keys}} for driver-path Phrase /
+        Near evaluation — decoded lazily per term from one pruned
+        parquet read of the positions columns and held in the same
+        byte-bounded LRU as postings (key ``("o", term)``; a later
+        eviction never invalidates the returned snapshot)."""
+        out: dict[str, dict] = {}
+        missing = []
+        for t in set(terms):
+            hit = self._local_cache.get(("o", t))
+            if hit is not None:
+                out[t] = hit
+            else:
+                missing.append(t)
+        if not missing:
+            return out
+        import pyarrow.dataset as ds
+
+        table = ds.dataset(self.seg_dir, format="parquet").to_table(
+            filter=ds.field("term").isin(missing),
+            columns=["seg_id", "term", "doc_ids", "pos_counts", "positions"],
+        )
+        fresh: dict[str, dict] = {t: {} for t in missing}
+        sizes: dict[str, int] = {t: 0 for t in missing}
+        for seg_id, term, doc_ids, pc, pos in zip(
+            table.column("seg_id").to_pylist(),
+            table.column("term").to_pylist(),
+            table.column("doc_ids").to_pylist(),
+            table.column("pos_counts").to_pylist(),
+            table.column("positions").to_pylist(),
+        ):
+            keys = _decode_occurrence_keys(
+                codec.decode_postings(doc_ids).astype(np.int64),
+                codec.decode_varints(pc).astype(np.int64),
+                codec.decode_varints(pos).astype(np.int64),
+            )
+            fresh[term][int(seg_id)] = keys
+            sizes[term] += keys.nbytes
+        for t in missing:
+            self._local_cache.put(("o", t), fresh[t], sizes[t])
+            out[t] = fresh[t]
+        return out
+
     def local_search(
         self, query: Node | str, k: int = spec.DEFAULT_K
     ) -> list[tuple[int, float]]:
@@ -1197,6 +1302,10 @@ class Index:
         cand = self.candidate_segments(node, allow_spark=False)
         meta = self._load_meta(cand)  # None = all live
         postings_by_term = self._load_postings(terms)
+        pos_terms = positional_terms(node)
+        occ_by_term = (
+            self._load_occurrences(pos_terms) if pos_terms else None
+        )
         all_ids, all_scores = [], []
         for seg_id in meta:
             postings = {}
@@ -1210,12 +1319,23 @@ class Index:
             if not postings:
                 continue
             ext_ids, doc_lens = meta[seg_id]
+            occ = None
+            if occ_by_term is not None:
+                occ = _drop_occ_tombstoned(
+                    {
+                        t: m[seg_id]
+                        for t, m in occ_by_term.items()
+                        if seg_id in m
+                    },
+                    ext_ids,
+                    tomb,
+                )
             postings, blocks = _drop_tombstoned(
                 postings, blocks, ext_ids, tomb
             )
             ids, scores, _ = _score_decoded(
                 node, postings, ext_ids, doc_lens, blocks, idfs,
-                self.avgdl, k,
+                self.avgdl, k, occ,
             )
             all_ids.append(ids)
             all_scores.append(scores)
@@ -1285,18 +1405,24 @@ class Index:
         node = self._prep(query)
         terms = node.terms()
         tomb_h = self._tomb_handle()
+        cols = ["seg_id", "term", "doc_ids"]
+        pos_terms = positional_terms(node)
+        if pos_terms:
+            cols += ["pos_counts", "positions"]
         scan = self._segment_scan(
-            terms,
-            ["seg_id", "term", "doc_ids"],
-            segs=self.candidate_segments(node),
+            terms, cols, segs=self.candidate_segments(node)
         )
 
         def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             postings, meta_ids, _, _ = _decode_segment(pdf)
-            postings, _b = _drop_tombstoned(
-                postings, {}, meta_ids, _resolve_tomb(tomb_h)
-            )
-            cand = _eval_docset(node, postings)
+            tomb = _resolve_tomb(tomb_h)
+            occ = None
+            if pos_terms:
+                occ = _drop_occ_tombstoned(
+                    _decode_occurrences(pdf, pos_terms), meta_ids, tomb
+                )
+            postings, _b = _drop_tombstoned(postings, {}, meta_ids, tomb)
+            cand = _eval_docset(node, postings, occ)
             if partition_limit is not None:
                 cand = cand[:partition_limit]  # sorted by doc_index asc
             return pd.DataFrame({"doc_id": meta_ids[cand].astype(np.int64)})
@@ -1579,6 +1705,12 @@ class Index:
             _UnionOperand,
         )
 
+        if has_positional(node):
+            raise ValueError(
+                "parity mode replays the reference's 4-op operand "
+                "protocol; Phrase/NEAR are engine extensions — use "
+                "search/match_docs/match_phrase/match_near"
+            )
         out: list[tuple[str, int, int]] = []
         tomb = self._tombstones()
         for _, seg in scan.groupby("seg_id", sort=True):
@@ -1670,6 +1802,89 @@ def _decode_segment(pdf: pd.DataFrame):
     return postings, meta_ids, doc_lens, blocks
 
 
+def _decode_occurrence_keys(docs, counts, deltas) -> np.ndarray:
+    """(docs, per-doc position counts, delta-coded positions) ->
+    ascending occurrence keys ``doc_index * 1024 + abs_position``.
+    Positions are capped at 255 at build time (8-bit textLocation,
+    `documentid.chpl:22`), so a key's position field can never reach a
+    neighboring doc's block — the invariant every positional kernel
+    (phrase slot-shift, NEAR window probe) relies on."""
+    if len(deltas) == 0:
+        return np.empty(0, np.int64)
+    g = np.repeat(np.arange(len(counts)), counts)
+    cs = np.cumsum(deltas)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    kept = counts > 0
+    base = np.zeros(len(counts), dtype=np.int64)
+    base[kept] = cs[starts[kept]] - deltas[starts[kept]]
+    return np.repeat(docs, counts) * 1024 + (cs - base[g])
+
+
+def _decode_occurrences(
+    pdf: pd.DataFrame, wanted: set[str] | None = None
+) -> dict[str, np.ndarray]:
+    """Per term, the segment's occurrence keys (``doc_index * 1024 +
+    pos``, ascending) from the ``pos_counts`` / ``positions`` columns.
+    ``wanted`` restricts the decode to the Phrase/Near member terms —
+    a mixed tree's plain-term rows skip the position varint decode."""
+    occ: dict[str, np.ndarray] = {}
+    rows = pdf[pdf["term"] != META_TERM]
+    if wanted is not None:
+        rows = rows[rows["term"].isin(wanted)]
+    for _, row in rows.iterrows():
+        docs = codec.decode_postings(row["doc_ids"]).astype(np.int64)
+        counts = codec.decode_varints(row["pos_counts"]).astype(np.int64)
+        deltas = codec.decode_varints(row["positions"]).astype(np.int64)
+        occ[row["term"]] = _decode_occurrence_keys(docs, counts, deltas)
+    return occ
+
+
+def _drop_occ_tombstoned(occ: dict, meta_ids, tomb) -> dict:
+    """Tombstone exclusion for occurrence keys (doc_index-keyed, like
+    posting entries) — without it a pure Phrase/Near doc set would
+    resurrect deleted docs that term-level filtering never touches."""
+    if tomb is None or len(tomb) == 0 or len(meta_ids) == 0 or not occ:
+        return occ
+    dead_idx = np.flatnonzero(np.isin(meta_ids, tomb))
+    if len(dead_idx) == 0:
+        return occ
+    return {
+        t: k[~np.isin(k // 1024, dead_idx)] for t, k in occ.items()
+    }
+
+
+def _eval_positional(node, occ: dict) -> np.ndarray:
+    """Phrase/Near leaf -> sorted doc_index array over the segment's
+    occurrence keys."""
+    empty = np.empty(0, np.int64)
+    if isinstance(node, Phrase):
+        keys = None
+        for i, t in enumerate(node.words):
+            k = occ.get(t)
+            if k is None or len(k) == 0:
+                return empty
+            k = k - i  # phrase-start key for slot i (pos-i; capped
+            # positions keep shifted keys out of neighboring blocks)
+            keys = k if keys is None else np.intersect1d(keys, k)
+            if len(keys) == 0:
+                return empty
+        return np.unique(keys // 1024)
+    # Near: per a-occurrence window probe into the sorted b-keys,
+    # clamped to the doc's key block (positions <= 255 << block 1024)
+    ka, kb = occ.get(node.a), occ.get(node.b)
+    if ka is None or kb is None or not len(ka) or not len(kb):
+        return empty
+    kb = np.sort(kb)
+    w = int(node.window)
+    blk = (ka // 1024) * 1024
+    lo = np.maximum(ka - w, blk)
+    hi = np.minimum(ka + w, blk + 1023)
+    li = np.searchsorted(kb, lo, side="left")
+    li_c = np.minimum(li, len(kb) - 1)
+    hit = (kb[li_c] >= lo) & (kb[li_c] <= hi)
+    return np.unique(ka[hit] // 1024)
+
+
 def _drop_tombstoned(postings: dict, blocks: dict, meta_ids, tomb):
     """Remove deleted docs from decoded postings (tombstone exclusion).
 
@@ -1700,27 +1915,31 @@ def _drop_tombstoned(postings: dict, blocks: dict, meta_ids, tomb):
     return out_p, out_b
 
 
-def _eval_docset(node: Node, postings: dict) -> np.ndarray:
+def _eval_docset(node: Node, postings: dict, occ: dict | None = None):
     """AST -> sorted doc_index array (vectorized sorted-set algebra —
     the reference's merge operands, `operands.chpl:52-160`, minus the
-    occurrence bookkeeping)."""
+    occurrence bookkeeping).  ``occ`` (term -> occurrence keys) is
+    required only when the tree holds Phrase/Near leaves."""
     if isinstance(node, Term):
         p = postings.get(node.term)
         return p[0] if p is not None else np.empty(0, np.int64)
+    if isinstance(node, (Phrase, Near)):
+        return _eval_positional(node, occ or {})
     if isinstance(node, And):
         return np.intersect1d(
-            _eval_docset(node.a, postings),
-            _eval_docset(node.b, postings),
+            _eval_docset(node.a, postings, occ),
+            _eval_docset(node.b, postings, occ),
             assume_unique=True,
         )
     if isinstance(node, Or):
         return np.union1d(
-            _eval_docset(node.a, postings), _eval_docset(node.b, postings)
+            _eval_docset(node.a, postings, occ),
+            _eval_docset(node.b, postings, occ),
         )
     if isinstance(node, Diff):
         return np.setdiff1d(
-            _eval_docset(node.a, postings),
-            _eval_docset(node.b, postings),
+            _eval_docset(node.a, postings, occ),
+            _eval_docset(node.b, postings, occ),
             assume_unique=True,
         )
     raise TypeError(node)
@@ -1739,13 +1958,22 @@ def _score_segment(pdf: pd.DataFrame, node: Node, idfs, avgdl, k, tomb=None):
     Mixed trees fall back to full doc-set algebra.
     """
     postings, meta_ids, doc_lens, blocks = _decode_segment(pdf)
+    occ = None
+    if has_positional(node):
+        occ = _drop_occ_tombstoned(
+            _decode_occurrences(pdf, positional_terms(node)),
+            meta_ids,
+            tomb,
+        )
     postings, blocks = _drop_tombstoned(postings, blocks, meta_ids, tomb)
     return _score_decoded(
-        node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k
+        node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k, occ
     )
 
 
-def _score_decoded(node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k):
+def _score_decoded(
+    node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k, occ=None
+):
     """Score pre-decoded postings (shared by the distributed kernel and
     the driver-local cache path).
 
@@ -1783,7 +2011,7 @@ def _score_decoded(node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k):
             return empty
         cand = prune_conjunctive_blocks([postings[t][0] for t in con])
     else:
-        cand = _eval_docset(node, postings)
+        cand = _eval_docset(node, postings, occ)
     if cand is None or len(cand) == 0:
         return empty
     scores = np.zeros(len(cand), dtype=np.float64)

@@ -165,8 +165,15 @@ def test_query_term_normalization(index, oracle):
     up = _collect(index.search(Term("MERGE"), k=5))
     lo = _collect(index.search(Term("merge"), k=5))
     assert up == lo and len(lo) == 5
+    # a multi-token term folds into the conjunction the index
+    # tokenizer implies (ADVICE r5: 'covid-19'-style strings must not
+    # dead-end) …
+    assert _collect(index.search(Term("merge sort"), k=5)) == _collect(
+        index.search(Term("merge") & Term("sort"), k=5)
+    )
+    # … but a term with NO indexable token still raises
     with pytest.raises(ValueError):
-        index.search(Term("two words"), k=5).collect()
+        index.search(Term("!!!"), k=5).collect()
 
 
 @pytest.mark.parametrize("qname", sorted(QUERIES))
@@ -351,6 +358,121 @@ def test_phrase_match(spark, tmp_path_factory):
     assert {r.doc_id for r in ix.match_phrase(["beta"]).collect()} == {0, 1, 2}
     # doc 4's phrase starts past MAX_POSITION: not recorded, not matched
     # (the documented 8-bit textLocation cap)
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    """Shared positional-query fixture: phrase/NEAR docs + a spare."""
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "beta alpha gamma"),
+        (2, "alpha x beta"),
+        (3, "the the end"),
+        (4, "pad " * 300 + "alpha beta"),
+        (5, "alpha q w e beta"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = str(tmp_path_factory.mktemp("pos_ix"))
+    build_index(spark, spark.createDataFrame(pdf), out, num_segments=2,
+                resume=False)
+    return Index(spark, out)
+
+
+def test_phrase_near_query_algebra(pos_index):
+    """Phrase/Near leaves compose on every query path (VERDICT r5 #1):
+    string form == node form == the dedicated matcher, and BM25 scores
+    equal the plain AND's scores on the position-filtered doc set."""
+    from chearch_spark.plans.query import Near, Phrase
+
+    ix = pos_index
+    # string form == node form == match_phrase doc set
+    s_str = _collect(ix.search('"alpha beta"', k=10))
+    s_node = _collect(ix.search(Phrase(("alpha", "beta")), k=10))
+    assert s_str == s_node
+    assert {d for d, _ in s_str} == {
+        r.doc_id for r in ix.match_phrase(["alpha", "beta"]).collect()
+    }
+    # phrase scoring == AND scoring restricted to the phrase docs
+    and_scores = dict(_collect(ix.search(Term("alpha") & Term("beta"),
+                                         k=10)))
+    for d, s in s_str:
+        assert s == pytest.approx(and_scores[d], rel=1e-12)
+    # match_docs string form == the positional matcher
+    assert sorted(
+        r.doc_id for r in ix.match_docs('"alpha beta"').collect()
+    ) == sorted(
+        r.doc_id for r in ix.match_phrase(["alpha", "beta"]).collect()
+    )
+    # NEAR: string form == node form == match_near
+    n_str = _collect(ix.search("alpha NEAR/1 beta", k=10))
+    assert n_str == _collect(ix.search(Near("alpha", "beta", 1), k=10))
+    assert {d for d, _ in n_str} == {
+        r.doc_id for r in ix.match_near("alpha", "beta", 1).collect()
+    }
+    w4 = {r.doc_id for r in ix.match_docs(Near("alpha", "beta", 4)).collect()}
+    assert w4 == {
+        r.doc_id for r in ix.match_near("alpha", "beta", 4).collect()
+    }
+    # mixed tree: Or(Phrase, Term) doc set = union of the parts
+    got = {r.doc_id for r in ix.match_docs('"alpha beta" OR gamma').collect()}
+    gamma = {r.doc_id for r in ix.match_docs(Term("gamma")).collect()}
+    phrase = {r.doc_id for r in ix.match_phrase(["alpha", "beta"]).collect()}
+    assert got == gamma | phrase
+
+
+def test_phrase_near_local_and_batch_parity(pos_index):
+    """Driver-local and batched paths return the distributed answer
+    for positional queries (same kernel, same occ decode)."""
+    from chearch_spark.plans.query import Near
+
+    ix = pos_index
+    for q in ['"alpha beta"', "alpha NEAR/1 beta",
+              Near("alpha", "beta", 4), '"alpha beta" OR gamma']:
+        dist = [
+            (r["doc_id"], round(r["score"], 12))
+            for r in ix.search(q, k=10).collect()
+        ]
+        local = [
+            (d, round(s, 12)) for d, s in ix.local_search(q, k=10)
+        ]
+        assert local == dist, q
+    batch = ix.search_many(
+        {"p": '"alpha beta"', "n": "alpha NEAR/1 beta", "t": "gamma"},
+        k=10,
+    ).collect()
+    per = {
+        name: _collect(ix.search(q, k=10))
+        for name, q in
+        [("p", '"alpha beta"'), ("n", "alpha NEAR/1 beta"),
+         ("t", "gamma")]
+    }
+    got: dict = {}
+    for r in batch:
+        got.setdefault(r.query, []).append((r.doc_id, r.score))
+    for name, want in per.items():
+        assert sorted(got.get(name, [])) == sorted(want), name
+
+
+def test_phrase_near_tombstones(spark, tmp_path_factory):
+    """Deleting a doc removes it from positional results immediately
+    (pure-Phrase doc sets never resurrect tombstoned docs)."""
+    rows = [(0, "alpha beta gamma"), (1, "beta alpha gamma"),
+            (2, "alpha beta x")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = str(tmp_path_factory.mktemp("pos_tomb_ix"))
+    build_index(spark, spark.createDataFrame(pdf), out, num_segments=2,
+                resume=False)
+    ix = Index(spark, out)
+    assert {r.doc_id for r in ix.match_docs('"alpha beta"').collect()} == {
+        0, 2,
+    }
+    ix.delete([0])
+    assert {r.doc_id for r in ix.match_docs('"alpha beta"').collect()} == {2}
+    assert [d for d, _ in _collect(ix.search('"alpha beta"', k=10))] == [2]
+    assert [d for d, _ in ix.local_search('"alpha beta"', k=10)] == [2]
+    # parity mode stays reference-only
+    with pytest.raises(ValueError):
+        ix.parity_search('"alpha beta"')
 
 
 def test_index_fsck(spark, corpus_pdf, tmp_path_factory):

@@ -91,3 +91,65 @@ def test_parse_query_grammar():
     for bad in ["", "   ", "-a", "a AND", "(a", "a)", "a - ", "NOT a"]:
         with pytest.raises(QueryParseError):
             parse_query(bad)
+
+
+def test_parse_query_phrase_near_grammar():
+    from chearch_spark.plans.parser import QueryParseError, parse_query
+    from chearch_spark.plans.query import Diff, Near, Phrase, Term
+    import pytest
+
+    # quoted phrase -> Phrase leaf
+    assert parse_query('"merge sort"') == Phrase(("merge", "sort"))
+    assert parse_query('"one"') == Phrase(("one",))
+    assert parse_query('a "merge sort" OR c') == (
+        (Term("a") & Phrase(("merge", "sort"))) | Term("c")
+    )
+    # negated phrase
+    assert parse_query('a -"merge sort"') == Diff(
+        Term("a"), Phrase(("merge", "sort"))
+    )
+    # NEAR infix, explicit and default windows
+    assert parse_query("a NEAR/3 b") == Near("a", "b", 3)
+    assert parse_query("a NEAR b") == Near("a", "b", 5)
+    assert parse_query("x a NEAR/2 b") == (
+        Term("x") & Near("a", "b", 2)
+    )
+    # NEAR is positional: at clause start/end it is an ordinary term
+    assert parse_query("near miss") == (Term("near") & Term("miss"))
+    assert parse_query("a near") == (Term("a") & Term("near"))
+    assert parse_query("a near OR b") == (
+        (Term("a") & Term("near")) | Term("b")
+    )
+    # intra-word hyphens stay in the token (ADVICE r5: 'covid-19'
+    # must not parse as Diff); leading '-' is still negation
+    assert parse_query("covid-19") == Term("covid-19")
+    assert parse_query("a -b") == Diff(Term("a"), Term("b"))
+
+    for bad in ['"', '"a b', '""', 'a NEAR/2 (b c)', '"a" NEAR/2 b']:
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
+
+
+def test_positional_helpers():
+    from chearch_spark.plans.query import (
+        Near, Phrase, all_terms_required, has_positional,
+        positional_terms, scoring_terms, to_postfix,
+    )
+    import pytest
+
+    p = Phrase(("a", "b"))
+    n = Near("x", "y", 2)
+    assert has_positional(p) and has_positional(Term("z") & p)
+    assert not has_positional(Term("z") & Term("w"))
+    assert positional_terms((Term("z") & p) | n) == {"a", "b", "x", "y"}
+    assert positional_terms(Term("z")) == set()
+    # conjunctions of Term/Phrase/Near require every term; Or/Diff don't
+    assert all_terms_required(Term("z") & p)
+    assert all_terms_required(n)
+    assert not all_terms_required(Term("z") | p)
+    assert p.terms() == ["a", "b"]
+    assert set(scoring_terms(Term("z") & p)) == {"a", "b", "z"}
+    # no opcode in the reference's 4-op wire format
+    for node in (p, n):
+        with pytest.raises(ValueError):
+            to_postfix(node)
