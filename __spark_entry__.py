@@ -137,6 +137,35 @@ LIMIT 10
 """
 
 
+def _search_snippets_sql(
+    terms: list[str],
+    require: str,
+    width: int = 3,
+    score_terms: list[str] | None = None,
+) -> str:
+    """Mirror of ``Index.search_with_snippets``: the BM25 top-10 CTE
+    feeds the snippets body (reused verbatim from
+    ``functions.text.snippets_sql``) over ONLY the hit docs — the
+    same no-extra-corpus-scan shape the engine plans."""
+    from chearch_spark.functions import text as _T
+
+    snip_terms = score_terms if score_terms is not None else terms
+    snip_stmt = _T.snippets_sql(
+        snip_terms,
+        width=width,
+        table=(
+            "(SELECT d2.* FROM documents AS d2 "
+            "JOIN top ON top.doc_id = d2.doc_id)"
+        ),
+    )
+    return f"""
+WITH top AS ({_bm25_sql(terms, require, score_terms)})
+SELECT top.doc_id, top.score, s.pos, s.snippet
+FROM top JOIN ({snip_stmt}) AS s ON s.doc_id = top.doc_id
+ORDER BY top.score DESC, top.doc_id ASC
+"""
+
+
 def _bm25_ranked_sql(
     name: str, terms: list[str], require: str, topn: int
 ) -> str:
@@ -898,6 +927,28 @@ def _hybrid_rrf_query(spark, sf):
     return hybrid_rrf(_get_index(spark, sf), _emb(spark, sf), pairs)
 
 
+def _search_snippets_query(spark, sf):
+    from pyspark.sql import functions as F
+
+    from chearch_spark.plans.query import Term
+
+    return (
+        _get_index(spark, sf)
+        .search_with_snippets(
+            (Term("merge") & Term("sort")) | Term("dup"),
+            _docs(spark, sf),
+            k=10,
+            width=3,
+        )
+        .select(
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            "pos",
+            "snippet",
+        )
+    )
+
+
 def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-gated entries NOT exposed to the driver snapshot.
 
@@ -986,6 +1037,10 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bm25_topk_near": lambda s, sf: _search(
             s, sf, "merge NEAR/3 sort"
         ),
+        # Top-k + KWIC snippets in one plan (r6, VERDICT r5 #2): the
+        # hit ids push into the corpus scan, the expanded scoring
+        # terms feed the snippet match expression.
+        "search_snippets": _search_snippets_query,
     }
 
 
@@ -1028,5 +1083,9 @@ def pytest_only_oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_near": _bm25_positional_sql(
             "merge", "sort", "abs(p1.pos - p0.pos) <= 3"
+        ),
+        "search_snippets": _search_snippets_sql(
+            ["merge", "sort", "dup"],
+            "(has_merge = 1 AND has_sort = 1) OR has_dup = 1",
         ),
     }

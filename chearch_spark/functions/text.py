@@ -403,10 +403,10 @@ def snippets(
     all matching terms) and the surrounding ``2*width+1``-token window
     joined by single spaces — what a result page renders next to a
     hit.  (doc_id, pos int, snippet string); non-matching docs are
-    dropped.  Windows clamped at the document START keep the full
-    2*width+1 length by extending right (both ends clamp only at the
-    document boundary) — a hit on token 0 still yields a full-width
-    snippet.
+    dropped.  Window semantics: a window clamped at the document
+    START extends RIGHT to keep the full 2*width+1 length (a hit on
+    token 0 still yields a full-width snippet); at the document END
+    the window simply truncates — no left-extension.
 
     The reference returns bare doc ids (`chearch_srv.chpl:44-69`);
     this completes the serving surface with the presentation layer a
@@ -449,7 +449,8 @@ def snippets_sql(
 ) -> str:
     """DuckDB mirror of :func:`snippets` — same tokenizer, 0-based
     first-match position via unnest+subscripts, list_slice with the
-    same clamp semantics (both engines truncate at the array ends)."""
+    same clamp semantics (clamp-left extends right; the document end
+    truncates in both engines)."""
     tset = sorted({t.lower() for t in terms})
     in_list = ", ".join(f"'{t}'" for t in tset)
     toks = TOKENS_SQL.format(t=text_col)

@@ -1147,6 +1147,12 @@ def pq_seed_codebooks(
         .limit(k_codes)
         .collect()
     )
+    if len(rows) < k_codes:
+        raise ValueError(
+            f"pq_seed_codebooks needs >= k_codes={k_codes} vectors, "
+            f"got {len(rows)} — lower k_codes (and keep the SQL "
+            "mirror's k_codes in sync) or use a larger corpus"
+        )
     x = np.array([list(r[1]) for r in rows], dtype=np.float64)
     dim = x.shape[1]
     if dim % m:
@@ -1192,6 +1198,11 @@ def pq_train(
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if len(x) < k_codes:
+        raise ValueError(
+            f"pq_train needs >= k_codes={k_codes} sample vectors, got "
+            f"{len(x)} — lower k_codes or raise sample"
+        )
     dsub = dim // m
     xn = _normalize_rows(x)
     out = np.empty((m, k_codes, dsub), dtype=np.float64)

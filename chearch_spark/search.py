@@ -157,6 +157,13 @@ def _within_one_edit(a: str, b: str) -> bool:
 # re-serialized per task of EVERY query stage, a broadcast ships once.
 _TOMB_BROADCAST_THRESHOLD = 100_000
 
+# facet_counts broadcasts its matching-doc-id relation into the
+# metadata semi-join only while the dictionary-df upper bound on the
+# match count stays at or below this; above it the join is forced to
+# shuffle (the id set is a Python-kernel output whose size Catalyst
+# can only estimate — see Index.facet_counts)
+_FACET_BROADCAST_THRESHOLD = 500_000
+
 
 def _resolve_tomb(t) -> np.ndarray:
     """Kernel-side unwrap of :meth:`Index._tomb_handle`'s result."""
@@ -1137,6 +1144,36 @@ class Index:
             t: self._stats_cache[t] for t in terms if self._stats_cache[t]
         }
 
+    def _match_upper_bound(self, node: Node) -> int:
+        """TRUE upper bound on ``match_docs(node)``'s row count, from
+        the dictionary df stats (the same probe pruning already pays —
+        no Spark job): Term <= df, And/Phrase/Near <= min of members,
+        Or <= sum, Diff <= the positive side.  Drives explicit
+        broadcast-vs-shuffle decisions for joins consuming a kernel's
+        doc-id output, where Catalyst has only an estimate."""
+        stats = self._cached_stats(node.terms())
+
+        def df_of(t: str) -> int:
+            s = stats.get(t)
+            return int(s[0]) if s else 0
+
+        def b(n: Node) -> int:
+            if isinstance(n, Term):
+                return df_of(n.term)
+            if isinstance(n, Phrase):
+                return min((df_of(t) for t in n.words), default=0)
+            if isinstance(n, Near):
+                return min(df_of(n.a), df_of(n.b))
+            if isinstance(n, And):
+                return min(b(n.a), b(n.b))
+            if isinstance(n, Or):
+                return b(n.a) + b(n.b)
+            if isinstance(n, Diff):
+                return b(n.a)
+            raise TypeError(n)
+
+        return b(node)
+
     def _load_meta(self, seg_ids: list[int] | None = None) -> dict:
         """seg_id -> (ext_ids, doc_lens) for the REQUESTED live
         segments (None = all live), decoded lazily per segment and
@@ -1353,6 +1390,7 @@ class Index:
         meta: "DataFrame",
         cols: list[str],
         id_col: str = "doc_id",
+        broadcast_threshold: int | None = None,
     ):
         """Faceted search (the Elasticsearch-aggregations surface over
         the reference's bare doc-id results): per-facet value counts
@@ -1366,12 +1404,33 @@ class Index:
         many facets are requested (per-facet groupBys would re-join
         per facet).  Facet cardinality bounds the shuffle, not corpus
         size.  NULL facet values count under value NULL, like SQL
-        GROUP BY."""
+        GROUP BY.
+
+        The broadcast-vs-shuffle decision for the semi-join is
+        EXPLICIT, not left to Catalyst: the id relation is a Python
+        kernel's output, whose size Catalyst estimates from the
+        pruned scan's stats — a hot-term query it under-estimates
+        would attempt to broadcast a multi-GB id set.  Instead the
+        dictionary df stats (already probed for pruning — no extra
+        job) give a true upper bound on the match count: at or below
+        ``broadcast_threshold`` ids (default
+        :data:`_FACET_BROADCAST_THRESHOLD`) the id set broadcasts;
+        above it a shuffle hash semi-join is forced, so the join
+        shape at 10^9 docs never rides on an estimate (the same
+        size-adaptive pattern as ``tombstones.gc_tombstones``)."""
         from pyspark.sql import functions as F
 
-        ids = self.match_docs(query).select(
+        node = self._prep(query)
+        bound = self._match_upper_bound(node)
+        ids = self.match_docs(node).select(
             F.col("doc_id").alias("__fid")
         )
+        if broadcast_threshold is None:
+            broadcast_threshold = _FACET_BROADCAST_THRESHOLD
+        if bound <= broadcast_threshold:
+            ids = F.broadcast(ids)
+        else:
+            ids = ids.hint("shuffle_hash")
         joined = meta.join(
             ids, meta[id_col] == F.col("__fid"), "left_semi"
         )
@@ -1389,6 +1448,56 @@ class Index:
             .select("fv.facet", "fv.value")
             .groupBy("facet", "value")
             .agg(F.count("*").cast("long").alias("n_docs"))
+        )
+
+    def search_with_snippets(
+        self,
+        query: Node | str,
+        docs: "DataFrame",
+        k: int = spec.DEFAULT_K,
+        width: int = 3,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        """Top-k retrieval + KWIC snippets in ONE plan — the result
+        page a user of the reference's bare-id server ultimately
+        renders: (doc_id, score, pos, snippet), ordered (score desc,
+        doc_id asc).
+
+        Plan shape: the k hit ids (already collected for ranking)
+        become an explicit ``isin()`` predicate on the ``docs`` scan —
+        row-group stats skip everything but the hits, so the corpus
+        text is NEVER scanned beyond those k rows (same pushdown
+        pattern as :meth:`search_with_meta`); the query's expanded
+        scoring terms (prefix/fuzzy expansions applied, Diff's
+        negative side excluded, Phrase/Near member words included)
+        feed :func:`chearch_spark.functions.text.snippets`'s pure-JVM
+        match expression; the k-row score relation broadcasts onto the
+        snippet rows.  No kernel, no corpus shuffle."""
+        from pyspark.sql import functions as F
+
+        from chearch_spark.functions.text import snippets
+
+        node = self._prep(query)
+        terms = scoring_terms(node)
+        rows = self.search(node, k).collect()
+        top = self.spark.createDataFrame(
+            [(int(r.doc_id), float(r.score)) for r in rows] or [],
+            "doc_id long, score double",
+        )
+        if rows:
+            pruned = docs.filter(
+                F.col(id_col).isin([int(r.doc_id) for r in rows])
+            )
+        else:
+            pruned = docs.filter(F.lit(False))
+        snip = snippets(
+            pruned, terms, width=width, text_col=text_col, id_col=id_col
+        )
+        return (
+            snip.join(F.broadcast(top), "doc_id")
+            .select("doc_id", "score", "pos", "snippet")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
     def match_docs(self, query: Node | str, partition_limit: int | None = None):

@@ -325,9 +325,11 @@ def main() -> None:
     assert p.count("BroadcastExchange") >= 2, (
         "sq8: bounds / query side not broadcast"
     )
-    assert "embedding" not in [
-        ln for ln in p.splitlines() if "hashpartitioning" in ln
-    ], "sq8: corpus vectors shuffled"
+    assert not any(
+        "embedding" in ln
+        for ln in p.splitlines()
+        if "hashpartitioning" in ln
+    ), "sq8: corpus vectors shuffled"
     assert not any(
         "hashpartitioning" in ln and "xhat" in ln
         for ln in p.splitlines()
@@ -413,6 +415,67 @@ def main() -> None:
     import shutil as _sh
 
     _sh.rmtree(ivfpq_dir, ignore_errors=True)
+
+    # search_with_snippets: the k hit ids must push into the corpus
+    # scan (row-group pruning — no full corpus text scan), the k-row
+    # score relation must broadcast, and the snippet expression is
+    # pure JVM (no Python kernel anywhere in the plan)
+    sws = ix.search_with_snippets(
+        (Term("merge") & Term("sort")) | Term("dup"), docs, k=10
+    )
+    p = plan_of(sws)
+    assert "PushedFilters: [In(doc_id" in p, (
+        "snippets-search: hit ids not pushed into the documents scan"
+    )
+    assert "BroadcastExchange" in p, (
+        "snippets-search: score relation not broadcast"
+    )
+    assert "FlatMapGroupsInPandas" not in p and "pythonUDF" not in p, (
+        "snippets-search: unexpected Python kernel"
+    )
+    fmt = p.split("--- simple ---")[0]
+    n_doc_scans = sum(
+        "documents.parquet" in ln
+        for ln in fmt.splitlines()
+        if "Location" in ln
+    )
+    assert n_doc_scans == 1, (
+        f"snippets-search: expected 1 documents scan, saw {n_doc_scans}"
+    )
+    sections.append(
+        (
+            "search_with_snippets (top-k + KWIC in one plan)",
+            p,
+            [("k hit ids pushed into the ONE documents scan; score "
+              "relation broadcast; zero Python kernels — all asserted",
+              "—")],
+        )
+    )
+    print("OK  search_with_snippets: id-pushed single doc scan, no kernel")
+
+    # positional (Phrase) search: the segment scan must read the
+    # positions columns ONLY when the tree holds a Phrase/Near leaf —
+    # plain BM25 keeps the narrow ReadSchema
+    pp = plan_of(ix.search('"merge sort"', k=10))
+    assert "PushedFilters: [In(term" in pp, "phrase: term pushdown lost"
+    assert "TakeOrderedAndProject" in pp, "phrase: no single global gather"
+    assert any(
+        "positions" in ln for ln in pp.splitlines() if "ReadSchema" in ln
+    ), "phrase: positions columns not in the segment scan"
+    pb = plan_of(ix.search(Term("merge") & Term("sort"), k=10))
+    assert not any(
+        "positions" in ln for ln in pb.splitlines() if "ReadSchema" in ln
+    ), "plain BM25: positions columns leaked into the segment scan"
+    sections.append(
+        (
+            "Phrase search (string syntax -> positions kernel)",
+            pp,
+            [("term pushdown + single gather; positions columns read "
+              "ONLY for positional trees (plain-BM25 narrow ReadSchema "
+              "asserted as the control)", "—")],
+        )
+    )
+    print("OK  phrase search: positional ReadSchema gated on the tree")
 
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(

@@ -453,6 +453,39 @@ def test_phrase_near_local_and_batch_parity(pos_index):
         assert sorted(got.get(name, [])) == sorted(want), name
 
 
+def test_search_with_snippets(spark, index, corpus_pdf):
+    """Top-k + KWIC in one plan: rows = search top-k joined with the
+    snippets of exactly those docs, highlight terms = the query's
+    EXPANDED scoring terms (fuzzy/prefix expansions included)."""
+    from chearch_spark.functions.text import snippets
+    from chearch_spark.plans.query import Fuzzy
+
+    docs = spark.createDataFrame(corpus_pdf)
+    node = (Term("merge") & Term("sort")) | Term("dup")
+    got = index.search_with_snippets(node, docs, k=10, width=3).collect()
+    top = _collect(index.search(node, k=10))
+    assert [(r.doc_id, r.score) for r in got] == top
+    want_snips = {
+        r.doc_id: (r.pos, r.snippet)
+        for r in snippets(
+            docs.filter(docs.doc_id.isin([d for d, _ in top])),
+            ["merge", "sort", "dup"],
+            width=3,
+        ).collect()
+    }
+    for r in got:
+        assert (r.pos, r.snippet) == want_snips[r.doc_id]
+    # fuzzy query: highlight terms are the dictionary expansions, so
+    # every snippet's center token is a real expansion of 'merg'
+    fz = index.search_with_snippets(Fuzzy("merg"), docs, k=5, width=2)
+    rows = fz.collect()
+    assert rows
+    exp = set(index._fuzzy_expansion_terms("merg"))
+    for r in rows:
+        toks = r.snippet.split()
+        assert any(t in exp for t in toks), r.snippet
+
+
 def test_phrase_near_tombstones(spark, tmp_path_factory):
     """Deleting a doc removes it from positional results immediately
     (pure-Phrase doc sets never resurrect tombstoned docs)."""

@@ -601,6 +601,18 @@ def test_pq_codes_are_compact(spark):
         assert all(0 <= c < A.PQ_CODES for c in r.codes)
 
 
+def test_pq_codebooks_need_k_codes_rows(spark):
+    """A corpus (or sample) smaller than k_codes raises a descriptive
+    error instead of an opaque numpy reshape failure (ADVICE r5)."""
+    tiny = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(A.PQ_CODES - 1)
+    with pytest.raises(ValueError, match="k_codes"):
+        A.pq_seed_codebooks(tiny)
+    with pytest.raises(ValueError, match="k_codes"):
+        A.pq_train(tiny, sample=A.PQ_CODES - 1)
+
+
 def test_window_dedup_planted_span(spark):
     """Exact-substring dedup semantics (Lee et al. 2022): a repeated
     SPAN inside otherwise-distinct documents must be found at window
@@ -970,3 +982,28 @@ def test_facet_counts_semantics(spark, tmp_path_factory):
         ("source", "web"): 2,
         ("source", None): 1,
     }
+
+    # size-adaptive semi-join (VERDICT r5 #1): above the threshold the
+    # id relation must NOT broadcast (forced shuffle semi-join — the
+    # kernel output's size is only an estimate to Catalyst), below it
+    # it must; answers identical on both shapes
+    bound = ix._match_upper_bound(Term("alpha"))
+    assert bound >= 3  # df('alpha') — the true match count's ceiling
+    shuffled = ix.facet_counts(
+        Term("alpha"), meta, ["lang", "source"], broadcast_threshold=0
+    )
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan, "over-threshold id set broadcast"
+    got_shuffled = {
+        (r.facet, r.value): r.n_docs for r in shuffled.collect()
+    }
+    assert got_shuffled == got
+    bcast = ix.facet_counts(
+        Term("alpha"), meta, ["lang", "source"],
+        broadcast_threshold=1_000_000,
+    )
+    bplan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in bplan, "under-threshold id set not broadcast"
+    assert {
+        (r.facet, r.value): r.n_docs for r in bcast.collect()
+    } == got
