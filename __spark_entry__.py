@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from chearch_spark.functions import text as T
     from chearch_spark.operators import ann as A
     from chearch_spark.operators import dedup as D
+    from chearch_spark.operators import fuzzy as _FZ
     from chearch_spark.operators import pipeline as P
     from chearch_spark.plans.query import Term
     from chearch_spark.sources import multimodal as M
@@ -465,12 +466,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bool_or(spark, sf):
         return _match(spark, sf, Term("merge") | Term("dup"))
-
-    def bool_nested(spark, sf):
-        return _match(spark, sf, (Term("merge") & Term("sort")) | Term("dup"))
-
-    def term_lookup_missing(spark, sf):
-        return _match(spark, sf, Term("zz_missing_zz"))
 
     def term_stats(spark, sf):
         ix = _get_index(spark, sf)
@@ -492,20 +487,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_topk_or(spark, sf):
         return _search(spark, sf, Term("merge") | Term("sort") | Term("dup"))
-
-    def bm25_topk_nested(spark, sf):
-        return _search(spark, sf, (Term("merge") & Term("sort")) | Term("dup"))
-
-    def bm25_topk_single(spark, sf):
-        return _search(spark, sf, Term("dup"))
-
-    def bm25_missing(spark, sf):
-        return _search(spark, sf, Term("zz_missing_zz"))
-
-    def bool_diff(spark, sf):
-        from chearch_spark.plans.query import Term as T2
-
-        return _match(spark, sf, T2("merge") - T2("sort"))
 
     def bm25_topk_diff(spark, sf):
         """a AND NOT b with composite b; scores from 'merge' only."""
@@ -600,22 +581,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_streamed": bm25_topk_streamed,
         "term_lookup_deleted": term_lookup_deleted,
         "bm25_topk_deleted": bm25_topk_deleted,
-        "term_lookup_missing": term_lookup_missing,
         "bool_and": bool_and,
         "bool_or": bool_or,
-        "bool_nested": bool_nested,
         "term_stats": term_stats,
         "corpus_stats": corpus_stats,
-        "bm25_topk_single": bm25_topk_single,
         "bm25_topk_and": bm25_topk_and,
         "bm25_topk_or": bm25_topk_or,
-        "bm25_topk_nested": bm25_topk_nested,
-        "bm25_missing": bm25_missing,
         "bm25_batch": bm25_batch,
         "bm25_topk_meta": bm25_topk_meta,
-        "bool_diff": bool_diff,
         "bm25_topk_diff": bm25_topk_diff,
         "term_prefix": term_prefix,
+        # --- r6 rotation: overflow entries promoted for driver
+        # evidence (BASELINE.md documents the swap; the rotated-out
+        # multi-green entries keep the identical gate in
+        # pytest_only_queries) ----------------------------------------
+        "facet_counts": lambda s, sf: _get_index(s, sf).facet_counts(
+            Term("merge") | Term("dup"), _docs(s, sf), ["lang", "source"]
+        ),
+        "fuzzy_terms": lambda s, sf: _FZ.fuzzy_terms(_docs(s, sf), "merg"),
+        "snippets": lambda s, sf: T.snippets(
+            _docs(s, sf), ["merge", "sort"], width=3
+        ),
+        "sq_topk": lambda s, sf: A.sq_topk(
+            _emb(s, sf), _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
+        ),
+        "sq_recall": lambda s, sf: A.sq_recall(
+            _emb(s, sf), _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
+        ),
+        "hybrid_rrf": _hybrid_rrf_query,
         "phrase_match": phrase_match,
         "near_match": near_match,
         "postings_rows": postings_rows,
@@ -702,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
     from chearch_spark.functions import text as T
     from chearch_spark.operators import ann as A
     from chearch_spark.operators import dedup as D
+    from chearch_spark.operators import fuzzy as _FZ
     from chearch_spark.operators import pipeline as P
     from chearch_spark.sources import multimodal as M
     from chearch_spark.streaming import events as EV
@@ -756,18 +750,11 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "sort"], "has_merge = 1 AND has_sort = 1",
             src=_LIVE_SRC,
         ),
-        "term_lookup_missing": _docset_sql(
-            ["zz_missing_zz"], "has_zz_missing_zz = 1"
-        ),
         "bool_and": _docset_sql(
             ["merge", "sort"], "has_merge = 1 AND has_sort = 1"
         ),
         "bool_or": _docset_sql(
             ["merge", "dup"], "has_merge = 1 OR has_dup = 1"
-        ),
-        "bool_nested": _docset_sql(
-            ["merge", "sort", "dup"],
-            "(has_merge = 1 AND has_sort = 1) OR has_dup = 1",
         ),
         "term_stats": _BASE_CTE
         + """
@@ -781,7 +768,6 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
        round((SELECT CAST(sum(dl) AS BIGINT) FROM dl) * 1.0
              / (SELECT count(*) FROM documents), 6) AS avgdl
 """,
-        "bm25_topk_single": _bm25_sql(["dup"], "has_dup = 1"),
         "bm25_topk_and": _bm25_sql(
             ["merge", "sort"], "has_merge = 1 AND has_sort = 1"
         ),
@@ -789,13 +775,19 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
             ["merge", "sort", "dup"],
             "has_merge = 1 OR has_sort = 1 OR has_dup = 1",
         ),
-        "bm25_topk_nested": _bm25_sql(
-            ["merge", "sort", "dup"],
-            "(has_merge = 1 AND has_sort = 1) OR has_dup = 1",
+        # r6 rotation: promoted overflow entries (same SQL the pytest
+        # gate used in r5)
+        "facet_counts": _facet_sql(
+            ["merge", "dup"], "has_merge = 1 OR has_dup = 1",
+            ["lang", "source"],
         ),
-        "bm25_missing": _bm25_sql(["zz_missing_zz"], "has_zz_missing_zz = 1"),
-        "bool_diff": _docset_sql(
-            ["merge", "sort"], "has_merge = 1 AND has_sort = 0"
+        "fuzzy_terms": _FZ.fuzzy_terms_sql("merg"),
+        "snippets": T.snippets_sql(["merge", "sort"], width=3),
+        "sq_topk": A.sq_topk_sql(_ANN_QUERY_IDS, k=10),
+        "sq_recall": A.sq_recall_sql(_ANN_QUERY_IDS, k=10),
+        "hybrid_rrf": _rrf_sql(
+            [(n, t, r) for n, t, r, _v in _HYBRID_SPECS],
+            [(v, n) for n, _t, _r, v in _HYBRID_SPECS],
         ),
         "bm25_topk_diff": _bm25_sql(
             ["merge", "sort", "dup"],
@@ -959,11 +951,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     DuckDB comparison, so they keep the same correctness gate — just
     in pytest instead of the driver snapshot.
     """
-    from chearch_spark.functions import text as _T
     from chearch_spark.plans.query import Term
     from chearch_spark.operators import ann as A
     from chearch_spark.operators import dedup as D
-    from chearch_spark.operators import fuzzy as _FZ
 
     return {
         # Signature table for the MinHash chain; the driver-gated
@@ -991,35 +981,27 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "window_dup_fraction": lambda s, sf: D.window_dup_fraction(
             _docs(s, sf), n=5
         ),
-        # Faceted search (r5): per-facet value counts over a query's
-        # doc set — one semi-join + one melted groupBy.
-        "facet_counts": lambda s, sf: _get_index(s, sf).facet_counts(
-            Term("merge") | Term("dup"), _docs(s, sf), ["lang", "source"]
+        # r6 rotation: multi-green since r1/r2, swapped out of the
+        # driver snapshot so the r5 surfaces (facets/fuzzy/snippets/
+        # SQ8/hybrid) land driver correctness rows — the gate here is
+        # IDENTICAL (tests/test_entry_contract.py merges both
+        # registries through the same DuckDB comparison).
+        "term_lookup_missing": lambda s, sf: _match(
+            s, sf, Term("zz_missing_zz")
         ),
-        # Fuzzy term matching (r5): SymSpell deletion-variant
-        # candidates + native levenshtein verify, distance <= 1.
-        "fuzzy_terms": lambda s, sf: _FZ.fuzzy_terms(
-            _docs(s, sf), "merg"
+        "bool_nested": lambda s, sf: _match(
+            s, sf, (Term("merge") & Term("sort")) | Term("dup")
         ),
-        # KWIC snippets (r5): the presentation layer over the search
-        # results — first match position + token window.
-        "snippets": lambda s, sf: _T.snippets(
-            _docs(s, sf), ["merge", "sort"], width=3
+        "bool_diff": lambda s, sf: _match(
+            s, sf, Term("merge") - Term("sort")
         ),
-        # SQ8 scalar quantization (r5): per-dimension min/max bounds
-        # are EXACT aggregations, so train+encode+decode+score all
-        # mirror exactly — no seed-vs-trained split needed.
-        "sq_topk": lambda s, sf: A.sq_topk(
-            _emb(s, sf), _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
+        "bm25_topk_single": lambda s, sf: _search(s, sf, Term("dup")),
+        "bm25_topk_nested": lambda s, sf: _search(
+            s, sf, (Term("merge") & Term("sort")) | Term("dup")
         ),
-        "sq_recall": lambda s, sf: A.sq_recall(
-            _emb(s, sf), _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
+        "bm25_missing": lambda s, sf: _search(
+            s, sf, Term("zz_missing_zz")
         ),
-        # Hybrid retrieval (r5): RRF fusion of the index's BM25
-        # search_many lists with cosine ANN lists — lexical queries
-        # kept to <=2 terms so the raw-score rank order is bit-stable
-        # across engines (see _bm25_ranked_sql).
-        "hybrid_rrf": _hybrid_rrf_query,
         # Query-STRING positional syntax (r6, VERDICT r5 #1): quoted
         # phrases and infix NEAR parse to Phrase/Near algebra leaves
         # routed through the positions kernel — the string form must
@@ -1045,8 +1027,6 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
 
 
 def pytest_only_oracle_sql() -> dict[str, str]:
-    from chearch_spark.functions import text as _T
-    from chearch_spark.operators import fuzzy as _FZ
     from chearch_spark.operators import ann as A
     from chearch_spark.operators import dedup as D
 
@@ -1060,17 +1040,25 @@ def pytest_only_oracle_sql() -> dict[str, str]:
         ),
         "window_dup_groups": D.window_dup_groups_sql(n=5),
         "window_dup_fraction": D.window_dup_fraction_sql(n=5),
-        "facet_counts": _facet_sql(
-            ["merge", "dup"], "has_merge = 1 OR has_dup = 1",
-            ["lang", "source"],
+        # r6 rotation: the rotated-out driver entries keep their exact
+        # oracles
+        "term_lookup_missing": _docset_sql(
+            ["zz_missing_zz"], "has_zz_missing_zz = 1"
         ),
-        "fuzzy_terms": _FZ.fuzzy_terms_sql("merg"),
-        "snippets": _T.snippets_sql(["merge", "sort"], width=3),
-        "sq_topk": A.sq_topk_sql(_ANN_QUERY_IDS, k=10),
-        "sq_recall": A.sq_recall_sql(_ANN_QUERY_IDS, k=10),
-        "hybrid_rrf": _rrf_sql(
-            [(n, t, r) for n, t, r, _v in _HYBRID_SPECS],
-            [(v, n) for n, _t, _r, v in _HYBRID_SPECS],
+        "bool_nested": _docset_sql(
+            ["merge", "sort", "dup"],
+            "(has_merge = 1 AND has_sort = 1) OR has_dup = 1",
+        ),
+        "bool_diff": _docset_sql(
+            ["merge", "sort"], "has_merge = 1 AND has_sort = 0"
+        ),
+        "bm25_topk_single": _bm25_sql(["dup"], "has_dup = 1"),
+        "bm25_topk_nested": _bm25_sql(
+            ["merge", "sort", "dup"],
+            "(has_merge = 1 AND has_sort = 1) OR has_dup = 1",
+        ),
+        "bm25_missing": _bm25_sql(
+            ["zz_missing_zz"], "has_zz_missing_zz = 1"
         ),
         # string-form positional queries: doc sets reuse the
         # phrase_match / near_match oracles verbatim (same semantics,
