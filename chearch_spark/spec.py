@@ -83,6 +83,11 @@ IVF_RECALL_FLOOR = 0.70
 # PQ's worst case (no cluster structure for the codebooks to exploit)
 PQ_SEED_RECALL_FLOOR = 0.30
 PQ_RECALL_FLOOR = 0.40
+# IVFADC+R (r6): ADC shortlist R=4k exact-reranked from the vectors/
+# sidecar — mean recall@10 measured 0.91 (sf0.001/0.01, residual and
+# plain codes alike; ceiling is the n_probe=8/16 probe recall 0.925).
+# The floor sits below the measured band per the tripwire convention.
+IVFADC_RERANK_RECALL_FLOOR = 0.80
 # SQ8 (per-dimension 8-bit, r5): mean recall@10 measured 0.96-1.0
 # (per-query min 0.9) across sf0.001/0.01/0.1 — scalar quantization
 # keeps per-dimension resolution, so it barely moves the ranking

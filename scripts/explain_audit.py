@@ -412,6 +412,39 @@ def main() -> None:
         )
     )
     print("OK  IVFADC query: partition-pruned, codes-only ReadSchema")
+
+    # IVFADC+R (r6): the rerank tail must be a POINT LOOKUP into the
+    # id-sorted vectors/ sidecar (vec_id IN pushed into that scan),
+    # with the shortlist pair relation and query vectors broadcast —
+    # never a second corpus-shaped scan of the cell layout
+    rr_q = A.ivf_query(
+        spark, ivfpq_dir, [0, 1, 2], k=10, n_probe=4, adc=True,
+        rerank=40,
+    )
+    p = plan_of(rr_q)
+    assert "In(vec_id" in p, (
+        "ivfadc+r: shortlist ids not pushed into the sidecar scan"
+    )
+    assert p.count("BroadcastExchange") >= 2, (
+        "ivfadc+r: shortlist pairs / query vectors not broadcast"
+    )
+    fmt = p.split("--- simple ---")[0]
+    n_asg = sum(
+        "assigned" in ln for ln in fmt.splitlines() if "Location" in ln
+    )
+    assert n_asg == 0, (
+        f"ivfadc+r: rerank plan re-scans the cell layout ({n_asg})"
+    )
+    sections.append(
+        (
+            "IVFADC+R exact rerank (shortlist point lookup)",
+            p,
+            [("vec_id IN pushed into the id-sorted vectors/ sidecar; "
+              "shortlist pairs + query vectors broadcast; no cell-"
+              "layout re-scan (all asserted)", "—")],
+        )
+    )
+    print("OK  IVFADC+R rerank: sidecar point lookup, no corpus re-scan")
     import shutil as _sh
 
     _sh.rmtree(ivfpq_dir, ignore_errors=True)

@@ -660,6 +660,10 @@ def test_ivf_pq_adc_serving(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("ivfpq_ix"))
     meta = A.ivf_build(emb, out, n_centroids=16, pq_m=A.PQ_M)
     assert meta["pq"]["m"] == A.PQ_M
+    # r6: codes quantize the coarse residual by default (IVFADC
+    # proper), and the persisted meta records it so query-time
+    # scoring picks the matching identity
+    assert meta["pq"]["residual"] is True
 
     got = A.ivf_query(spark, out, qids, k=10, n_probe=8, adc=True)
     plan = got._jdf.queryExecution().executedPlan().toString()
@@ -694,6 +698,98 @@ def test_ivf_pq_adc_serving(spark, tmp_path_factory):
     A.ivf_build(emb, out2, n_centroids=16)
     with pytest.raises(ValueError, match="pq_m"):
         A.ivf_query(spark, out2, qids, k=10, adc=True).collect()
+
+
+def test_ivfadc_rerank(spark, tmp_path_factory):
+    """IVFADC+R (r6): the ADC shortlist is exact-reranked from the
+    id-sorted vectors/ sidecar — recall jumps to the probe ceiling
+    (floor 0.80 vs raw ADC's 0.40), the rerank scan is a point lookup
+    (vec_id IN pushed into the sidecar scan, never a corpus re-scan),
+    results are deterministic, and parameter misuse fails loudly."""
+    from chearch_spark import spec
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    qids = [0, 1, 2, 5, 9]
+    out = str(tmp_path_factory.mktemp("ivfadcr_ix"))
+    A.ivf_build(emb, out, n_centroids=16, pq_m=A.PQ_M)
+
+    got = A.ivf_query(
+        spark, out, qids, k=10, n_probe=8, adc=True, rerank=40
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the rerank tail reads the sidecar with the id set pushed down
+    assert "PushedFilters" in plan and "In(vec_id" in plan, plan
+    rows = got.collect()
+    assert {r.query_id for r in rows} == set(qids)
+    again = A.ivf_query(
+        spark, out, qids, k=10, n_probe=8, adc=True, rerank=40
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in A.cosine_topk(emb, qids, 10).collect()
+    }
+    hits = sum(1 for r in rows if (r.query_id, r.vec_id) in exact)
+    assert hits / len(exact) >= spec.IVFADC_RERANK_RECALL_FLOOR
+    # reranked scores are EXACT cosine: every hit that is also in the
+    # exact top-10 must carry the identical rounded score
+    exact_cos = {
+        (r.query_id, r.vec_id): r.cos
+        for r in A.cosine_topk(emb, qids, 10).collect()
+    }
+    for r in rows:
+        if (r.query_id, r.vec_id) in exact_cos:
+            assert r.cos == exact_cos[(r.query_id, r.vec_id)]
+
+    with pytest.raises(ValueError, match="adc=True"):
+        A.ivf_query(spark, out, qids, k=10, rerank=40)
+    with pytest.raises(ValueError, match="must be >= k"):
+        A.ivf_query(spark, out, qids, k=10, adc=True, rerank=5)
+
+
+def test_ivfadc_nonresidual_and_legacy_meta(spark, tmp_path_factory):
+    """pq_residual=False still builds/serves (plain code-the-vector
+    PQ), and a pre-r6 meta WITHOUT the residual key scores with the
+    non-residual identity — old persisted indexes keep answering
+    correctly after the upgrade."""
+    import json
+    import os
+
+    from chearch_spark import spec
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    qids = [0, 1, 2, 5, 9]
+    out = str(tmp_path_factory.mktemp("ivfpq_plain"))
+    meta = A.ivf_build(
+        emb, out, n_centroids=16, pq_m=A.PQ_M, pq_residual=False
+    )
+    assert meta["pq"]["residual"] is False
+    got = A.ivf_query(
+        spark, out, qids, k=10, n_probe=8, adc=True
+    ).collect()
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in A.cosine_topk(emb, qids, 10).collect()
+    }
+    hits = sum(1 for r in got if (r.query_id, r.vec_id) in exact)
+    assert hits / len(exact) >= spec.PQ_RECALL_FLOOR
+
+    # strip the residual key -> pre-r6 index shape; answers identical
+    mp = os.path.join(out, "ivf_meta.json")
+    with open(mp) as f:
+        m = json.load(f)
+    del m["pq"]["residual"]
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    legacy = A.ivf_query(
+        spark, out, qids, k=10, n_probe=8, adc=True
+    ).collect()
+    assert sorted(map(tuple, legacy)) == sorted(map(tuple, got))
 
 
 def test_rrf_fuse_semantics(spark):
