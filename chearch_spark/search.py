@@ -1760,6 +1760,43 @@ class Index:
         ).toPandas()
         return self._parity_from_frame(scan, node, partition_limit)
 
+    def parity_search_many(
+        self,
+        queries: dict,
+        partition_limit: int | None = None,
+    ) -> dict:
+        """Batched :meth:`parity_search`: ONE term-pruned segment scan
+        (union of every query's terms and candidate segments) feeds a
+        per-query operand-protocol replay — the serving layer's
+        micro-batch path (``ChearchTCPServer(batch_window_ms=...)``),
+        where N concurrent wire requests must cost one Spark job, not
+        N.  Results are IDENTICAL to per-query :meth:`parity_search`:
+        a segment outside one query's candidate set carries none of
+        its terms, so the wider union scan adds only rows the replay
+        ignores.  ``queries`` maps key -> Node|str; returns key ->
+        occurrence rows."""
+        nodes = {qid: self._prep(q) for qid, q in queries.items()}
+        segs_u: set[int] | None = set()
+        for n in nodes.values():
+            cs = self.candidate_segments(n)
+            if cs is None:
+                segs_u = None
+                break
+            segs_u |= set(cs)
+        all_terms = sorted({t for n in nodes.values() for t in n.terms()})
+        scan = self._segment_scan(
+            all_terms,
+            ["seg_id", "term", "doc_ids", "tfs", "pos_counts", "positions"],
+            segs=sorted(segs_u) if segs_u is not None else None,
+        ).toPandas()
+        out = {}
+        for qid, n in nodes.items():
+            keep = set(n.terms()) | {META_TERM}
+            out[qid] = self._parity_from_frame(
+                scan[scan["term"].isin(keep)], n, partition_limit
+            )
+        return out
+
     def local_parity_search(
         self, query: Node | str
     ) -> list[tuple[str, int, int]]:

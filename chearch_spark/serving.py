@@ -25,13 +25,20 @@ dictionary's bounds sidecar and holds at most a few part files —
 never the whole vocabulary.  Trade: ~0.1-0.5 s Spark scheduling per
 request instead of sub-ms — the right trade exactly when the index
 cannot live on one machine anyway (same rule as the distributed
-bloom probe).
+bloom probe).  ``batch_window_ms=N`` (distributed only, opt-in)
+amortizes that: concurrent requests arriving within the window are
+answered by ONE Spark job (:meth:`Index.parity_search_many` — a
+union-of-terms scan + per-query operand replay), byte-identical to
+per-request answering.
 """
 
 from __future__ import annotations
 
+import queue
 import socketserver
 import threading
+import time
+from concurrent.futures import Future
 
 from chearch_spark.plans import chasm_wire
 from chearch_spark.search import Index
@@ -179,7 +186,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 break
             body += chunk
         server: ChearchTCPServer = self.server  # type: ignore[assignment]
-        rows = server.answer(bytes([count]) + body)
+        rows = server.submit(bytes([count]) + body)
         self.request.sendall(chasm_wire.encode_records(rows))
 
 
@@ -192,9 +199,16 @@ class ChearchTCPServer(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
     def __init__(self, index: Index, host: str = "127.0.0.1",
-                 port: int = 0, mode: str = "local") -> None:
+                 port: int = 0, mode: str = "local",
+                 batch_window_ms: int | None = None) -> None:
         if mode not in ("local", "distributed"):
             raise ValueError(f"unknown serving mode {mode!r}")
+        if batch_window_ms is not None and mode != "distributed":
+            raise ValueError(
+                "batch_window_ms applies to mode='distributed' only "
+                "(the local path is sub-ms — there is no Spark job "
+                "to amortize)"
+            )
         super().__init__((host, port), _Handler)
         self.index = index
         self.mode = mode
@@ -205,18 +219,93 @@ class ChearchTCPServer(socketserver.ThreadingTCPServer):
             else TermIdMap(index)
         )
         self._thread: threading.Thread | None = None
+        # opt-in micro-batching (distributed mode): concurrent wire
+        # requests arriving within the window are answered by ONE
+        # Spark job (Index.parity_search_many) instead of one each —
+        # the ~0.1-0.5 s scheduling cost amortizes across the batch.
+        # Responses stay byte-identical to per-request answering: the
+        # batched replay runs the same operand protocol with the same
+        # partition_limit over a union scan whose extra rows each
+        # query's replay ignores.
+        self.batch_window_ms = batch_window_ms
+        self._queue: queue.Queue | None = (
+            queue.Queue() if batch_window_ms is not None else None
+        )
+        self._dispatcher: threading.Thread | None = None
+        self._stopping = False
+        self.batch_sizes: list[int] = []  # instrumentation (tests)
 
     # -- protocol ---------------------------------------------------------
+    def submit(self, wire: bytes) -> list[tuple[int, int, int]]:
+        """Handler entry point: per-request :meth:`answer`, or (with
+        ``batch_window_ms``) enqueue and block until the dispatcher's
+        batched job resolves this request."""
+        if self._queue is None:
+            return self.answer(wire)
+        fut: Future = Future()
+        self._queue.put((wire, fut))
+        return fut.result(timeout=120)
+
+    def _resolve(self, tid: int) -> str:
+        # unknown term ids -> a sentinel token that matches nothing
+        # (the reference's NullOperand, `memorysegment.chpl:316`)
+        return self.term_ids.term_of(tid) or f"zzxq{tid}zzxq"
+
+    def _dispatch_loop(self) -> None:
+        assert self._queue is not None
+        while not self._stopping:
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.batch_window_ms / 1000.0
+            while True:
+                rem = deadline - time.monotonic()
+                if rem <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=rem))
+                except queue.Empty:
+                    break
+            self._answer_batch(batch)
+
+    def _answer_batch(self, batch) -> None:
+        # a malformed wire must fail only ITS request, not the batch
+        nodes, futs = {}, {}
+        for i, (wire, fut) in enumerate(batch):
+            try:
+                nodes[i] = chasm_wire.wire_to_ast(wire, self._resolve)
+                futs[i] = fut
+            except Exception as exc:  # noqa: BLE001 — forwarded
+                fut.set_exception(exc)
+        if not nodes:
+            return
+        try:
+            results = self.index.parity_search_many(
+                nodes, partition_limit=chasm_wire.MAX_RECORDS
+            )
+            self.batch_sizes.append(len(nodes))
+            for i, fut in futs.items():
+                rows = results[i][:chasm_wire.MAX_RECORDS]
+                fut.set_result(
+                    [
+                        (self.term_ids.id_of(t), int(p), int(d))
+                        for t, p, d in rows
+                    ]
+                )
+        except Exception as exc:  # noqa: BLE001 — forwarded
+            for fut in futs.values():
+                if not fut.done():
+                    fut.set_exception(exc)
+
     def answer(self, wire: bytes) -> list[tuple[int, int, int]]:
         """Wire request -> occurrence records (term_id, pos, doc_id).
 
         Unknown term ids resolve to a sentinel token that matches
         nothing — the reference returns the NullOperand for missing
         terms (`memorysegment.chpl:316`)."""
-        def resolve(tid: int) -> str:
-            return self.term_ids.term_of(tid) or f"zzxq{tid}zzxq"
-
-        node = chasm_wire.wire_to_ast(wire, resolve)
+        node = chasm_wire.wire_to_ast(wire, self._resolve)
         if self.mode == "distributed":
             # candidate-pruned Spark scan (the collected posting rows
             # are O(query posting bytes), never O(index)).
@@ -245,9 +334,17 @@ class ChearchTCPServer(socketserver.ThreadingTCPServer):
         self._thread = threading.Thread(target=self.serve_forever,
                                         daemon=True)
         self._thread.start()
+        if self._queue is not None:
+            self._dispatcher = threading.Thread(
+                target=self._dispatch_loop, daemon=True
+            )
+            self._dispatcher.start()
 
     def stop(self) -> None:
+        self._stopping = True
         self.shutdown()
         if self._thread:
             self._thread.join(timeout=5)
+        if self._dispatcher:
+            self._dispatcher.join(timeout=5)
         self.server_close()

@@ -221,3 +221,95 @@ def test_distributed_serving_mode(spark, tmp_path_factory):
 
     with pytest.raises(ValueError):
         ChearchTCPServer(ix, mode="nope")
+
+
+def test_parity_search_many_matches_per_query(served_index):
+    """parity_search_many == N x parity_search, row for row, on every
+    operand shape and with the wire partition_limit."""
+    ix = served_index.index
+    qs = {
+        "t": Term("alpha"),
+        "and": And(Term("alpha"), Term("beta")),
+        "or": Or(Term("alpha"), Term("delta")),
+        "miss": Term("zz_not_a_term_zz"),
+    }
+    for pl in (None, chasm_wire.MAX_RECORDS):
+        batched = ix.parity_search_many(qs, partition_limit=pl)
+        for name, node in qs.items():
+            assert batched[name] == ix.parity_search(
+                node, partition_limit=pl
+            ), (name, pl)
+
+
+def test_serving_micro_batch(spark, tmp_path_factory):
+    """batch_window_ms (r5 verdict #8): N concurrent wire requests
+    within the window are served by ONE batched Spark job
+    (parity_search_many called once, per-request parity_search never),
+    with responses byte-identical to the unbatched distributed mode;
+    the flag refuses local mode."""
+    import threading
+
+    rows = [
+        (10, "alpha beta gamma"),
+        (15, "beta delta"),
+        (20, "alpha beta alpha"),
+        (25, "gamma delta epsilon"),
+    ]
+    out = str(tmp_path_factory.mktemp("srv_batch_ix"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    build_index(spark, df, out, num_segments=2, resume=False)
+    ix = Index(spark, out)
+
+    with pytest.raises(ValueError, match="distributed"):
+        ChearchTCPServer(ix, mode="local", batch_window_ms=10)
+
+    terms = ["alpha", "beta", "delta", "epsilon"]
+    # reference: unbatched distributed responses
+    ref_srv = ChearchTCPServer(ix, mode="distributed")
+    ref_srv.start()
+    try:
+        wires = {
+            t: bytes([5, 1]) + struct.pack(">I", ref_srv.term_ids.id_of(t))
+            for t in terms
+        }
+        want = {t: _ask(ref_srv.port, w) for t, w in wires.items()}
+    finally:
+        ref_srv.stop()
+
+    srv = ChearchTCPServer(ix, mode="distributed", batch_window_ms=1000)
+    calls = {"many": 0, "single": 0}
+    orig_many, orig_one = ix.parity_search_many, ix.parity_search
+
+    def spy_many(qs, *a, **k):
+        calls["many"] += 1
+        return orig_many(qs, *a, **k)
+
+    def spy_one(node, *a, **k):
+        calls["single"] += 1
+        return orig_one(node, *a, **k)
+
+    ix.parity_search_many, ix.parity_search = spy_many, spy_one
+    srv.start()
+    try:
+        got: dict[str, list] = {}
+        barrier = threading.Barrier(len(terms))
+
+        def client(t):
+            barrier.wait()
+            got[t] = _ask(srv.port, wires[t])
+
+        threads = [
+            threading.Thread(target=client, args=(t,)) for t in terms
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+    finally:
+        srv.stop()
+        ix.parity_search_many, ix.parity_search = orig_many, orig_one
+
+    assert calls["many"] == 1, f"expected one batched job, got {calls}"
+    assert calls["single"] == 0, "a request fell back to per-query"
+    assert srv.batch_sizes == [len(terms)]
+    assert got == want, "batched responses differ from per-request"
