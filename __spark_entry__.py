@@ -263,6 +263,30 @@ GROUP BY d.{c}"""
 """
 
 
+def _facet_stats_sql(
+    terms: list[str], require: str, cols: list[str], val_col: str
+) -> str:
+    """DuckDB mirror of Index.facet_stats: exact-integer aggregates;
+    avg_v is ONE double division of two exact integers in both
+    engines (a running double sum would be aggregation-order-
+    dependent and hash-unstable)."""
+    ds = _docset_sql(terms, require)
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS facet, CAST(d.{c} AS VARCHAR) AS value,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(d.{val_col}) AS BIGINT) AS min_v,
+       CAST(max(d.{val_col}) AS BIGINT) AS max_v,
+       CAST(sum(d.{val_col}) AS BIGINT) AS sum_v,
+       CAST(sum(d.{val_col}) AS DOUBLE) / count(*) AS avg_v
+FROM documents d JOIN ds ON ds.doc_id = d.doc_id
+GROUP BY d.{c}"""
+        for c in cols
+    )
+    return f"""WITH ds AS (SELECT doc_id FROM ({ds}))
+{branches}
+"""
+
+
 def _docset_sql(
     terms: list[str], require: str, src: str = "documents"
 ) -> str:
@@ -951,7 +975,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     DuckDB comparison, so they keep the same correctness gate — just
     in pytest instead of the driver snapshot.
     """
-    from chearch_spark.plans.query import Term
+    from chearch_spark.plans.query import Term, Wildcard
     from chearch_spark.operators import ann as A
     from chearch_spark.operators import dedup as D
 
@@ -980,6 +1004,26 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         ),
         "window_dup_fraction": lambda s, sf: D.window_dup_fraction(
             _docs(s, sf), n=5
+        ),
+        # Stats facets (r6): exact-integer metric aggregations per
+        # facet value over the matching docs — same size-adaptive
+        # semi-join plan as facet_counts
+        "facet_stats": lambda s, sf: _get_index(s, sf).facet_stats(
+            Term("merge") | Term("dup"),
+            _docs(s, sf),
+            ["lang", "source"],
+            "n_chars",
+        ),
+        # Wildcard glob leaf (r6): '?'/mid-token '*' expanded against
+        # the dictionary; leading-wildcard probe; scored composition
+        "wildcard_match": lambda s, sf: _match(
+            s, sf, Wildcard("s?rt*")
+        ),
+        "wildcard_terms": lambda s, sf: _get_index(s, sf).wildcard_terms(
+            "m*e"
+        ),
+        "bm25_topk_wildcard": lambda s, sf: _search(
+            s, sf, Wildcard("s?rt") | Term("dup")
         ),
         # r6 rotation: multi-green since r1/r2, swapped out of the
         # driver snapshot so the r5 surfaces (facets/fuzzy/snippets/
@@ -1040,6 +1084,40 @@ def pytest_only_oracle_sql() -> dict[str, str]:
         ),
         "window_dup_groups": D.window_dup_groups_sql(n=5),
         "window_dup_fraction": D.window_dup_fraction_sql(n=5),
+        "facet_stats": _facet_stats_sql(
+            ["merge", "dup"],
+            "has_merge = 1 OR has_dup = 1",
+            ["lang", "source"],
+            "n_chars",
+        ),
+        # Wildcard mirrors: glob -> SQL LIKE ('*' -> '%', '?' -> '_';
+        # terms carry only [a-z0-9_], and the chosen patterns have no
+        # literal underscores to escape)
+        "wildcard_match": _BASE_CTE
+        + """
+SELECT DISTINCT doc_id FROM tf WHERE term LIKE 's_rt%'
+""",
+        "wildcard_terms": _BASE_CTE
+        + """
+SELECT term, CAST(df AS BIGINT) AS df FROM dfs WHERE term LIKE 'm%e'
+""",
+        "bm25_topk_wildcard": _BASE_CTE
+        + f"""
+, matched AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * ({_K1} + 1)
+              / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN dfs d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term LIKE 's_rt' OR tf.term = 'dup'
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(matched.score, 6) AS score
+FROM matched ORDER BY matched.score DESC, doc_id ASC LIMIT 10
+""",
         # r6 rotation: the rotated-out driver entries keep their exact
         # oracles
         "term_lookup_missing": _docset_sql(

@@ -9,8 +9,9 @@ Grammar (Lucene-flavored, covers every leaf the engine has):
     prox     :=  atom ( NEAR[/k] atom )?      # proximity -> Near
     atom     :=  '(' query ')' | phrase | word
     phrase   :=  '"' token+ '"' -> Phrase(tokens)
-    word     :=  token '*'  -> Prefix(token)
+    word     :=  token '*'  -> Prefix(token)     # trailing-only star
               |  token '~'  -> Fuzzy(token)
+              |  glob       -> Wildcard(glob)    # '*'/'?' elsewhere
               |  token      -> Term(token)
 
 ``AND`` / ``OR`` / ``NOT`` / ``NEAR`` keywords are case-insensitive;
@@ -51,6 +52,7 @@ from chearch_spark.plans.query import (
     Phrase,
     Prefix,
     Term,
+    Wildcard,
 )
 
 # token / operator lexer: quoted phrases, parens, and bare word tokens
@@ -210,8 +212,20 @@ class _Parser:
             return node
         if t == ")":
             raise QueryParseError("unbalanced ')'")
-        if t.endswith("*") and len(t) > 1:
+        if (
+            t.endswith("*")
+            and len(t) > 1
+            and "*" not in t[:-1]
+            and "?" not in t
+        ):
             return Prefix(t[:-1])
+        if "*" in t or "?" in t:
+            if not t.replace("*", "").replace("?", ""):
+                raise QueryParseError(
+                    f"bare wildcard {t!r} would match the entire "
+                    "vocabulary"
+                )
+            return Wildcard(t)
         if t.endswith("~") and len(t) > 1:
             return Fuzzy(t[:-1])
         return Term(t)

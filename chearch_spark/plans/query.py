@@ -152,6 +152,26 @@ MAX_PREFIX_EXPANSION = 4096
 
 
 @dataclass(frozen=True)
+class Wildcard(Node):
+    """General glob leaf (e.g. ``Wildcard("m*ge")``): ``*`` matches
+    any run of token characters (including none), ``?`` exactly one.
+    Expanded against the index dictionary into an OR of matching
+    terms at query time — a literal prefix before the first wildcard
+    range-prunes the dictionary probe; a LEADING wildcard scans the
+    vocabulary (never the corpus), the same honest shape as the fuzzy
+    probe.  Same TooManyClauses discipline as :class:`Prefix`
+    (wildcard matches are unranked, so a cap must raise, not silently
+    truncate).  ``Prefix(p)`` is exactly ``Wildcard(p + "*")`` with a
+    cheaper probe.  Extension — the reference has exact term ids
+    only."""
+
+    pattern: str
+
+    def _terms(self):
+        yield from ()  # resolved during expansion, not term lookup
+
+
+@dataclass(frozen=True)
 class Fuzzy(Node):
     """Fuzzy-term leaf (e.g. ``Fuzzy("merg")``), expanded against the
     index dictionary into an OR of terms within edit distance 1 —
@@ -182,7 +202,7 @@ def scoring_terms(node: Node) -> list[str]:
         return scoring_terms(node.a)
     if isinstance(node, (Phrase, Near)):
         return node.terms()
-    if isinstance(node, (Prefix, Fuzzy)):
+    if isinstance(node, (Prefix, Fuzzy, Wildcard)):
         return []
     raise TypeError(node)
 
@@ -202,7 +222,7 @@ def to_postfix(node: Node) -> list[tuple]:
             walk(n.b)
             walk(n.a)
             out.append(("AND",) if isinstance(n, And) else ("OR",))
-        elif isinstance(n, (Diff, Prefix, Fuzzy, Phrase, Near)):
+        elif isinstance(n, (Diff, Prefix, Fuzzy, Wildcard, Phrase, Near)):
             raise ValueError(
                 f"{type(n).__name__} is an engine extension with no "
                 "opcode in the reference's 4-op wire format"

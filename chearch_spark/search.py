@@ -51,6 +51,7 @@ from chearch_spark.plans.query import (
     Phrase,
     Prefix,
     Term,
+    Wildcard,
     all_terms_required,
     conjunctive_terms,
     disjunctive_terms,
@@ -121,6 +122,25 @@ def _normalize(node: Node) -> Node:
         if not q or spec.tokenize(q) != [q]:
             raise ValueError(f"fuzzy term {node.term!r} is not a token")
         return Fuzzy(q)
+    if isinstance(node, Wildcard):
+        p = node.pattern.lower()
+        lit = p.replace("*", "").replace("?", "")
+        if len(lit) == len(p):
+            raise ValueError(
+                f"wildcard {node.pattern!r} has no '*' or '?' — use a "
+                "plain Term"
+            )
+        if not lit:
+            raise ValueError(
+                f"wildcard {node.pattern!r} has no literal characters "
+                "(it would match the entire vocabulary)"
+            )
+        if spec.tokenize(lit) != [lit]:
+            raise ValueError(
+                f"wildcard {node.pattern!r} literals are not token "
+                "characters"
+            )
+        return Wildcard(p)
     raise TypeError(node)
 
 
@@ -132,6 +152,33 @@ _IMPOSSIBLE = Term("-impossible-")
 # driver-side (one pyarrow (term, df) read + the two-pointer check);
 # larger ones use the distributed fuzzy_terms probe
 FUZZY_DRIVER_DICT_BYTES = 8 << 20
+
+
+def _wildcard_regex(pattern: str) -> str:
+    """Anchored regex for a wildcard glob: ``*`` -> any run of token
+    chars, ``?`` -> one token char (terms are [a-z0-9_]+, so the
+    classes are explicit rather than ``.``).  Literal runs are
+    re.escape'd.  Same regex string works for Python ``re`` and
+    Spark's Java ``rlike``."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("[a-z0-9_]*")
+        elif ch == "?":
+            out.append("[a-z0-9_]")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def _wildcard_literal_prefix(pattern: str) -> str:
+    """Literal run before the first wildcard char ('' if it leads)."""
+    for i, ch in enumerate(pattern):
+        if ch in "*?":
+            return pattern[:i]
+    return pattern
 
 
 def _within_one_edit(a: str, b: str) -> bool:
@@ -163,6 +210,23 @@ _TOMB_BROADCAST_THRESHOLD = 100_000
 # shuffle (the id set is a Python-kernel output whose size Catalyst
 # can only estimate — see Index.facet_counts)
 _FACET_BROADCAST_THRESHOLD = 500_000
+
+
+def _facet_pairs(cols: list[str]):
+    """(facet, value) struct array for the single melt explode shared
+    by facet_counts / facet_stats — one explode regardless of facet
+    count.  NULL values pass through (count under NULL, like SQL)."""
+    from pyspark.sql import functions as F
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("facet"),
+                F.col(c).cast("string").alias("value"),
+            )
+            for c in cols
+        ]
+    )
 
 
 def _resolve_tomb(t) -> np.ndarray:
@@ -420,6 +484,91 @@ class Index:
             )
         return terms
 
+    def wildcard_terms(self, pattern: str):
+        """Wildcard dictionary probe: every indexed term matching the
+        glob ``pattern`` (``*`` = any run of token chars, ``?`` =
+        exactly one) — (term, df) DataFrame.
+
+        Plan: one narrow (term, df) scan of the range-partitioned
+        dictionary with an anchored-regex filter (pure Catalyst
+        ``rlike``, no kernel) — vocabulary-sized, never corpus-sized,
+        exactly the fuzzy probe's shape.  A literal prefix before the
+        first wildcard is ALSO pushed as a range predicate, so the
+        scan prunes to the prefix's part files/row groups (a leading
+        wildcard honestly scans the whole vocabulary — no index order
+        can serve ``*ort``)."""
+        from pyspark.sql import functions as F
+
+        pat = pattern.lower()
+        d = self.spark.read.parquet(self.dict_dir).select("term", "df")
+        lead = _wildcard_literal_prefix(pat)
+        if lead:
+            hi = lead[:-1] + chr(ord(lead[-1]) + 1)
+            d = d.filter(
+                (F.col("term") >= lead) & (F.col("term") < hi)
+            )
+        return d.filter(
+            F.col("term").rlike(_wildcard_regex(pat))
+        ).select("term", F.col("df").cast("long").alias("df"))
+
+    def _wildcard_expansion_terms(self, pattern: str) -> list[str]:
+        """Expansion list for a Wildcard leaf — sorted, CAPPED at
+        ``MAX_PREFIX_EXPANSION`` with the same raise-don't-truncate
+        discipline as Prefix (wildcard matches are unranked).
+
+        Prefix-anchored patterns probe only the part files whose term
+        range intersects (driver-side pyarrow, like Prefix); leading
+        wildcards over a dictionary small enough to read driver-side
+        (``FUZZY_DRIVER_DICT_BYTES``) scan it with pyarrow, larger
+        ones run the distributed :meth:`wildcard_terms` probe."""
+        import re as _re
+
+        import pyarrow.dataset as ds
+
+        pat = pattern.lower()
+        rx = _re.compile(_wildcard_regex(pat))
+        lead = _wildcard_literal_prefix(pat)
+        if lead:
+            hi = lead[:-1] + chr(ord(lead[-1]) + 1)
+            files = self._dict_files_for_range(lead, hi)
+            if not files:
+                return []
+            table = ds.dataset(files, format="parquet").to_table(
+                filter=(ds.field("term") >= lead)
+                & (ds.field("term") < hi),
+                columns=["term"],
+            )
+            terms = sorted(
+                t for t in table.column("term").to_pylist() if rx.fullmatch(t)
+            )
+        else:
+            files = sorted(
+                os.path.join(self.dict_dir, f)
+                for f in os.listdir(self.dict_dir)
+                if f.endswith(".parquet")
+            )
+            total = sum(os.path.getsize(f) for f in files)
+            if total <= FUZZY_DRIVER_DICT_BYTES:
+                table = ds.dataset(files, format="parquet").to_table(
+                    columns=["term"]
+                )
+                terms = sorted(
+                    t
+                    for t in table.column("term").to_pylist()
+                    if rx.fullmatch(t)
+                )
+            else:
+                terms = sorted(
+                    r.term for r in self.wildcard_terms(pat).collect()
+                )
+        if len(terms) > MAX_PREFIX_EXPANSION:
+            raise ValueError(
+                f"wildcard {pattern!r} expands to {len(terms)} dictionary "
+                f"terms (> MAX_PREFIX_EXPANSION={MAX_PREFIX_EXPANSION}); "
+                "narrow the pattern"
+            )
+        return terms
+
     def fuzzy_terms(self, query: str, max_edits: int = 1):
         """Fuzzy dictionary probe: every indexed term within
         ``max_edits`` (1) of ``query`` — (term, df, dist) DataFrame.
@@ -529,6 +678,14 @@ class Index:
             for t in terms[1:]:
                 out2 = Or(out2, Term(t))
             return out2
+        if isinstance(node, Wildcard):
+            terms = self._wildcard_expansion_terms(node.pattern)
+            if not terms:
+                return _IMPOSSIBLE
+            out3: Node = Term(terms[0])
+            for t in terms[1:]:
+                out3 = Or(out3, Term(t))
+            return out3
         if isinstance(node, And):
             return And(self._expand(node.a), self._expand(node.b))
         if isinstance(node, Or):
@@ -1420,6 +1577,26 @@ class Index:
         size-adaptive pattern as ``tombstones.gc_tombstones``)."""
         from pyspark.sql import functions as F
 
+        joined = self._facet_matched(query, meta, id_col, broadcast_threshold)
+        return (
+            joined.select(F.explode(_facet_pairs(cols)).alias("fv"))
+            .select("fv.facet", "fv.value")
+            .groupBy("facet", "value")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+        )
+
+    def _facet_matched(
+        self,
+        query,
+        meta: "DataFrame",
+        id_col: str,
+        broadcast_threshold: int | None,
+    ):
+        """The facet family's shared front half: metadata rows of the
+        documents matching ``query`` via ONE explicitly size-adaptive
+        semi-join (docstring rationale in :meth:`facet_counts`)."""
+        from pyspark.sql import functions as F
+
         node = self._prep(query)
         bound = self._match_upper_bound(node)
         ids = self.match_docs(node).select(
@@ -1431,23 +1608,52 @@ class Index:
             ids = F.broadcast(ids)
         else:
             ids = ids.hint("shuffle_hash")
-        joined = meta.join(
+        return meta.join(
             ids, meta[id_col] == F.col("__fid"), "left_semi"
         )
-        pairs = F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("facet"),
-                    F.col(c).cast("string").alias("value"),
-                )
-                for c in cols
-            ]
-        )
+
+    def facet_stats(
+        self,
+        query: Node | str,
+        meta: "DataFrame",
+        cols: list[str],
+        val_col: str,
+        id_col: str = "doc_id",
+        broadcast_threshold: int | None = None,
+    ):
+        """Stats facets (the Solr stats-facet / Elasticsearch
+        metric-aggregation surface): per facet value, statistics of
+        the integer column ``val_col`` over the documents matching
+        ``query`` — (facet, value, n_docs, min_v, max_v, sum_v,
+        avg_v).
+
+        Same plan as :meth:`facet_counts` — one explicitly
+        size-adaptive semi-join + one melted map-side-combined groupBy
+        for ALL facets.  Every aggregate is EXACT-INTEGER except
+        ``avg_v``, computed as one double division of two exact
+        integers — engine-portable (a running double sum's value
+        depends on aggregation order, which a cross-engine hash gate
+        cannot tolerate; sum-then-divide does not)."""
+        from pyspark.sql import functions as F
+
+        joined = self._facet_matched(query, meta, id_col, broadcast_threshold)
         return (
-            joined.select(F.explode(pairs).alias("fv"))
-            .select("fv.facet", "fv.value")
+            joined.select(
+                F.explode(_facet_pairs(cols)).alias("fv"),
+                F.col(val_col).cast("long").alias("__v"),
+            )
+            .select("fv.facet", "fv.value", "__v")
             .groupBy("facet", "value")
-            .agg(F.count("*").cast("long").alias("n_docs"))
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.min("__v").alias("min_v"),
+                F.max("__v").alias("max_v"),
+                F.sum("__v").alias("sum_v"),
+            )
+            .withColumn(
+                "avg_v",
+                F.col("sum_v").cast("double") / F.col("n_docs"),
+            )
         )
 
     def search_with_snippets(

@@ -316,6 +316,33 @@ def main() -> None:
     )
     print("OK  fuzzy probe: no shuffle, (term, df)-only dictionary scan")
 
+    # Wildcard dictionary probe (r6): same zero-exchange
+    # vocabulary-sized shape as fuzzy, PLUS the literal prefix pushed
+    # as a term range so a prefix-anchored glob prunes the
+    # range-partitioned dictionary's part files/row groups
+    wc = ix.wildcard_terms("mer*e")
+    p = plan_of(wc)
+    assert "Exchange" not in p, "wildcard: unexpected shuffle"
+    assert "GreaterThanOrEqual(term,mer" in p and "LessThan(term," in p, (
+        "wildcard: literal prefix not pushed as a range predicate"
+    )
+    wc_scans = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert wc_scans and all(
+        "term" in ln and "cf" not in ln and "segs" not in ln
+        for ln in wc_scans
+    ), "wildcard: dictionary scan reads more than (term, df)"
+    sections.append(
+        (
+            "Wildcard dictionary probe (glob expansion)",
+            p,
+            [("zero exchanges; (term, df)-only ReadSchema; literal "
+              "prefix pushed as a term range (all asserted) — a "
+              "leading wildcard honestly scans the vocabulary, never "
+              "the corpus", "—")],
+        )
+    )
+    print("OK  wildcard probe: no shuffle, range-pruned dictionary scan")
+
     # SQ8 top-k: bounds (1 row) and query vectors broadcast; the
     # corpus is projected (encode+decode JVM transforms) but NEVER
     # shuffled — no hashpartitioning of corpus rows before the

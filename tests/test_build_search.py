@@ -334,6 +334,67 @@ def test_diff_and_prefix_extensions(index, oracle):
         index.search(Prefix("not a token"), k=5)
 
 
+def test_wildcard_extension(index):
+    """Wildcard glob leaf (r6): dictionary-expanded like Prefix, with
+    mid-token '*', single-char '?', and leading-wildcard support; the
+    string form routes through the parser; expansions over the cap
+    raise."""
+    import pytest as _pytest
+
+    from chearch_spark import search as S
+    from chearch_spark.plans.query import Prefix, Wildcard
+
+    # a trailing-star wildcard is exactly the Prefix expansion
+    via_prefix = {r.doc_id for r in index.match_docs(Prefix("mer")).collect()}
+    via_wild = {
+        r.doc_id for r in index.match_docs(Wildcard("mer*")).collect()
+    }
+    assert via_wild == via_prefix
+
+    # '?' = exactly one char; leading '*' scans the vocabulary
+    sort_docs = {r.doc_id for r in index.match_docs(Term("sort")).collect()}
+    assert {
+        r.doc_id for r in index.match_docs(Wildcard("s?rt")).collect()
+    } >= sort_docs
+    lead = {r.doc_id for r in index.match_docs(Wildcard("*ort")).collect()}
+    assert lead >= sort_docs
+
+    # expansion set == the distributed wildcard_terms probe
+    exp = index._wildcard_expansion_terms("m*e")
+    probe = sorted(r.term for r in index.wildcard_terms("m*e").collect())
+    assert exp == probe and all(
+        t.startswith("m") and t.endswith("e") for t in exp
+    )
+
+    # string form routes through the parser to the same node
+    got_str = index.match_docs("m*e").count()
+    assert got_str == index.match_docs(Wildcard("m*e")).count()
+
+    # scored form: identical to the hand-built OR of the expansion
+    or_node = Term(exp[0])
+    for t in exp[1:]:
+        or_node = or_node | Term(t)
+    assert [
+        (r.doc_id, round(r.score, 9))
+        for r in index.search(Wildcard("m*e"), k=10).collect()
+    ] == [
+        (r.doc_id, round(r.score, 9))
+        for r in index.search(or_node, k=10).collect()
+    ]
+
+    # no matches degrade to the empty result, not an error
+    assert index.match_docs(Wildcard("zzq*x")).count() == 0
+
+    # cap discipline: raise, never truncate
+    old = S.MAX_PREFIX_EXPANSION
+    S.MAX_PREFIX_EXPANSION = 0
+    try:
+        with _pytest.raises(ValueError, match="expands to"):
+            index.match_docs(Wildcard("m*e")).count()
+    finally:
+        S.MAX_PREFIX_EXPANSION = old
+
+
 def test_phrase_match(spark, tmp_path_factory):
     """Positions-based exact phrase matching, incl. duplicate-term
     phrases and the 255-position cap."""

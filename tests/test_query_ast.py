@@ -1,5 +1,7 @@
 """Query AST <-> postfix parity (chasm.chpl stack semantics)."""
 
+import pytest
+
 from chearch_spark.plans.query import (
     And,
     Or,
@@ -153,3 +155,52 @@ def test_positional_helpers():
     for node in (p, n):
         with pytest.raises(ValueError):
             to_postfix(node)
+
+
+def test_parse_query_wildcard_grammar():
+    from chearch_spark.plans.parser import QueryParseError, parse_query
+    from chearch_spark.plans.query import Prefix, Term, Wildcard
+
+    # trailing single star stays a Prefix (back-compat, cheaper probe)
+    assert parse_query("mer*") == Prefix("mer")
+    # any other '*'/'?' placement is a Wildcard leaf
+    assert parse_query("m*ge") == Wildcard("m*ge")
+    assert parse_query("*ort") == Wildcard("*ort")
+    assert parse_query("s?rt") == Wildcard("s?rt")
+    assert parse_query("s?rt*") == Wildcard("s?rt*")
+    assert parse_query("m*e OR dup") == (Wildcard("m*e") | Term("dup"))
+    # all-wildcard patterns match everything -> rejected at parse
+    for bad in ("*", "***", "?", "*?"):
+        with pytest.raises(QueryParseError, match="bare wildcard"):
+            parse_query(bad)
+
+
+def test_wildcard_normalize_validation():
+    from chearch_spark.search import _normalize
+    from chearch_spark.plans.query import Wildcard
+
+    assert _normalize(Wildcard("M*GE")) == Wildcard("m*ge")
+    with pytest.raises(ValueError, match="no '\\*' or '\\?'"):
+        _normalize(Wildcard("plain"))
+    with pytest.raises(ValueError, match="no literal"):
+        _normalize(Wildcard("*?*"))
+    with pytest.raises(ValueError, match="not token"):
+        _normalize(Wildcard("a.b*"))
+
+
+def test_wildcard_regex_helpers():
+    import re
+
+    from chearch_spark.search import (
+        _wildcard_literal_prefix,
+        _wildcard_regex,
+    )
+
+    rx = re.compile(_wildcard_regex("m*g?"))
+    assert rx.fullmatch("merge")
+    assert rx.fullmatch("mga")
+    assert not rx.fullmatch("mg")       # '?' needs exactly one char
+    assert not rx.fullmatch("xmerge")   # anchored
+    assert _wildcard_literal_prefix("mer*") == "mer"
+    assert _wildcard_literal_prefix("*ort") == ""
+    assert _wildcard_literal_prefix("a?b") == "a"
