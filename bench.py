@@ -41,7 +41,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from chearch_spark.build import build_index
-    from chearch_spark.plans.query import Term
+    from chearch_spark.plans.query import Term, Wildcard
     from chearch_spark.search import Index
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -66,6 +66,7 @@ def main() -> None:
     ).count()
 
     out = tempfile.mkdtemp(prefix="chearch_bench_ix_")
+    ivfpq_dir: str | None = None
     timings: dict[str, float] = {}
     try:
         t0 = time.time()
@@ -191,7 +192,20 @@ def main() -> None:
                 },
                 k=k,
             ).count(),
+            # wildcard: dictionary glob expansion + the expanded search
+            "p_wildcard": lambda: ix.search(
+                Wildcard("s?rt") | Term("dup"), k=k
+            ).count(),
         }
+        # persisted IVFADC+R serving (r6): codes-only probed-cell scan
+        # + exact sidecar rerank of the 4k shortlist.  The build is
+        # untimed (a one-time index cost, like `out` above).
+        ivfpq_dir = tempfile.mkdtemp(prefix="chearch_bench_ivfpq_")
+        A.ivf_build(emb, ivfpq_dir, n_centroids=16, pq_m=A.PQ_M)
+        pipeline["p_ivfadc_rerank"] = lambda: A.ivf_query(
+            spark, ivfpq_dir, [0, 1, 2, 3, 4], k=k, n_probe=8,
+            adc=True, rerank=4 * k,
+        ).count()
         for name, fn in pipeline.items():
             fn()  # first run pays Janino codegen for the wide exprs
             best = None
@@ -280,6 +294,8 @@ def main() -> None:
         sys.stdout.flush()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+        if ivfpq_dir:
+            shutil.rmtree(ivfpq_dir, ignore_errors=True)
         spark.stop()
 
 
