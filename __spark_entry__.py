@@ -287,6 +287,23 @@ GROUP BY d.{c}"""
 """
 
 
+def _facet_range_sql(
+    terms: list[str], require: str, val_col: str, start: int, width: int
+) -> str:
+    """DuckDB mirror of Index.facet_range: the bucket is one double
+    division of exact integers, floored — identical in both engines
+    below 2^53 (the facet_stats.avg_v portability discipline)."""
+    ds = _docset_sql(terms, require)
+    b = f"floor((d.{val_col} - {start}) / {width})"
+    return f"""WITH ds AS (SELECT doc_id FROM ({ds}))
+SELECT CAST({start} + {b} * {width} AS BIGINT) AS lo,
+       CAST({start} + ({b} + 1) * {width} AS BIGINT) AS hi,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN ds ON ds.doc_id = d.doc_id
+GROUP BY 1, 2
+"""
+
+
 def _docset_sql(
     terms: list[str], require: str, src: str = "documents"
 ) -> str:
@@ -1067,6 +1084,21 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # hit ids push into the corpus scan, the expanded scoring
         # terms feed the snippet match expression.
         "search_snippets": _search_snippets_query,
+        # Prefix autocomplete (r6): df-ranked top-k dictionary terms,
+        # prefix range pushed into the scan, TakeOrderedAndProject
+        "suggest_terms": lambda s, sf: _get_index(s, sf).suggest(
+            "s", k=8
+        ),
+        # Range facets (r6): fixed-width histogram of an integer
+        # column over the matching docs — same size-adaptive semi-join
+        # + single map-side-combined groupBy as the facet family
+        "facet_range": lambda s, sf: _get_index(s, sf).facet_range(
+            Term("merge") | Term("dup"),
+            _docs(s, sf),
+            "n_chars",
+            0,
+            100,
+        ),
     }
 
 
@@ -1153,5 +1185,20 @@ FROM matched ORDER BY matched.score DESC, doc_id ASC LIMIT 10
         "search_snippets": _search_snippets_sql(
             ["merge", "sort", "dup"],
             "(has_merge = 1 AND has_sort = 1) OR has_dup = 1",
+        ),
+        # df-ranked prefix autocomplete: the dictionary IS dfs in the
+        # mirror; ties break (df desc, term asc) in both engines
+        "suggest_terms": _BASE_CTE
+        + """
+SELECT term, CAST(df AS BIGINT) AS df FROM dfs
+WHERE term >= 's' AND term < 't'
+ORDER BY df DESC, term ASC LIMIT 8
+""",
+        "facet_range": _facet_range_sql(
+            ["merge", "dup"],
+            "has_merge = 1 OR has_dup = 1",
+            "n_chars",
+            0,
+            100,
         ),
     }

@@ -511,6 +511,41 @@ class Index:
             F.col("term").rlike(_wildcard_regex(pat))
         ).select("term", F.col("df").cast("long").alias("df"))
 
+    def suggest(self, prefix: str, k: int = 8):
+        """Prefix autocomplete (the Lucene/ES completion-suggester
+        surface over the reference's exact-term-only dictionary,
+        `genhashkey32.chpl:7-31`): the top-``k`` indexed terms starting
+        with ``prefix``, ranked by document frequency — (term, df)
+        DataFrame ordered (df desc, term asc; the deterministic
+        tie-break every ranked surface here uses).
+
+        Plan: one narrow (term, df) scan of the range-partitioned
+        dictionary with the prefix RANGE pushed down (terms are
+        [a-z0-9_]+, so bumping the last code point gives an exclusive
+        upper bound — only the part files/row groups whose term range
+        intersects are read), then orderBy+limit, which Spark plans as
+        TakeOrderedAndProject: per-partition top-k below the gather,
+        k rows over the wire.  Vocabulary-sized, never corpus-sized;
+        no cap needed — unlike the unranked Prefix/Wildcard
+        expansions, a ranked LIMIT is the semantics, not a
+        truncation."""
+        from pyspark.sql import functions as F
+
+        p = spec.normalize_term(prefix)
+        if p != prefix.lower():
+            raise ValueError(
+                f"suggest prefix {prefix!r} normalizes to {p!r}; pass "
+                "a plain token prefix"
+            )
+        hi = p[:-1] + chr(ord(p[-1]) + 1)
+        d = self.spark.read.parquet(self.dict_dir).select("term", "df")
+        return (
+            d.filter((F.col("term") >= p) & (F.col("term") < hi))
+            .select("term", F.col("df").cast("long").alias("df"))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(int(k))
+        )
+
     def _wildcard_expansion_terms(self, pattern: str) -> list[str]:
         """Expansion list for a Wildcard leaf — sorted, CAPPED at
         ``MAX_PREFIX_EXPANSION`` with the same raise-don't-truncate
@@ -1654,6 +1689,53 @@ class Index:
                 "avg_v",
                 F.col("sum_v").cast("double") / F.col("n_docs"),
             )
+        )
+
+    def facet_range(
+        self,
+        query: Node | str,
+        meta: "DataFrame",
+        val_col: str,
+        start: int,
+        width: int,
+        id_col: str = "doc_id",
+        broadcast_threshold: int | None = None,
+    ):
+        """Range facets (the Solr ``facet.range`` / Elasticsearch
+        histogram-aggregation surface): fixed-width interval counts of
+        the integer column ``val_col`` over the documents matching
+        ``query`` — (lo, hi, n_docs) where ``lo = start +
+        floor((v - start) / width) * width`` and ``hi = lo + width``
+        (half-open [lo, hi) buckets; values below ``start`` land in
+        negative buckets via floor semantics, never silently clip).
+        Empty buckets are absent — sparse output, like an ES histogram
+        with min_doc_count=1 — so bucket CARDINALITY, not the domain,
+        bounds the aggregation.  NULL values group under a NULL
+        bucket, like SQL GROUP BY.
+
+        Same plan as :meth:`facet_counts` — one explicitly
+        size-adaptive semi-join (:meth:`_facet_matched` docstring) +
+        one map-side-combined groupBy on the computed bucket.  The
+        bucket arithmetic is one double division of exact integers,
+        floored — identical in any engine for the magnitudes a 64-bit
+        column holds below 2^53 (the same portability discipline as
+        ``facet_stats.avg_v``)."""
+        from pyspark.sql import functions as F
+
+        start, width = int(start), int(width)
+        if width <= 0:
+            raise ValueError(f"facet_range width must be > 0, got {width}")
+        joined = self._facet_matched(query, meta, id_col, broadcast_threshold)
+        bucket = F.floor(
+            (F.col(val_col).cast("long") - F.lit(start)) / F.lit(width)
+        )
+        return (
+            joined.select(
+                (F.lit(start) + bucket * width).cast("long").alias("lo")
+            )
+            .withColumn("hi", (F.col("lo") + width).cast("long"))
+            .groupBy("lo", "hi")
+            .agg(F.count("*").cast("long").alias("n_docs"))
         )
 
     def search_with_snippets(

@@ -293,6 +293,52 @@ def main() -> None:
     )
     print("OK  faceted search: melted groupBy with map-side partial agg")
 
+    # Range facets: same semi-join front half; the bucket groupBy must
+    # also carry a map-side partial aggregation (shuffle bounded by
+    # bucket cardinality, never docset size)
+    fr = ix.facet_range(
+        Term("merge") | Term("dup"), docs_meta, "n_chars", 0, 100
+    )
+    p = plan_of(fr)
+    assert "partial_count" in p, "facet_range: no map-side partial agg"
+    sections.append(
+        (
+            "Range facets (facet_range)",
+            p,
+            [("one semi-join + one bucket groupBy; map-side "
+              "partial_count asserted (shuffle bounded by bucket "
+              "cardinality)", "—")],
+        )
+    )
+    print("OK  range facets: bucket groupBy with map-side partial agg")
+
+    # Prefix autocomplete: a ranked LIMIT over the dictionary scan —
+    # the prefix range must push into the parquet scan (part-file /
+    # row-group pruning on the range-partitioned dictionary) and the
+    # ranking must plan as TakeOrderedAndProject (per-partition top-k
+    # below the gather), with only (term, df) in the ReadSchema
+    sg = ix.suggest("s", k=8)
+    p = plan_of(sg)
+    assert "TakeOrderedAndProject" in p, "suggest: no top-k plan"
+    assert "GreaterThanOrEqual(term" in p or "IsNotNull(term" in p, (
+        "suggest: prefix range not pushed"
+    )
+    sg_scans = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert sg_scans and all(
+        "term" in ln and "cf" not in ln and "segs" not in ln
+        for ln in sg_scans
+    ), "suggest: dictionary scan reads more than (term, df)"
+    sections.append(
+        (
+            "Prefix autocomplete (suggest)",
+            p,
+            [("prefix range pushed into the dictionary scan; "
+              "TakeOrderedAndProject top-k; (term, df)-only "
+              "ReadSchema", "—")],
+        )
+    )
+    print("OK  suggest: range-pruned dictionary scan + top-k plan")
+
     # Fuzzy dictionary probe: a pure filter+project over the
     # dictionary parquet — vocabulary-sized, ReadSchema carries only
     # (term, df), and there is NO exchange anywhere in the plan (the

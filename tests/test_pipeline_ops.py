@@ -1103,3 +1103,87 @@ def test_facet_counts_semantics(spark, tmp_path_factory):
     assert {
         (r.facet, r.value): r.n_docs for r in bcast.collect()
     } == got
+
+
+def test_facet_range_semantics(spark, tmp_path_factory):
+    """Range facets: half-open [lo, hi) fixed-width buckets with floor
+    semantics (below-start values land in negative buckets), NULLs
+    group under a NULL bucket, empty buckets absent, width<=0
+    raises."""
+    import pytest
+
+    from chearch_spark.build import build_index
+    from chearch_spark.plans.query import Term
+    from chearch_spark.search import Index
+
+    rows = [
+        (0, "alpha beta", 0),     # bucket [0, 50)
+        (1, "alpha gamma", 49),   # bucket [0, 50)
+        (2, "alpha", 50),         # bucket [50, 100)
+        (3, "alpha", -3),         # bucket [-50, 0) — floor, not clip
+        (4, "alpha", None),       # NULL bucket
+        (5, "delta only", 10),    # non-matching: excluded
+    ]
+    meta = spark.createDataFrame(rows, "doc_id long, text string, n int")
+    out = str(tmp_path_factory.mktemp("facet_range_ix"))
+    build_index(
+        spark, meta.select("doc_id", "text"), out,
+        num_segments=2, resume=False,
+    )
+    ix = Index(spark, out)
+    got = {
+        (r.lo, r.hi): r.n_docs
+        for r in ix.facet_range(Term("alpha"), meta, "n", 0, 50).collect()
+    }
+    assert got == {(0, 50): 2, (50, 100): 1, (-50, 0): 1, (None, None): 1}
+
+    # shifted start moves the bucket grid, same floor discipline
+    got = {
+        (r.lo, r.hi): r.n_docs
+        for r in ix.facet_range(Term("alpha"), meta, "n", 40, 10).collect()
+    }
+    assert got[(0, 10)] == 1 and got[(40, 50)] == 1 and got[(50, 60)] == 1
+
+    with pytest.raises(ValueError, match="width"):
+        ix.facet_range(Term("alpha"), meta, "n", 0, 0)
+
+
+def test_suggest_ranking(spark, tmp_path_factory):
+    """Prefix autocomplete: df-ranked (df desc, term asc), k-limited,
+    case-folded input, non-token prefixes raise; the plan is a
+    TakeOrderedAndProject over the range-pruned dictionary scan."""
+    import pytest
+
+    from chearch_spark.build import build_index
+    from chearch_spark.search import Index
+
+    rows = [
+        (0, "apple apply ant"),
+        (1, "apple apply"),
+        (2, "apple banana"),
+        (3, "ant banana"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("suggest_ix"))
+    build_index(spark, docs, out, num_segments=2, resume=False)
+    ix = Index(spark, out)
+
+    # df: apple=3, apply=2, ant=2 — ties (apply/ant at 2) break term asc
+    got = [(r.term, r.df) for r in ix.suggest("a", k=8).collect()]
+    assert got == [("apple", 3), ("ant", 2), ("apply", 2)]
+    # narrower prefix excludes ant; k truncates the ranked list
+    assert [(r.term, r.df) for r in ix.suggest("ap", k=1).collect()] == [
+        ("apple", 3)
+    ]
+    # case-folded like every query path; unknown prefix is empty
+    assert [r.term for r in ix.suggest("APP", k=8).collect()] == [
+        "apple", "apply"
+    ]
+    assert ix.suggest("zz", k=8).count() == 0
+    with pytest.raises(ValueError):
+        ix.suggest("two words")
+
+    plan = (
+        ix.suggest("a", k=8)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, "ranked limit not top-k planned"
