@@ -62,11 +62,15 @@ def _bm25_sql(
     require: str,
     score_terms: list[str] | None = None,
     src: str = "documents",
+    meta_where: str | None = None,
 ) -> str:
     """Top-10 BM25 in DuckDB SQL; `require` filters the doc set (e.g.
     'has_merge AND has_sort' for conjunctions) over per-term flags;
     `score_terms` restricts which terms contribute to the score (Diff
-    queries score the positive side only)."""
+    queries score the positive side only); `meta_where` (alias `fd`
+    over the documents row) adds a metadata filter to the final doc
+    set WITHOUT touching the score — Lucene filter-query semantics,
+    mirroring Index.search_filtered."""
     flags = ",\n         ".join(
         f"max(CASE WHEN tf.term = '{t}' THEN 1 ELSE 0 END) AS has_{t}"
         for t in terms
@@ -88,9 +92,10 @@ def _bm25_sql(
   WHERE tf.term IN ({_sql_terms(terms)})
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(matched.score, 6) AS score
+SELECT matched.doc_id AS doc_id, round(matched.score, 6) AS score
 FROM matched
-WHERE {require}
+{f"JOIN {src} fd ON fd.doc_id = matched.doc_id" if meta_where else ""}
+WHERE ({require}){f" AND ({meta_where})" if meta_where else ""}
 ORDER BY matched.score DESC, doc_id ASC
 LIMIT 10
 """
@@ -285,6 +290,27 @@ GROUP BY d.{c}"""
     return f"""WITH ds AS (SELECT doc_id FROM ({ds}))
 {branches}
 """
+
+
+def _filtered_search_query(mode: str):
+    """Contract shape for Index.search_filtered with the plan forced
+    to one of its two paths (both must match the SAME oracle)."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from chearch_spark.plans.query import Term
+
+        ix = _get_index(spark, sf_dir)
+        return ix.search_filtered(
+            Term("merge") | Term("dup"),
+            _docs(spark, sf_dir),
+            "n_chars >= 400",
+            k=10,
+            mode=mode,
+        ).select("doc_id", F.round("score", 6).alias("score"))
+
+    return q
 
 
 def _facet_range_sql(
@@ -1099,6 +1125,12 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
             0,
             100,
         ),
+        # Filtered search (r6, Lucene fq semantics): metadata predicate
+        # restricts the doc set, scores stay global.  Both plans under
+        # the same oracle: kernel (include-set shipped into the scoring
+        # kernels) and join (full scored emission + shuffle semi-join)
+        "filtered_search": _filtered_search_query("kernel"),
+        "filtered_search_join": _filtered_search_query("join"),
     }
 
 
@@ -1200,5 +1232,18 @@ ORDER BY df DESC, term ASC LIMIT 8
             "n_chars",
             0,
             100,
+        ),
+        # one oracle text, two engine plans — the filter joins the
+        # documents row AFTER scoring, so the score expression is the
+        # plain bm25_topk_or one (filter-query semantics)
+        "filtered_search": _bm25_sql(
+            ["merge", "dup"],
+            "has_merge = 1 OR has_dup = 1",
+            meta_where="fd.n_chars >= 400",
+        ),
+        "filtered_search_join": _bm25_sql(
+            ["merge", "dup"],
+            "has_merge = 1 OR has_dup = 1",
+            meta_where="fd.n_chars >= 400",
         ),
     }

@@ -211,6 +211,13 @@ _TOMB_BROADCAST_THRESHOLD = 100_000
 # can only estimate — see Index.facet_counts)
 _FACET_BROADCAST_THRESHOLD = 500_000
 
+# search_filtered collects+ships the allowed-id set into the scoring
+# kernels only while the filter's TRUE match count (probed with an
+# early-terminating limit, never estimated) stays at or below this —
+# 1M int64s is ~8 MB, a cheap one-time Spark broadcast; above it the
+# broad-filter plan (full scored emission + shuffle semi-join) wins
+_FILTER_COLLECT_THRESHOLD = 1_000_000
+
 
 def _facet_pairs(cols: list[str]):
     """(facet, value) struct array for the single melt explode shared
@@ -232,6 +239,14 @@ def _facet_pairs(cols: list[str]):
 def _resolve_tomb(t) -> np.ndarray:
     """Kernel-side unwrap of :meth:`Index._tomb_handle`'s result."""
     return t.value if hasattr(t, "value") else t
+
+
+def _resolve_include(h):
+    """Kernel-side unwrap of a filtered-search include-set handle
+    (None, ndarray, or Spark broadcast — same shapes as tombstones)."""
+    if h is None:
+        return None
+    return h.value if hasattr(h, "value") else h
 
 
 class _ByteLRU:
@@ -1062,12 +1077,42 @@ class Index:
         duplicate external ids — from exactly the hit segments' docmap
         files)."""
         node = self._prep(query)
+        local = self._scored_local(node, k, with_seg=with_seg)
+        from pyspark.sql import functions as F
+
+        # global gather: TakeOrderedAndProject (single exchange).  The
+        # with_seg form refines ties on (seg_id, doc_index): duplicate
+        # external ids can tie on BOTH (score, doc_id), and without a
+        # total order the survivor at the k boundary — and hence its
+        # per-hit metadata — would depend on partition encounter order
+        order = [F.desc("score"), F.asc("doc_id")]
+        if with_seg:
+            order += [F.asc("seg_id"), F.asc("doc_index")]
+        return local.orderBy(*order).limit(k)
+
+    def _scored_local(
+        self,
+        node: Node,
+        k: int | None,
+        with_seg: bool = False,
+        include_h=None,
+    ):
+        """Per-segment scored matches of a PREPPED query tree — the
+        shared kernel half of :meth:`search` and
+        :meth:`search_filtered`: the term-pruned segment scan with one
+        Arrow kernel per segment.  ``k`` bounds each segment's local
+        top-k; ``k=None`` emits EVERY match scored (the filtered
+        join path truncates only after its semi-join — a local cut
+        before the filter could drop the filtered winners).
+        ``include_h`` is an include-set handle (ndarray or Spark
+        broadcast of allowed external doc ids) applied inside the
+        kernel before the local top-k."""
         terms = node.terms()
         stats = self._cached_stats(terms)
         idfs = {
             t: spec.idf(self.n_docs, stats[t][0]) for t in terms if t in stats
         }
-        n_docs, avgdl = self.n_docs, self.avgdl
+        avgdl = self.avgdl
         tomb_h = self._tomb_handle()
         cols = ["seg_id", "term", "df", "doc_ids", "tfs", "blocks"]
         if has_positional(node):
@@ -1084,7 +1129,8 @@ class Index:
 
             def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                 ext_ids, scores, d_idx = _score_segment(
-                    pdf, node, idfs, avgdl, k, _resolve_tomb(tomb_h)
+                    pdf, node, idfs, avgdl, k, _resolve_tomb(tomb_h),
+                    include=_resolve_include(include_h),
                 )
                 return pd.DataFrame(
                     {
@@ -1103,24 +1149,96 @@ class Index:
 
             def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                 ext_ids, scores, _ = _score_segment(
-                    pdf, node, idfs, avgdl, k, _resolve_tomb(tomb_h)
+                    pdf, node, idfs, avgdl, k, _resolve_tomb(tomb_h),
+                    include=_resolve_include(include_h),
                 )
                 return pd.DataFrame({"doc_id": ext_ids, "score": scores})
 
             schema = "doc_id long, score double"
 
-        local = scan.groupBy("seg_id").applyInPandas(_kernel, schema)
+        return scan.groupBy("seg_id").applyInPandas(_kernel, schema)
+
+    def search_filtered(
+        self,
+        query: Node | str,
+        meta: "DataFrame",
+        predicate,
+        k: int = spec.DEFAULT_K,
+        id_col: str = "doc_id",
+        mode: str = "auto",
+        collect_threshold: int | None = None,
+    ):
+        """Filtered search (the Lucene/Solr ``fq`` filter-query
+        surface): top-``k`` BM25 over the documents matching BOTH the
+        query and a metadata ``predicate`` (a Spark Column or SQL
+        string over ``meta``), with scores computed from GLOBAL index
+        stats — the filter restricts the doc set, never the scoring
+        (Lucene filter-query semantics), so a hit scores identically
+        filtered or not.
+
+        Two plans, selected by the filter's TRUE selectivity (one
+        early-terminating ``limit(threshold+1)`` probe of the filtered
+        metadata scan — never a Catalyst estimate):
+
+        * ``kernel`` (selective filter, at most ``collect_threshold``
+          ids — default :data:`_FILTER_COLLECT_THRESHOLD`): the
+          allowed ids ship to the scoring kernels (Spark broadcast
+          above the tombstone closure threshold) and restrict the
+          decoded postings BEFORE the local top-k — the mirror image
+          of tombstone exclusion, same block-max-drop discipline so
+          WAND stays admissible.  No join in the plan: the pruned
+          scan → kernel → TakeOrderedAndProject shape of plain
+          :meth:`search`, each segment emitting ≤ k rows.
+        * ``join`` (broad filter): the kernels emit EVERY match
+          scored (a local top-k cut before the filter could drop the
+          filtered winners), one explicit shuffle-hash left-semi join
+          against the allowed-id relation (forced, like
+          :meth:`facet_counts` — both sides exceed any sane
+          broadcast), then orderBy+limit — TakeOrderedAndProject, so
+          only k rows pass the final gather.  Shuffle is bounded by
+          the query docset + filter ids, never the corpus row width.
+
+        Both paths return identical rows (pinned by test); tombstones
+        apply in both."""
         from pyspark.sql import functions as F
 
-        # global gather: TakeOrderedAndProject (single exchange).  The
-        # with_seg form refines ties on (seg_id, doc_index): duplicate
-        # external ids can tie on BOTH (score, doc_id), and without a
-        # total order the survivor at the k boundary — and hence its
-        # per-hit metadata — would depend on partition encounter order
+        if mode not in ("auto", "kernel", "join"):
+            raise ValueError(f"search_filtered mode {mode!r}")
+        node = self._prep(query)
+        allowed = meta.filter(predicate).select(
+            F.col(id_col).cast("long").alias("doc_id")
+        )
+        if collect_threshold is None:
+            collect_threshold = _FILTER_COLLECT_THRESHOLD
+
+        inc: np.ndarray | None = None
+        if mode == "auto":
+            head = allowed.limit(collect_threshold + 1).collect()
+            if len(head) <= collect_threshold:
+                inc = np.unique(
+                    np.fromiter((r[0] for r in head), dtype=np.int64,
+                                count=len(head))
+                )
+        elif mode == "kernel":
+            inc = np.unique(
+                allowed.toPandas()["doc_id"].to_numpy(np.int64)
+            )
+
         order = [F.desc("score"), F.asc("doc_id")]
-        if with_seg:
-            order += [F.asc("seg_id"), F.asc("doc_index")]
-        return local.orderBy(*order).limit(k)
+        if inc is not None:
+            h = inc
+            if len(inc) > _TOMB_BROADCAST_THRESHOLD:
+                h = self.spark.sparkContext.broadcast(inc)
+            local = self._scored_local(node, k, include_h=h)
+            return local.orderBy(*order).limit(k)
+        scored = self._scored_local(node, None)
+        return (
+            scored.join(
+                allowed.hint("shuffle_hash"), "doc_id", "left_semi"
+            )
+            .orderBy(*order)
+            .limit(k)
+        )
 
     # -- top-k with document metadata (E5 projection) ----------------------
     def _docmap_file_of(self, seg_id: int) -> str:
@@ -2379,7 +2497,42 @@ def _eval_docset(node: Node, postings: dict, occ: dict | None = None):
     raise TypeError(node)
 
 
-def _score_segment(pdf: pd.DataFrame, node: Node, idfs, avgdl, k, tomb=None):
+def _keep_included(postings: dict, blocks: dict, meta_ids, occ, inc):
+    """Restrict decoded postings/occurrences to an INCLUDE set of
+    external doc ids (filtered search) — the mirror image of
+    :func:`_drop_tombstoned`, with the same block-metadata discipline:
+    a term whose posting list shrank loses its block-max bounds
+    (they're positional — survivors would map into earlier blocks
+    whose bound may undercut their true score), falling back to the
+    exact per-doc bound so WAND stays admissible."""
+    if len(meta_ids) == 0:
+        return postings, blocks, occ
+    keep_map = np.isin(meta_ids, inc)
+    if keep_map.all():
+        return postings, blocks, occ
+    keep_idx = np.flatnonzero(keep_map)
+    out_p, out_b = {}, {}
+    for t, (docs, tfs) in postings.items():
+        keep = np.isin(docs, keep_idx)
+        if keep.all():
+            out_p[t] = (docs, tfs)
+            if t in blocks:
+                out_b[t] = blocks[t]
+        else:
+            out_p[t] = (
+                docs[keep],
+                tfs[keep] if len(tfs) == len(docs) else tfs,
+            )
+    if occ:
+        occ = {
+            t: kk[np.isin(kk // 1024, keep_idx)] for t, kk in occ.items()
+        }
+    return out_p, out_b, occ
+
+
+def _score_segment(
+    pdf: pd.DataFrame, node: Node, idfs, avgdl, k, tomb=None, include=None
+):
     """Per-segment candidates + BM25 scores + local top-k.
 
     Fast paths (identical results, fewer scored candidates):
@@ -2390,6 +2543,11 @@ def _score_segment(pdf: pd.DataFrame, node: Node, idfs, avgdl, k, tomb=None):
       (`wand.prune_conjunctive_blocks`), the vectorized version of the
     reference's smaller-list-first intent (`docs/Feature notes.txt`).
     Mixed trees fall back to full doc-set algebra.
+
+    ``k=None`` emits every match scored (no local truncation — the
+    filtered join path cuts only after its semi-join).  ``include``
+    restricts to an allowed external-id set before any top-k
+    (:func:`_keep_included`).
     """
     postings, meta_ids, doc_lens, blocks = _decode_segment(pdf)
     occ = None
@@ -2400,6 +2558,12 @@ def _score_segment(pdf: pd.DataFrame, node: Node, idfs, avgdl, k, tomb=None):
             tomb,
         )
     postings, blocks = _drop_tombstoned(postings, blocks, meta_ids, tomb)
+    if include is not None:
+        postings, blocks, occ = _keep_included(
+            postings, blocks, meta_ids, occ, include
+        )
+    if k is None:
+        k = max(len(meta_ids), 1)
     return _score_decoded(
         node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k, occ
     )

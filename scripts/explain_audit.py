@@ -339,6 +339,44 @@ def main() -> None:
     )
     print("OK  suggest: range-pruned dictionary scan + top-k plan")
 
+    # Filtered search (Lucene fq semantics): the kernel path must plan
+    # EXACTLY like plain search — pruned scan, no join anywhere (the
+    # allowed-id set rides inside the scoring kernels) — and the join
+    # path must carry one shuffle (never broadcast — the scored side
+    # is a kernel output Catalyst can only estimate) left-semi join
+    # below a TakeOrderedAndProject
+    fq = Term("merge") | Term("dup")
+    fk = ix.search_filtered(fq, docs_meta, "n_chars >= 400", mode="kernel")
+    p = plan_of(fk)
+    assert "Join" not in p, "filtered kernel path: unexpected join"
+    assert "TakeOrderedAndProject" in p, "filtered kernel path: no top-k"
+    assert "In(term" in p, "filtered kernel path: term pushdown lost"
+    sections.append(
+        (
+            "Filtered search, kernel path (search_filtered mode=kernel)",
+            p,
+            [("no join — include set ships to the kernels; pruned "
+              "scan + TakeOrderedAndProject, the plain-search shape",
+              "—")],
+        )
+    )
+    fj = ix.search_filtered(fq, docs_meta, "n_chars >= 400", mode="join")
+    p = plan_of(fj)
+    assert "LeftSemi" in p, "filtered join path: no semi-join"
+    assert "BroadcastHashJoin" not in p, (
+        "filtered join path: broad filter must never broadcast"
+    )
+    assert "TakeOrderedAndProject" in p, "filtered join path: no top-k"
+    sections.append(
+        (
+            "Filtered search, join path (search_filtered mode=join)",
+            p,
+            [("one shuffle-hash left-semi join against the allowed-id "
+              "relation; k rows past the final gather", "—")],
+        )
+    )
+    print("OK  filtered search: kernel join-free; join path semi-join")
+
     # Fuzzy dictionary probe: a pure filter+project over the
     # dictionary parquet — vocabulary-sized, ReadSchema carries only
     # (term, df), and there is NO exchange anywhere in the plan (the

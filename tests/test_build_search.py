@@ -569,6 +569,119 @@ def test_phrase_near_tombstones(spark, tmp_path_factory):
         ix.parity_search('"alpha beta"')
 
 
+def test_search_filtered_matches_posthoc_ranking(spark, index):
+    """Filtered search (Lucene fq semantics): every plan path returns
+    exactly the post-hoc-filtered full ranking — the predicate
+    restricts the doc set and NEVER changes a surviving doc's score or
+    the (score desc, doc_id asc) order."""
+    from pyspark.sql import functions as F
+
+    meta = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_of = (
+        meta.select("doc_id", "n_chars")
+        .toPandas()
+        .set_index("doc_id")["n_chars"]
+    )
+    q = (Term("merge") & Term("sort")) | Term("dup")
+    full = _collect(index.search(q, k=100_000))
+    exp = [(d, s) for d, s in full if n_of[d] >= 400][:7]
+    assert exp, "fixture predicate matched nothing — test is vacuous"
+    for mode in ("auto", "kernel", "join"):
+        got = _collect(
+            index.search_filtered(q, meta, "n_chars >= 400", k=7, mode=mode)
+        )
+        assert got == exp, mode
+    # Column predicate form; and a Spark-side spot-check of fq
+    # semantics: a surviving doc's filtered score == unfiltered score
+    got = _collect(
+        index.search_filtered(q, meta, F.col("n_chars") >= 400, k=7)
+    )
+    assert got == exp
+    unfiltered = dict(full)
+    assert all(abs(unfiltered[d] - s) < 1e-12 for d, s in got)
+
+
+def test_search_filtered_plan_shapes(spark, index):
+    """The kernel path plans like plain search (NO join — the include
+    set rides inside the scoring kernels); the join path carries one
+    left-semi hash join; both top with TakeOrderedAndProject."""
+    meta = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = Term("merge") | Term("dup")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    pk = plan(index.search_filtered(q, meta, "n_chars >= 400", mode="kernel"))
+    assert "Join" not in pk and "TakeOrderedAndProject" in pk
+    pj = plan(index.search_filtered(q, meta, "n_chars >= 400", mode="join"))
+    assert "LeftSemi" in pj and "TakeOrderedAndProject" in pj
+    assert "BroadcastHashJoin" not in pj, "broad-filter join must shuffle"
+
+
+def test_search_filtered_edge_cases(spark, index):
+    """Empty filter -> empty result (both paths); k above the filtered
+    match count returns all of them; bad mode raises; auto path
+    selection honors collect_threshold (forced-join equality)."""
+    meta = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = Term("merge") | Term("dup")
+    for mode in ("kernel", "join"):
+        assert (
+            index.search_filtered(q, meta, "n_chars < 0", k=5, mode=mode)
+            .count() == 0
+        )
+    big_k = _collect(index.search_filtered(q, meta, "n_chars >= 400", k=10**6))
+    assert 0 < len(big_k) < 10**6
+    # collect_threshold=0 can never collect the ids -> auto takes the
+    # join path; results must be identical to the kernel path
+    via_join = _collect(
+        index.search_filtered(
+            q, meta, "n_chars >= 400", k=7, collect_threshold=0
+        )
+    )
+    assert via_join == _collect(
+        index.search_filtered(q, meta, "n_chars >= 400", k=7, mode="kernel")
+    )
+    with pytest.raises(ValueError):
+        index.search_filtered(q, meta, "n_chars >= 400", mode="nope")
+
+
+def test_search_filtered_positional_and_tombstones(spark, tmp_path_factory):
+    """Phrase queries compose with metadata filters (occurrence keys
+    pass through the include restriction), and tombstoned docs stay
+    excluded on both paths."""
+    rows = [
+        (0, "alpha beta gamma", 10),
+        (1, "beta alpha gamma", 10),
+        (2, "alpha beta x", 99),
+        (3, "alpha beta y", 10),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "n"])
+    out = str(tmp_path_factory.mktemp("filt_pos_ix"))
+    build_index(
+        spark, spark.createDataFrame(pdf[["doc_id", "text"]]), out,
+        num_segments=2, resume=False,
+    )
+    meta = spark.createDataFrame(pdf)
+    ix = Index(spark, out)
+    for mode in ("kernel", "join"):
+        got = [
+            d for d, _ in _collect(
+                ix.search_filtered('"alpha beta"', meta, "n = 10", k=10,
+                                   mode=mode)
+            )
+        ]
+        assert got == [0, 3], mode
+    ix.delete([0])
+    for mode in ("kernel", "join"):
+        got = [
+            d for d, _ in _collect(
+                ix.search_filtered('"alpha beta"', meta, "n = 10", k=10,
+                                   mode=mode)
+            )
+        ]
+        assert got == [3], mode
+
+
 def test_index_fsck(spark, corpus_pdf, tmp_path_factory):
     """scripts/verify_index.py validates manifest/docmap/dictionary
     consistency and detects corruption."""
