@@ -292,6 +292,50 @@ GROUP BY d.{c}"""
 """
 
 
+def _mlt_sql(doc_id: int, k: int, max_terms: int, max_df_frac: float) -> str:
+    """DuckDB mirror of Index.more_like_this: interesting terms =
+    source-doc tokens ranked by tf*idf (ties term asc, hot terms with
+    df above the fraction cap dropped), then plain BM25 over that OR
+    set with the source excluded — both stages the same double math
+    the engine runs."""
+    return _BASE_CTE + f"""
+, src AS (
+  SELECT term, tf FROM tf WHERE doc_id = {doc_id}
+), mlt AS (
+  SELECT s.term
+  FROM src s JOIN dfs d ON d.term = s.term CROSS JOIN stats st
+  WHERE d.df <= CAST({max_df_frac} AS DOUBLE) * st.n
+  ORDER BY s.tf * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+           s.term ASC
+  LIMIT {max_terms}
+), matched AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * ({_K1} + 1)
+              / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN dfs d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN (SELECT term FROM mlt)
+  GROUP BY tf.doc_id
+)
+SELECT matched.doc_id AS doc_id, round(matched.score, 6) AS score
+FROM matched WHERE matched.doc_id <> {doc_id}
+ORDER BY matched.score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _mlt_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ix = _get_index(spark, sf_dir)
+    return ix.more_like_this(
+        7, _docs(spark, sf_dir), k=10, max_terms=5
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _filtered_search_query(mode: str):
     """Contract shape for Index.search_filtered with the plan forced
     to one of its two paths (both must match the SAME oracle)."""
@@ -1131,6 +1175,19 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # kernels) and join (full scored emission + shuffle semi-join)
         "filtered_search": _filtered_search_query("kernel"),
         "filtered_search_join": _filtered_search_query("join"),
+        # More-like-this (r6, Lucene MLT): interesting-terms selection
+        # (tf*idf over the source doc, dictionary-probed df) and the
+        # BM25 retrieval over them, source excluded — both gated
+        "mlt_terms": lambda s, sf: s.createDataFrame(
+            [
+                (t,)
+                for t in _get_index(s, sf).mlt_terms(
+                    7, _docs(s, sf), max_terms=5
+                )
+            ],
+            "term string",
+        ),
+        "mlt_topk": _mlt_topk_query,
     }
 
 
@@ -1246,4 +1303,16 @@ ORDER BY df DESC, term ASC LIMIT 8
             "has_merge = 1 OR has_dup = 1",
             meta_where="fd.n_chars >= 400",
         ),
+        "mlt_terms": _BASE_CTE + """
+, src AS (
+  SELECT term, tf FROM tf WHERE doc_id = 7
+)
+SELECT s.term
+FROM src s JOIN dfs d ON d.term = s.term CROSS JOIN stats st
+WHERE d.df <= CAST(1.0 AS DOUBLE) * st.n
+ORDER BY s.tf * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+         s.term ASC
+LIMIT 5
+""",
+        "mlt_topk": _mlt_sql(7, 10, 5, 1.0),
     }

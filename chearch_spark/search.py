@@ -1240,6 +1240,92 @@ class Index:
             .limit(k)
         )
 
+    def mlt_terms(
+        self,
+        doc_id: int,
+        meta: "DataFrame",
+        max_terms: int = 10,
+        min_tf: int = 1,
+        max_df_frac: float = 1.0,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> list[str]:
+        """Representative-term selection for :meth:`more_like_this`
+        (the Lucene MLT "interesting terms" step): the source doc's
+        tokens ranked by tf·idf — idf from the GLOBAL dictionary via
+        the same stats probe queries pay — keeping terms with tf ≥
+        ``min_tf`` and df ≤ ``max_df_frac``·N (OPTIONAL hot-term cut —
+        Lucene's maxDocFreq, unlimited by default; idf already
+        down-weights hot terms), top ``max_terms`` with the
+        deterministic (tf·idf desc, term asc) tie-break.
+
+        Cost shape: ONE pushed-filter single-row fetch of the source
+        text (row-group stats skip the rest of the corpus), one
+        driver-side tokenize of one document, one dictionary stats
+        probe over its unique tokens — never a corpus scan."""
+        rows = (
+            meta.filter(meta[id_col] == int(doc_id))
+            .select(text_col)
+            .limit(2)
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"more_like_this: doc_id {doc_id} not in meta")
+        toks = spec.tokenize(rows[0][0] or "")
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        stats = self._cached_stats(sorted(tf))
+        cap = max_df_frac * self.n_docs
+        cand = [
+            (t, n, spec.idf(self.n_docs, stats[t][0]))
+            for t, n in tf.items()
+            if n >= min_tf and t in stats and stats[t][0] <= cap
+        ]
+        cand.sort(key=lambda x: (-x[1] * x[2], x[0]))
+        return [t for t, _, _ in cand[:max_terms]]
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        meta: "DataFrame",
+        k: int = spec.DEFAULT_K,
+        max_terms: int = 10,
+        min_tf: int = 1,
+        max_df_frac: float = 1.0,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        """More-like-this (the Lucene/Elasticsearch MLT surface over
+        the reference's exact-term queries): top-``k`` documents most
+        similar to ``doc_id``, ranked by BM25 over the source doc's
+        ``max_terms`` most representative terms (:meth:`mlt_terms`),
+        the source itself excluded.
+
+        The retrieval is the PLAIN disjunctive search path — term-
+        pruned scan, WAND local top-k (k+1, so dropping the source
+        never leaves the page short), TakeOrderedAndProject — i.e.
+        MLT costs one extra row fetch + stats probe on top of an
+        ordinary OR query; nothing new has to scale."""
+        terms = self.mlt_terms(
+            doc_id, meta, max_terms, min_tf, max_df_frac, text_col, id_col
+        )
+        from pyspark.sql import functions as F
+
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        node: Node = Term(terms[0])
+        for t in terms[1:]:
+            node = Or(node, Term(t))
+        return (
+            self.search(node, k + 1)
+            .filter(F.col("doc_id") != int(doc_id))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     # -- top-k with document metadata (E5 projection) ----------------------
     def _docmap_file_of(self, seg_id: int) -> str:
         """Docmap file path for a segment (filename-encoded id; the

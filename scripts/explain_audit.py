@@ -377,6 +377,26 @@ def main() -> None:
     )
     print("OK  filtered search: kernel join-free; join path semi-join")
 
+    # More-like-this: after the driver-side term selection (one pushed
+    # single-row text fetch + one dictionary probe), retrieval must be
+    # the PLAIN disjunctive search plan — term-pruned scan, no join,
+    # top-k gather — i.e. MLT adds nothing that has to scale
+    mq = ix.more_like_this(7, docs_meta, k=10, max_terms=5)
+    p = plan_of(mq)
+    assert "Join" not in p, "mlt: unexpected join in retrieval plan"
+    assert "TakeOrderedAndProject" in p, "mlt: no top-k plan"
+    assert "In(term" in p, "mlt: term pushdown lost"
+    sections.append(
+        (
+            "More-like-this (more_like_this)",
+            p,
+            [("retrieval is the plain OR search plan over the selected "
+              "terms: pruned scan + kernel + TakeOrderedAndProject, "
+              "no join", "—")],
+        )
+    )
+    print("OK  more-like-this: plain pruned OR retrieval plan")
+
     # Fuzzy dictionary probe: a pure filter+project over the
     # dictionary parquet — vocabulary-sized, ReadSchema carries only
     # (term, df), and there is NO exchange anywhere in the plan (the

@@ -682,6 +682,55 @@ def test_search_filtered_positional_and_tombstones(spark, tmp_path_factory):
         assert got == [3], mode
 
 
+def test_more_like_this_semantics(spark, tmp_path_factory):
+    """MLT: interesting terms ranked (tf*idf desc, term asc) with the
+    optional hot-term df cap; retrieval is the plain OR search minus
+    the source doc; missing source raises; termless source -> empty."""
+    rows = [
+        (0, "rare rare rare common shared"),
+        (1, "rare shared common"),
+        (2, "shared common common"),
+        (3, "common"),
+        (4, "unrelated words here"),
+        (5, ""),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = str(tmp_path_factory.mktemp("mlt_ix"))
+    build_index(spark, spark.createDataFrame(pdf), out, num_segments=2,
+                resume=False)
+    ix = Index(spark, out)
+    meta = spark.createDataFrame(pdf)
+
+    # df: rare=2, shared=3, common=4 over N=6.  For doc 0, tf*idf ranks
+    # rare (tf3, rarest) first, then shared/common by idf
+    got = ix.mlt_terms(0, meta, max_terms=3)
+    assert got[0] == "rare" and set(got) == {"rare", "shared", "common"}
+    # df cap: common (df 4 = 2/3 of N) drops below a 0.5 cap
+    assert "common" not in ix.mlt_terms(0, meta, max_terms=3,
+                                        max_df_frac=0.5)
+    # min_tf: doc 0 has tf=1 for shared/common -> min_tf=2 keeps rare
+    assert ix.mlt_terms(0, meta, max_terms=3, min_tf=2) == ["rare"]
+
+    # retrieval == plain OR search over the selected terms, source out
+    terms = ix.mlt_terms(0, meta, max_terms=3)
+    node = Term(terms[0])
+    for t in terms[1:]:
+        node = Or(node, Term(t))
+    exp = [(d, s) for d, s in _collect(ix.search(node, k=10)) if d != 0][:4]
+    assert _collect(ix.more_like_this(0, meta, k=4, max_terms=3)) == exp
+    assert 0 not in {
+        d for d, _ in _collect(ix.more_like_this(0, meta, k=10))
+    }
+
+    # a source with no indexable tokens returns an EMPTY (doc_id,
+    # score) frame; an absent source raises
+    empty = ix.more_like_this(5, meta, k=5)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["doc_id", "score"]
+    with pytest.raises(ValueError, match="not in meta"):
+        ix.more_like_this(99, meta, k=5)
+
+
 def test_index_fsck(spark, corpus_pdf, tmp_path_factory):
     """scripts/verify_index.py validates manifest/docmap/dictionary
     consistency and detects corruption."""
