@@ -63,6 +63,7 @@ def _bm25_sql(
     score_terms: list[str] | None = None,
     src: str = "documents",
     meta_where: str | None = None,
+    offset: int = 0,
 ) -> str:
     """Top-10 BM25 in DuckDB SQL; `require` filters the doc set (e.g.
     'has_merge AND has_sort' for conjunctions) over per-term flags;
@@ -70,7 +71,8 @@ def _bm25_sql(
     queries score the positive side only); `meta_where` (alias `fd`
     over the documents row) adds a metadata filter to the final doc
     set WITHOUT touching the score — Lucene filter-query semantics,
-    mirroring Index.search_filtered."""
+    mirroring Index.search_filtered; `offset` mirrors cursor
+    pagination (the pinned total order makes OFFSET exact)."""
     flags = ",\n         ".join(
         f"max(CASE WHEN tf.term = '{t}' THEN 1 ELSE 0 END) AS has_{t}"
         for t in terms
@@ -97,7 +99,7 @@ FROM matched
 {f"JOIN {src} fd ON fd.doc_id = matched.doc_id" if meta_where else ""}
 WHERE ({require}){f" AND ({meta_where})" if meta_where else ""}
 ORDER BY matched.score DESC, doc_id ASC
-LIMIT 10
+LIMIT 10{f" OFFSET {offset}" if offset else ""}
 """
 
 
@@ -325,6 +327,22 @@ FROM matched WHERE matched.doc_id <> {doc_id}
 ORDER BY matched.score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def _page2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine side of the pagination gate: run page 1, carry its last
+    row as the cursor, return page 2 via search_after."""
+    from pyspark.sql import functions as F
+
+    from chearch_spark.plans.query import Term
+
+    ix = _get_index(spark, sf_dir)
+    q = Term("merge") | Term("dup")
+    p1 = ix.search(q, k=10).collect()
+    cur = (float(p1[-1].score), int(p1[-1].doc_id))
+    return ix.search_after(q, k=10, after=cur).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
 
 
 def _mlt_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1188,6 +1206,10 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
             "term string",
         ),
         "mlt_topk": _mlt_topk_query,
+        # Cursor pagination (r6, ES search_after): page 2 = the 10
+        # rows strictly after page 1's boundary cursor; the pinned
+        # total order makes the OFFSET oracle exact
+        "search_page2": _page2_query,
     }
 
 
@@ -1315,4 +1337,7 @@ ORDER BY s.tf * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) DESC,
 LIMIT 5
 """,
         "mlt_topk": _mlt_sql(7, 10, 5, 1.0),
+        "search_page2": _bm25_sql(
+            ["merge", "dup"], "has_merge = 1 OR has_dup = 1", offset=10
+        ),
     }

@@ -1090,12 +1090,49 @@ class Index:
             order += [F.asc("seg_id"), F.asc("doc_index")]
         return local.orderBy(*order).limit(k)
 
+    def search_after(
+        self,
+        query: Node | str,
+        k: int = spec.DEFAULT_K,
+        after: tuple[float, int] | None = None,
+    ):
+        """Cursor pagination (the Elasticsearch ``search_after``
+        surface): the next ``k`` hits strictly after the cursor
+        ``after = (score, doc_id)`` — the last row of the previous
+        page — in the pinned total order (score desc, doc_id asc).
+        Because the order is TOTAL and deterministic, pages tile the
+        full ranking exactly: page 2 of k is rows k+1..2k, with no
+        dependence on parallelism.
+
+        The cursor is applied INSIDE each scoring kernel before its
+        local top-k — a local cut taken before the cursor filter
+        would drop docs that belong on this page (a segment can hold
+        more than k docs ranking above the cursor).  Cursor equality
+        is exact: both pages compute scores through the identical
+        kernel float path, so the previous page's boundary score
+        compares bit-identically.  Disjunctions skip the WAND fast
+        path when a cursor is set (its top-k threshold doesn't
+        compose with a score window) and fall back to exact full
+        scoring — per-segment emission stays ≤ k either way.
+        ``after=None`` degrades to plain :meth:`search`."""
+        if after is None:
+            return self.search(query, k)
+        from pyspark.sql import functions as F
+
+        s_a, d_a = float(after[0]), int(after[1])
+        node = self._prep(query)
+        local = self._scored_local(node, k, after=(s_a, d_a))
+        return (
+            local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        )
+
     def _scored_local(
         self,
         node: Node,
         k: int | None,
         with_seg: bool = False,
         include_h=None,
+        after: tuple[float, int] | None = None,
     ):
         """Per-segment scored matches of a PREPPED query tree — the
         shared kernel half of :meth:`search` and
@@ -1130,7 +1167,7 @@ class Index:
             def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                 ext_ids, scores, d_idx = _score_segment(
                     pdf, node, idfs, avgdl, k, _resolve_tomb(tomb_h),
-                    include=_resolve_include(include_h),
+                    include=_resolve_include(include_h), after=after,
                 )
                 return pd.DataFrame(
                     {
@@ -1150,7 +1187,7 @@ class Index:
             def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                 ext_ids, scores, _ = _score_segment(
                     pdf, node, idfs, avgdl, k, _resolve_tomb(tomb_h),
-                    include=_resolve_include(include_h),
+                    include=_resolve_include(include_h), after=after,
                 )
                 return pd.DataFrame({"doc_id": ext_ids, "score": scores})
 
@@ -2617,7 +2654,8 @@ def _keep_included(postings: dict, blocks: dict, meta_ids, occ, inc):
 
 
 def _score_segment(
-    pdf: pd.DataFrame, node: Node, idfs, avgdl, k, tomb=None, include=None
+    pdf: pd.DataFrame, node: Node, idfs, avgdl, k, tomb=None, include=None,
+    after=None,
 ):
     """Per-segment candidates + BM25 scores + local top-k.
 
@@ -2651,12 +2689,14 @@ def _score_segment(
     if k is None:
         k = max(len(meta_ids), 1)
     return _score_decoded(
-        node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k, occ
+        node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k, occ,
+        after=after,
     )
 
 
 def _score_decoded(
-    node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k, occ=None
+    node, postings, meta_ids, doc_lens, blocks, idfs, avgdl, k, occ=None,
+    after=None,
 ):
     """Score pre-decoded postings (shared by the distributed kernel and
     the driver-local cache path).
@@ -2674,7 +2714,7 @@ def _score_decoded(
         np.empty(0, np.int64),
     )
 
-    dis = disjunctive_terms(node)
+    dis = disjunctive_terms(node) if after is None else None
     if dis is not None:
         terms = [t for t in dis if t in postings and t in idfs]
         if not terms:
@@ -2715,5 +2755,15 @@ def _score_decoded(
             idfs[term] * tf * (spec.BM25_K1 + 1.0) / (tf + denom_norm),
             0.0,
         )
+    if after is not None:
+        # cursor window: keep docs STRICTLY after (score desc, doc_id
+        # asc) position (s_a, d_a) — applied before the local top-k so
+        # a segment with >k docs above the cursor can't starve a page
+        s_a, d_a = after
+        ext = meta_ids[cand]
+        keep = (scores < s_a) | ((scores == s_a) & (ext > d_a))
+        cand, scores = cand[keep], scores[keep]
+        if len(cand) == 0:
+            return empty
     d, s = local_topk_scores(cand, scores, k)
     return meta_ids[d], s, d

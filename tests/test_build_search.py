@@ -682,6 +682,30 @@ def test_search_filtered_positional_and_tombstones(spark, tmp_path_factory):
         assert got == [3], mode
 
 
+@pytest.mark.parametrize("qname", ["q_or_cr", "q_nested1", "q_and_cc"])
+def test_search_after_pages_tile_the_ranking(index, qname):
+    """Cursor pagination: walking pages of 7 via search_after
+    reconstructs the full ranking exactly — no dropped, duplicated, or
+    reordered hit at any page boundary (incl. score-tie boundaries,
+    which this corpus has in abundance)."""
+    q = QUERIES[qname]
+    full = _collect(index.search(q, k=100_000))
+    paged, cur = [], None
+    while True:
+        page = _collect(index.search_after(q, k=7, after=cur))
+        if not page:
+            break
+        paged.extend(page)
+        cur = (page[-1][1], page[-1][0])  # cursor is (score, doc_id)
+        assert len(page) == 7 or len(paged) == len(full)
+    assert paged == full
+    # after=None degrades to plain search
+    assert _collect(index.search_after(q, k=5)) == full[:5]
+    # a cursor past the last row returns an empty page
+    last = (full[-1][1], full[-1][0])
+    assert _collect(index.search_after(q, k=7, after=last)) == []
+
+
 def test_more_like_this_semantics(spark, tmp_path_factory):
     """MLT: interesting terms ranked (tf*idf desc, term asc) with the
     optional hot-term df cap; retrieval is the plain OR search minus
