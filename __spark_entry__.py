@@ -64,6 +64,7 @@ def _bm25_sql(
     src: str = "documents",
     meta_where: str | None = None,
     offset: int = 0,
+    weights: dict[str, float] | None = None,
 ) -> str:
     """Top-10 BM25 in DuckDB SQL; `require` filters the doc set (e.g.
     'has_merge AND has_sort' for conjunctions) over per-term flags;
@@ -72,17 +73,25 @@ def _bm25_sql(
     over the documents row) adds a metadata filter to the final doc
     set WITHOUT touching the score — Lucene filter-query semantics,
     mirroring Index.search_filtered; `offset` mirrors cursor
-    pagination (the pinned total order makes OFFSET exact)."""
+    pagination (the pinned total order makes OFFSET exact);
+    `weights` mirrors query-time term boosts (Term(t, w) / 'term^w'),
+    multiplying the boosted term's BM25 contribution."""
     flags = ",\n         ".join(
         f"max(CASE WHEN tf.term = '{t}' THEN 1 ELSE 0 END) AS has_{t}"
         for t in terms
     )
     scorable = _sql_terms(score_terms if score_terms is not None else terms)
+    wexpr = ""
+    if weights:
+        cases = " ".join(
+            f"WHEN tf.term = '{t}' THEN {w!r}" for t, w in weights.items()
+        )
+        wexpr = f"(CASE {cases} ELSE 1.0 END) * "
     return f"""{_base_cte(src)}
 , matched AS (
   SELECT tf.doc_id,
          sum( CASE WHEN tf.term IN ({scorable})
-              THEN ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              THEN {wexpr}ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
               * tf.tf * ({_K1} + 1)
               / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl))
               ELSE 0 END ) AS score,
@@ -1210,6 +1219,22 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # rows strictly after page 1's boundary cursor; the pinned
         # total order makes the OFFSET oracle exact
         "search_page2": _page2_query,
+        # Query-time term boosts (r6, Lucene term^w): the boosted
+        # term's BM25 contribution scales by w; programmatic and
+        # string forms share one oracle (2.5 is exactly
+        # representable, so the weight literal is bit-identical)
+        "bm25_topk_boost": lambda s, sf: _search(
+            s, sf, Term("merge", 2.5) | Term("dup")
+        ),
+        "bm25_topk_boost_string": lambda s, sf: _search(
+            s, sf, "merge^2.5 OR dup"
+        ),
+        # Significant terms (r6, ES significant_terms): terms
+        # over-represented in the match set vs the corpus, score =
+        # df-rate lift as one double division of exact int64 products
+        "sig_terms": lambda s, sf: _get_index(s, sf).significant_terms(
+            Term("merge") | Term("dup"), _docs(s, sf), k=10
+        ),
     }
 
 
@@ -1340,4 +1365,37 @@ LIMIT 5
         "search_page2": _bm25_sql(
             ["merge", "dup"], "has_merge = 1 OR has_dup = 1", offset=10
         ),
+        "bm25_topk_boost": _bm25_sql(
+            ["merge", "dup"],
+            "has_merge = 1 OR has_dup = 1",
+            weights={"merge": 2.5},
+        ),
+        "bm25_topk_boost_string": _bm25_sql(
+            ["merge", "dup"],
+            "has_merge = 1 OR has_dup = 1",
+            weights={"merge": 2.5},
+        ),
+        # tf is already distinct per (doc, term), so count(*) = fg_df;
+        # score mirrors the engine: one double division of two exact
+        # int64 products (fg_df*N) / (bg_df*fg_n)
+        "sig_terms": _BASE_CTE + """
+, matched AS (
+  SELECT DISTINCT doc_id FROM tf WHERE term IN ('merge', 'dup')
+), fg AS (
+  SELECT tf.term, count(*) AS fg_df
+  FROM tf JOIN matched m ON m.doc_id = tf.doc_id
+  GROUP BY tf.term
+  HAVING count(*) >= 3
+), fgn AS (
+  SELECT count(*) AS fg_n FROM matched
+)
+SELECT fg.term AS term, fg.fg_df AS fg_df, d.df AS bg_df,
+       CAST(fg.fg_df * s.n AS DOUBLE) / (d.df * fgn.fg_n) AS score
+FROM fg
+JOIN dfs d ON d.term = fg.term
+CROSS JOIN fgn
+CROSS JOIN stats s
+ORDER BY score DESC, term ASC
+LIMIT 10
+""",
     }

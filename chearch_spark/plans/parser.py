@@ -9,7 +9,8 @@ Grammar (Lucene-flavored, covers every leaf the engine has):
     prox     :=  atom ( NEAR[/k] atom )?      # proximity -> Near
     atom     :=  '(' query ')' | phrase | word
     phrase   :=  '"' token+ '"' -> Phrase(tokens)
-    word     :=  token '*'  -> Prefix(token)     # trailing-only star
+    word     :=  token '^' num -> Term(token, boost)  # BM25 reweight
+              |  token '*'  -> Prefix(token)     # trailing-only star
               |  token '~'  -> Fuzzy(token)
               |  glob       -> Wildcard(glob)    # '*'/'?' elsewhere
               |  token      -> Term(token)
@@ -212,6 +213,29 @@ class _Parser:
             return node
         if t == ")":
             raise QueryParseError("unbalanced ')'")
+        if "^" in t:
+            # Lucene-style query-time boost: term^2.5 (plain terms
+            # only — a boost reweights BM25 scoring, and the unranked
+            # leaves (prefix/wildcard/fuzzy/phrase) have no score to
+            # reweight per-expansion)
+            base, _, bexpr = t.rpartition("^")
+            if not base or "^" in base:
+                raise QueryParseError(f"malformed boost in {t!r}")
+            if any(c in base for c in "*?~"):
+                raise QueryParseError(
+                    f"boost applies to plain terms only, got {t!r}"
+                )
+            try:
+                boost = float(bexpr)
+            except ValueError:
+                raise QueryParseError(
+                    f"boost in {t!r} is not a number"
+                ) from None
+            if not (boost > 0.0 and boost != float("inf")):
+                raise QueryParseError(
+                    f"boost must be a finite number > 0, got {t!r}"
+                )
+            return Term(base, boost)
         if (
             t.endswith("*")
             and len(t) > 1

@@ -53,7 +53,25 @@ class Node:
 
 @dataclass(frozen=True)
 class Term(Node):
+    """Exact-term leaf, optionally boosted (the Lucene ``term^2.5``
+    query-time boost): ``boost`` multiplies this term's BM25
+    contribution wherever it scores — matching is unchanged (a boost
+    never adds or removes docs), and boost has no wire opcode (the
+    reference's 4-op CHASM format carries bare term hashes only), so
+    :func:`to_postfix` raises for ``boost != 1``."""
+
     term: str
+    boost: float = 1.0
+
+    def __post_init__(self):
+        b = float(self.boost)
+        # rejects <= 0, NaN, and inf in one pair of comparisons
+        if not (b > 0.0 and b != float("inf")):
+            raise ValueError(
+                f"term boost must be a finite number > 0, got "
+                f"{self.boost!r}"
+            )
+        object.__setattr__(self, "boost", b)
 
     def _terms(self):
         yield self.term
@@ -207,6 +225,30 @@ def scoring_terms(node: Node) -> list[str]:
     raise TypeError(node)
 
 
+def scoring_weights(node: Node) -> dict[str, float]:
+    """Per-term query-time boost weights over the SCORING side of the
+    tree (same leaf set as :func:`scoring_terms`): term -> weight,
+    with unboosted terms omitted (weight 1.0).  A term reachable
+    through several leaves takes the MAX of its boosts — pinned so the
+    weight map is deterministic and an unboosted duplicate leaf never
+    dilutes an explicit boost.  Phrase/Near member terms carry no
+    boost syntax and weigh 1.0; Diff's negative side never scores, so
+    its boosts are ignored like its terms."""
+    out: dict[str, float] = {}
+
+    def walk(n: Node) -> None:
+        if isinstance(n, Term):
+            out[n.term] = max(out.get(n.term, 0.0), n.boost)
+        elif isinstance(n, (And, Or)):
+            walk(n.b)
+            walk(n.a)
+        elif isinstance(n, Diff):
+            walk(n.a)
+
+    walk(node)
+    return {t: w for t, w in out.items() if w != 1.0}
+
+
 def to_postfix(node: Node) -> list[tuple]:
     """AST -> postfix program, e.g. [("PUSH","x"),("PUSH","y"),("AND",)].
 
@@ -217,6 +259,11 @@ def to_postfix(node: Node) -> list[tuple]:
 
     def walk(n: Node) -> None:
         if isinstance(n, Term):
+            if n.boost != 1.0:
+                raise ValueError(
+                    "boosted terms have no opcode in the reference's "
+                    "4-op wire format (CHASM carries bare term hashes)"
+                )
             out.append(("PUSH", n.term))
         elif isinstance(n, (And, Or)):
             walk(n.b)

@@ -58,6 +58,7 @@ from chearch_spark.plans.query import (
     has_positional,
     positional_terms,
     scoring_terms,
+    scoring_weights,
 )
 
 
@@ -79,9 +80,11 @@ def _normalize(node: Node) -> Node:
             raise ValueError(
                 f"query term {node.term!r} contains no indexable token"
             )
-        out: Node = Term(toks[0])
+        out: Node = Term(toks[0], node.boost)
         for t in toks[1:]:
-            out = And(Term(t), out)  # postfix parity: a=later term
+            # a multi-token term distributes its boost to every token
+            # ('covid-19'^2 boosts both halves of the AND it folds to)
+            out = And(Term(t, node.boost), out)  # postfix parity
         return out
     if isinstance(node, Phrase):
         toks = spec.tokenize(" ".join(node.words))
@@ -1145,10 +1148,7 @@ class Index:
         broadcast of allowed external doc ids) applied inside the
         kernel before the local top-k."""
         terms = node.terms()
-        stats = self._cached_stats(terms)
-        idfs = {
-            t: spec.idf(self.n_docs, stats[t][0]) for t in terms if t in stats
-        }
+        idfs = self._weighted_idfs(node, terms)
         avgdl = self.avgdl
         tomb_h = self._tomb_handle()
         cols = ["seg_id", "term", "df", "doc_ids", "tfs", "blocks"]
@@ -1501,6 +1501,17 @@ class Index:
             for t in union_terms
             if t in stats
         }
+        # per-query boost weighting: two queries in one batch may
+        # boost the same term differently, so each scores against its
+        # own (tiny, terms-sized) weighted view of the shared idfs
+        idfs_by_q = {}
+        for name, n in nodes.items():
+            w = scoring_weights(n)
+            idfs_by_q[name] = (
+                {t: v * w.get(t, 1.0) for t, v in idfs.items()}
+                if w
+                else idfs
+            )
         avgdl = self.avgdl
         # prune to segments some query may touch: ONE probe on the
         # OR-fold of the union terms (a superset of the per-query
@@ -1537,8 +1548,8 @@ class Index:
             out = {"query": [], "doc_id": [], "score": []}
             for name, node in nodes.items():
                 ids, scores, _ = _score_decoded(
-                    node, postings, meta_ids, doc_lens, blocks, idfs,
-                    avgdl, k, occ,
+                    node, postings, meta_ids, doc_lens, blocks,
+                    idfs_by_q[name], avgdl, k, occ,
                 )
                 out["query"].extend([name] * len(ids))
                 out["doc_id"].extend(ids.tolist())
@@ -1565,6 +1576,26 @@ class Index:
             )
             .orderBy("query", "rank")
         )
+
+    def _weighted_idfs(
+        self, node: Node, terms: list[str] | None = None
+    ) -> dict[str, float]:
+        """Per-term BM25 idf for a PREPPED tree, multiplied by the
+        tree's query-time boosts (:func:`scoring_weights`).  Boosting
+        the idf is the one integration point every scoring path shares
+        — the WAND fast path stays admissible because its block-max
+        bounds scale linearly with the idf factor exactly like the
+        scores do, and matching is untouched (weights never enter
+        docset evaluation)."""
+        if terms is None:
+            terms = node.terms()
+        stats = self._cached_stats(terms)
+        w = scoring_weights(node)
+        return {
+            t: spec.idf(self.n_docs, stats[t][0]) * w.get(t, 1.0)
+            for t in terms
+            if t in stats
+        }
 
     # -- driver-local low-latency path ------------------------------------
     def _cached_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
@@ -1760,10 +1791,7 @@ class Index:
         serving; the distributed path is for indexes that do not."""
         node = self._prep(query)
         terms = node.terms()
-        idfs = {
-            t: spec.idf(self.n_docs, df_cf[0])
-            for t, df_cf in self._cached_stats(terms).items()
-        }
+        idfs = self._weighted_idfs(node, terms)
         tomb = self._tombstones()
         # iterate the PRUNED candidate set, not every resident segment
         # — at 100k segments a per-query Python loop over all of them
@@ -1977,6 +2005,84 @@ class Index:
             .withColumn("hi", (F.col("lo") + width).cast("long"))
             .groupBy("lo", "hi")
             .agg(F.count("*").cast("long").alias("n_docs"))
+        )
+
+    def significant_terms(
+        self,
+        query: Node | str,
+        meta: "DataFrame",
+        k: int = 10,
+        min_fg_df: int = 3,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        broadcast_threshold: int | None = None,
+    ):
+        """Significant-terms aggregation (the Elasticsearch
+        ``significant_terms`` surface): the ``k`` terms most
+        OVER-represented in the documents matching ``query``
+        (foreground) relative to the whole corpus (background) —
+        (term, fg_df, bg_df, score) with score = the df-rate lift
+        ``(fg_df / fg_n) / (bg_df / N)``, computed as ONE double
+        division of two exact int64 products (engine-portable, the
+        ``facet_stats.avg_v`` discipline).  Rank: score desc, term
+        asc; ``min_fg_df`` drops one-off noise terms (ES
+        min_doc_count, default 3).
+
+        Plan shape: the foreground doc count is ONE eager O(matches)
+        count job (the scalar must divide every score; a lazy twin
+        branch cannot share the tokenize exchange because Catalyst
+        pushes the grouping-key filters below the aggregation,
+        forcing a second foreground pass — `more_like_this` sets the
+        precedent for a small eager stage inside an analytics call).
+        The main plan is then SINGLE-PASS: the facet family's
+        size-adaptive semi-join produces the foreground rows, one
+        tokenize + explode + map-side-combined groupBy counts
+        per-term foreground dfs, background dfs join in from the
+        dictionary parquet (a narrow (term, df) scan — the index's
+        finalize-time stats, like ES's shard term stats: pending
+        un-compacted deletes are excluded from the foreground but
+        still counted in the background until compaction refreshes
+        the dictionary), and the ranked cut is
+        TakeOrderedAndProject.  The foreground scan is bounded by
+        the MATCH count, not corpus size; the term join shuffles
+        vocabulary-sized relations at worst."""
+        from pyspark.sql import functions as F
+
+        from chearch_spark.functions.text import tokens_col
+
+        if k <= 0:
+            raise ValueError(f"k must be > 0, got {k}")
+        node = self._prep(query)
+        fg_n = self.match_docs(node).count()
+        if fg_n == 0:
+            return self.spark.createDataFrame(
+                [], "term string, fg_df long, bg_df long, score double"
+            )
+        joined = self._facet_matched(node, meta, id_col, broadcast_threshold)
+        fg = (
+            joined.select(
+                F.explode(
+                    F.array_distinct(tokens_col(F.col(text_col)))
+                ).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("fg_df"))
+            .filter(F.col("fg_df") >= int(min_fg_df))
+        )
+        bg = self.dictionary().select(
+            "term", F.col("df").cast("long").alias("bg_df")
+        )
+        n = int(self.n_docs)
+        return (
+            fg.join(bg, "term")
+            .withColumn(
+                "score",
+                (F.col("fg_df") * F.lit(n)).cast("double")
+                / (F.col("bg_df") * F.lit(int(fg_n))),
+            )
+            .select("term", "fg_df", "bg_df", "score")
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(k)
         )
 
     def search_with_snippets(

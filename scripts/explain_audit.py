@@ -312,6 +312,38 @@ def main() -> None:
     )
     print("OK  range facets: bucket groupBy with map-side partial agg")
 
+    # Significant terms: the main plan must be SINGLE-PASS over the
+    # foreground (exactly one match kernel feeding the semi-join; the
+    # scalar fg-n is a separate eager count job by design), the
+    # foreground term counts must carry a map-side partial
+    # aggregation (the shuffle is vocabulary-bounded, never
+    # docset-sized), and the ranked cut must plan as
+    # TakeOrderedAndProject
+    st = ix.significant_terms(
+        Term("merge") | Term("dup"), docs_meta, k=10
+    )
+    p = plan_of(st)
+    assert "partial_count" in p, "sig_terms: no map-side partial agg"
+    assert "TakeOrderedAndProject" in p, "sig_terms: no top-k plan"
+    # count kernels in the simple-plan section only (the formatted
+    # section names each op twice: tree row + detail header)
+    simple = p.split("--- simple ---", 1)[1]
+    assert simple.count("FlatMapGroupsInPandas") == 1, (
+        "sig_terms: main plan runs the match kernel more than once"
+    )
+    sections.append(
+        (
+            "Significant terms (significant_terms)",
+            p,
+            [("one semi-join + one tokenize/groupBy over the "
+              "foreground (single match kernel asserted; fg-n is one "
+              "eager O(matches) count job); map-side partial_count; "
+              "ranked cut is TakeOrderedAndProject", "—")],
+        )
+    )
+    print("OK  significant terms: single foreground pass, partial agg, "
+          "top-k plan")
+
     # Prefix autocomplete: a ranked LIMIT over the dictionary scan —
     # the prefix range must push into the parquet scan (part-file /
     # row-group pruning on the range-partitioned dictionary) and the

@@ -706,6 +706,48 @@ def test_search_after_pages_tile_the_ranking(index, qname):
     assert _collect(index.search_after(q, k=7, after=last)) == []
 
 
+def test_boost_semantics(index):
+    """Query-time term boosts: a single-term boost w scales every
+    score by exactly w (bit-exact — the weight multiplies the idf
+    before the shared kernel float path); matching is unchanged; the
+    WAND disjunction path, the driver-local path, the string form,
+    and the batched search_many all agree on boosted queries; and
+    boost=1.0 is the identity."""
+    plain = _collect(index.search(Term("merge"), k=10))
+    boosted = _collect(index.search(Term("merge", 2.0), k=10))
+    assert boosted == [(d, s * 2.0) for d, s in plain]
+
+    q = Term("merge", 2.5) | Term("dup")
+    qp = Term("merge") | Term("dup")
+    dist = _collect(index.search(q, k=10))
+    # same FULL match set as unboosted (boost never adds/removes
+    # docs) ...
+    assert {d for d, _ in _collect(index.search(q, k=100_000))} == {
+        d for d, _ in _collect(index.search(qp, k=100_000))
+    }
+    # ... but not the same top-10 ranking (the boost bites)
+    assert dist != _collect(index.search(qp, k=10))
+    # WAND disjunction vs exact local path vs parsed string form
+    assert index.local_search(q, k=10) == dist
+    assert _collect(index.search("merge^2.5 OR dup", k=10)) == dist
+    # boost=1 identity
+    assert _collect(index.search(Term("merge", 1.0) | Term("dup"), k=10)) \
+        == _collect(index.search(qp, k=10))
+    # batched: two queries boosting the same term DIFFERENTLY in one
+    # job each match their individual search results
+    batch = index.search_many(
+        {"b": "merge^2.5 OR dup", "p": "merge OR dup"}, k=10
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query"], []).append((r["doc_id"], r["score"]))
+    assert by_q["b"] == dist
+    assert by_q["p"] == _collect(index.search(qp, k=10))
+    # boosts compose with cursor pagination (exact path under cursor)
+    cur = (dist[4][1], dist[4][0])
+    assert _collect(index.search_after(q, k=5, after=cur)) == dist[5:10]
+
+
 def test_more_like_this_semantics(spark, tmp_path_factory):
     """MLT: interesting terms ranked (tf*idf desc, term asc) with the
     optional hot-term df cap; retrieval is the plain OR search minus

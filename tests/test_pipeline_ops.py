@@ -1105,7 +1105,53 @@ def test_facet_counts_semantics(spark, tmp_path_factory):
     } == got
 
 
-def test_facet_range_semantics(spark, tmp_path_factory):
+def test_significant_terms_semantics(spark, tmp_path_factory):
+    """Significant terms: a term private to the match set scores the
+    full lift (N/fg_n at bg_df == fg_df), a corpus-wide term scores
+    1.0, rank is (score desc, term asc), min_fg_df prunes, and a
+    no-match query yields an empty frame."""
+    from chearch_spark.build import build_index
+    from chearch_spark.plans.query import Term
+    from chearch_spark.search import Index
+
+    rows = [
+        (0, "alpha zeta kappa"),
+        (1, "alpha zeta kappa"),
+        (2, "alpha zeta kappa"),
+        (3, "kappa other"),
+        (4, "kappa misc"),
+        (5, "kappa stray"),
+    ]
+    meta = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("sig_ix"))
+    build_index(
+        spark, meta.select("doc_id", "text"), out,
+        num_segments=2, resume=False,
+    )
+    ix = Index(spark, out)
+    got = [
+        (r.term, r.fg_df, r.bg_df, r.score)
+        for r in ix.significant_terms(Term("alpha"), meta, k=10).collect()
+    ]
+    # fg = docs {0,1,2}: alpha and zeta are private to it (lift
+    # N/fg_n = 6/3 = 2.0), kappa is corpus-wide (lift 1.0)
+    assert got == [
+        ("alpha", 3, 3, 2.0),
+        ("zeta", 3, 3, 2.0),
+        ("kappa", 3, 6, 1.0),
+    ]
+    # k truncates AFTER the (score desc, term asc) total order
+    assert [r.term for r in
+            ix.significant_terms(Term("alpha"), meta, k=2).collect()
+            ] == ["alpha", "zeta"]
+    # min_fg_df prunes low-support terms (zeta kept at 3, not at 4)
+    assert [r.term for r in
+            ix.significant_terms(Term("alpha"), meta, k=10,
+                                 min_fg_df=4).collect()] == []
+    # no matches -> empty
+    assert ix.significant_terms(
+        Term("zz_missing_zz"), meta, k=10
+    ).count() == 0
     """Range facets: half-open [lo, hi) fixed-width buckets with floor
     semantics (below-start values land in negative buckets), NULLs
     group under a NULL bucket, empty buckets absent, width<=0

@@ -204,3 +204,46 @@ def test_wildcard_regex_helpers():
     assert _wildcard_literal_prefix("mer*") == "mer"
     assert _wildcard_literal_prefix("*ort") == ""
     assert _wildcard_literal_prefix("a?b") == "a"
+
+
+def test_boost_grammar_and_algebra():
+    from chearch_spark.plans.parser import QueryParseError, parse_query
+    from chearch_spark.plans.query import (
+        Diff,
+        Or,
+        Term,
+        scoring_weights,
+        to_postfix,
+    )
+
+    # grammar: term^w parses to a boosted Term; default boost is 1.0
+    assert parse_query("merge^2.5") == Term("merge", 2.5)
+    assert parse_query("merge^2.5 OR dup") == (
+        Term("merge", 2.5) | Term("dup")
+    )
+    assert Term("x") == Term("x", 1.0)
+    for bad in [
+        "merge^", "^2", "merge^x", "merge^0", "merge^-1",
+        "merg~^2", "m*ge^2", "mer*^2", "merge^inf", "merge^nan",
+        "a^2^3",
+    ]:
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
+    with pytest.raises(ValueError, match="finite"):
+        Term("a", 0)
+
+    # weights walk: MAX across duplicate leaves incl. the implicit
+    # 1.0 of an unboosted leaf; Diff's negative side never scores
+    assert scoring_weights(Or(Term("a", 2.0), Term("b"))) == {"a": 2.0}
+    assert scoring_weights(Or(Term("a", 0.5), Term("a"))) == {}
+    assert scoring_weights(Diff(Term("a"), Term("b", 3.0))) == {}
+
+    # a boosted term has no CHASM opcode (wire carries bare hashes)
+    with pytest.raises(ValueError, match="no opcode"):
+        to_postfix(Term("a", 2.0))
+
+    # normalization distributes a multi-token term's boost
+    from chearch_spark.search import _normalize
+
+    n = _normalize(Term("covid-19", 2.0))
+    assert scoring_weights(n) == {"covid": 2.0, "19": 2.0}
