@@ -338,6 +338,12 @@ LIMIT {k}
 """
 
 
+def _pack_docs_sql() -> str:
+    from chearch_spark.operators.packing import pack_sequences_sql
+
+    return pack_sequences_sql(512)
+
+
 def _page2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine side of the pagination gate: run page 1, carry its last
     row as the cursor, return page 2 via search_after."""
@@ -1235,6 +1241,12 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sig_terms": lambda s, sf: _get_index(s, sf).significant_terms(
             Term("merge") | Term("dup"), _docs(s, sf), k=10
         ),
+        # Sequence packing (r6, GPT-style concat-and-chunk): per-doc
+        # (seq_id, offset) assignment via the two-pass distributed
+        # prefix sum; the oracle is one serial window prefix sum
+        "pack_docs": lambda s, sf: __import__(
+            "chearch_spark.operators.packing", fromlist=["pack_sequences"]
+        ).pack_sequences(_docs(s, sf), 512),
     }
 
 
@@ -1398,4 +1410,5 @@ CROSS JOIN stats s
 ORDER BY score DESC, term ASC
 LIMIT 10
 """,
+        "pack_docs": _pack_docs_sql(),
     }

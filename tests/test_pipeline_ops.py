@@ -1233,3 +1233,43 @@ def test_suggest_ranking(spark, tmp_path_factory):
         ix.suggest("a", k=8)._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan, "ranked limit not top-k planned"
+
+
+def test_pack_sequences_semantics(spark):
+    """Concat-and-chunk packing: exclusive prefix sum in doc_id order
+    drives (seq_id, offset); docs straddle boundaries; zero-token docs
+    occupy a position but advance nothing; output is identical at any
+    bucket count (parallelism invariance of the two-pass scan)."""
+    from chearch_spark.operators.packing import pack_sequences
+
+    rows = [
+        (0, "a b c"),            # 3 tokens: before 0  -> seq 0 off 0
+        (1, "d e f g"),          # 4 tokens: before 3  -> seq 0 off 3
+        (2, ""),                 # 0 tokens: before 7  -> seq 1 off 2
+        (3, "h i j k l m"),      # 6 tokens: before 7  -> seq 1 off 2
+        (4, "n"),                # 1 token:  before 13 -> seq 2 off 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = [
+        (0, 3, 0, 0),
+        (1, 4, 0, 3),
+        (2, 0, 1, 2),
+        (3, 6, 1, 2),
+        (4, 1, 2, 3),
+    ]
+
+    def got(**kw):
+        return sorted(
+            (r.doc_id, r.n_tokens, r.seq_id, r.offset)
+            for r in pack_sequences(df, 5, **kw).collect()
+        )
+
+    assert got() == want
+    # bucket-count invariance: 1 bucket (serial) == 2 == 256
+    assert got(num_buckets=1) == want
+    assert got(num_buckets=2) == want
+    # empty input
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_sequences(empty, 5).count() == 0
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, 0)
