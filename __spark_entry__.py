@@ -344,6 +344,12 @@ def _pack_docs_sql() -> str:
     return pack_sequences_sql(512)
 
 
+def _sample_10pct_sql() -> str:
+    from chearch_spark.operators.pipeline import sample_hash_sql
+
+    return f"SELECT doc_id FROM ({sample_hash_sql(0.1)})"
+
+
 def _page2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine side of the pagination gate: run page 1, carry its last
     row as the cursor, return page 2 via search_after."""
@@ -1241,6 +1247,16 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sig_terms": lambda s, sf: _get_index(s, sf).significant_terms(
             Term("merge") | Term("dup"), _docs(s, sf), k=10
         ),
+        # Deterministic hash sampling (r6): reproducible keep set as a
+        # pure function of (key, salt, rate) — engine/partitioning
+        # independent, unlike seeded sample()
+        "sample_10pct": lambda s, sf: __import__(
+            "chearch_spark.operators.pipeline", fromlist=["sample_hash"]
+        ).sample_hash(_docs(s, sf), 0.1).select("doc_id"),
+        # Phrase-prefix (r6, ES match_phrase_prefix): the trailing
+        # prefix expands to Phrase leaves; doc set = docs with 'merge'
+        # immediately followed by any 'so'-prefixed term
+        "phrase_prefix_match": lambda s, sf: _match(s, sf, '"merge so*"'),
         # Sequence packing (r6, GPT-style concat-and-chunk): per-doc
         # (seq_id, offset) assignment via the two-pass distributed
         # prefix sum; the oracle is one serial window prefix sum
@@ -1411,4 +1427,21 @@ ORDER BY score DESC, term ASC
 LIMIT 10
 """,
         "pack_docs": _pack_docs_sql(),
+        "sample_10pct": _sample_10pct_sql(),
+        "phrase_prefix_match": f"""
+WITH tok0 AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '{_SPLIT}'), x -> x <> '')) AS term,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text),
+                '{_SPLIT}'), x -> x <> ''), 1) - 1 AS pos
+  FROM documents
+), t AS (
+  SELECT doc_id, term, pos FROM tok0 WHERE pos <= 255
+)
+SELECT DISTINCT t0.doc_id
+FROM t t0
+JOIN t t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+WHERE t0.term = 'merge' AND t1.term LIKE 'so%'
+""",
     }

@@ -149,6 +149,7 @@ def main() -> None:
         from chearch_spark.operators import ann as A
         from chearch_spark.operators import dedup as D
         from chearch_spark.operators import fusion as FU
+        from chearch_spark.operators.packing import pack_sequences
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         pipeline = {
@@ -196,6 +197,21 @@ def main() -> None:
             "p_wildcard": lambda: ix.search(
                 Wildcard("s?rt") | Term("dup"), k=k
             ).count(),
+            # significant terms: one eager match count + the
+            # single-pass foreground tokenize/groupBy + dict join
+            "p_sig_terms": lambda: ix.significant_terms(
+                Term("merge") | Term("dup"), docs, k=k
+            ).count(),
+            # more-like-this: pushed source fetch + df probe + the
+            # disjunctive retrieval over the selected terms
+            "p_mlt": lambda: ix.more_like_this(7, docs, k=k).count(),
+            # filtered search (auto plan pick via the limit probe)
+            "p_filtered": lambda: ix.search_filtered(
+                Term("merge") | Term("dup"), docs, "n_chars >= 400", k=k
+            ).count(),
+            # sequence packing: two-pass distributed prefix sum
+            # (timing includes its bounds + bucket-base driver jobs)
+            "p_pack": lambda: pack_sequences(docs, 512).count(),
         }
         # persisted IVFADC+R serving (r6): codes-only probed-cell scan
         # + exact sidecar rerank of the 4k shortlist.  The build is

@@ -9,6 +9,7 @@ Grammar (Lucene-flavored, covers every leaf the engine has):
     prox     :=  atom ( NEAR[/k] atom )?      # proximity -> Near
     atom     :=  '(' query ')' | phrase | word
     phrase   :=  '"' token+ '"' -> Phrase(tokens)
+              |  '"' token+ tok'*' '"' -> PhrasePrefix  # trailing star
     word     :=  token '^' num -> Term(token, boost)  # BM25 reweight
               |  token '*'  -> Prefix(token)     # trailing-only star
               |  token '~'  -> Fuzzy(token)
@@ -51,6 +52,7 @@ from chearch_spark.plans.query import (
     Node,
     Or,
     Phrase,
+    PhrasePrefix,
     Prefix,
     Term,
     Wildcard,
@@ -204,6 +206,23 @@ class _Parser:
             words = tuple(t[1:-1].split())
             if not words:
                 raise QueryParseError("empty phrase")
+            if any("*" in w or "?" in w for w in words[:-1]) or (
+                "?" in words[-1] or "*" in words[-1][:-1]
+            ):
+                raise QueryParseError(
+                    "wildcards inside a phrase support only a "
+                    "trailing prefix star (\"merge so*\")"
+                )
+            if words[-1].endswith("*"):
+                if len(words[-1]) == 1:
+                    raise QueryParseError(
+                        'bare "*" phrase suffix has no prefix'
+                    )
+                stem = words[:-1] + (words[-1][:-1],)
+                # a one-word phrase prefix is just a prefix query
+                return (
+                    PhrasePrefix(stem) if len(stem) > 1 else Prefix(stem[0])
+                )
             return Phrase(words)
         if t == "(":
             node = self.or_expr()

@@ -136,6 +136,30 @@ class Phrase(Node):
 
 
 @dataclass(frozen=True)
+class PhrasePrefix(Node):
+    """Phrase-prefix leaf (the Elasticsearch ``match_phrase_prefix``
+    search-as-you-type surface, parser form ``"merge so*"``): the
+    LAST element of ``words`` is a term PREFIX; the leaf expands
+    against the index dictionary into an OR of :class:`Phrase` leaves
+    (one per prefix completion), each matched at consecutive stored
+    positions.  Expansion follows the Prefix discipline — beyond
+    ``MAX_PREFIX_EXPANSION`` it RAISES rather than silently keeping
+    the first 50 completions like Lucene's max_expansions (a
+    documented divergence: silent truncation silently changes
+    results).  Extension — the reference has exact term ids only."""
+
+    words: tuple[str, ...]
+
+    def __post_init__(self):
+        object.__setattr__(self, "words", tuple(self.words))
+
+    def _terms(self):
+        # leading words are exact terms; the trailing prefix resolves
+        # during expansion like Prefix/Fuzzy/Wildcard
+        yield from self.words[:-1]
+
+
+@dataclass(frozen=True)
 class Near(Node):
     """Unordered proximity leaf: docs where ``a`` and ``b`` occur
     within ``window`` stored positions of each other (the NEAR
@@ -220,8 +244,8 @@ def scoring_terms(node: Node) -> list[str]:
         return scoring_terms(node.a)
     if isinstance(node, (Phrase, Near)):
         return node.terms()
-    if isinstance(node, (Prefix, Fuzzy, Wildcard)):
-        return []
+    if isinstance(node, (Prefix, Fuzzy, Wildcard, PhrasePrefix)):
+        return []  # resolved during expansion, before scoring
     raise TypeError(node)
 
 
@@ -269,7 +293,9 @@ def to_postfix(node: Node) -> list[tuple]:
             walk(n.b)
             walk(n.a)
             out.append(("AND",) if isinstance(n, And) else ("OR",))
-        elif isinstance(n, (Diff, Prefix, Fuzzy, Wildcard, Phrase, Near)):
+        elif isinstance(
+            n, (Diff, Prefix, Fuzzy, Wildcard, Phrase, PhrasePrefix, Near)
+        ):
             raise ValueError(
                 f"{type(n).__name__} is an engine extension with no "
                 "opcode in the reference's 4-op wire format"

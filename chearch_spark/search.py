@@ -49,6 +49,7 @@ from chearch_spark.plans.query import (
     Node,
     Or,
     Phrase,
+    PhrasePrefix,
     Prefix,
     Term,
     Wildcard,
@@ -120,6 +121,22 @@ def _normalize(node: Node) -> Node:
         if not p or spec.tokenize(p) != [p]:
             raise ValueError(f"prefix {node.prefix!r} is not a token prefix")
         return Prefix(p)
+    if isinstance(node, PhrasePrefix):
+        if len(node.words) < 1:
+            raise ValueError("phrase prefix needs at least the prefix")
+        p = node.words[-1].lower()
+        if not p or spec.tokenize(p) != [p]:
+            raise ValueError(
+                f"phrase prefix {node.words[-1]!r} is not a token prefix"
+            )
+        if len(node.words) == 1:
+            return Prefix(p)  # no leading words = a bare prefix
+        toks = spec.tokenize(" ".join(node.words[:-1]))
+        if not toks:
+            raise ValueError(
+                f"phrase {node.words[:-1]!r} contains no indexable token"
+            )
+        return PhrasePrefix(tuple(toks) + (p,))
     if isinstance(node, Fuzzy):
         q = node.term.lower()
         if not q or spec.tokenize(q) != [q]:
@@ -739,6 +756,18 @@ class Index:
             for t in terms[1:]:
                 out3 = Or(out3, Term(t))
             return out3
+        if isinstance(node, PhrasePrefix):
+            # one OR-fold of Phrase leaves, one per completion of the
+            # trailing prefix (term-asc order pins the fold shape);
+            # the expanded tree reuses the positions kernel unchanged
+            lead = node.words[:-1]
+            terms = self._prefix_terms(node.words[-1])
+            if not terms:
+                return _IMPOSSIBLE
+            out4: Node = Phrase(lead + (terms[0],))
+            for t in terms[1:]:
+                out4 = Or(out4, Phrase(lead + (t,)))
+            return out4
         if isinstance(node, And):
             return And(self._expand(node.a), self._expand(node.b))
         if isinstance(node, Or):

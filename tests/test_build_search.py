@@ -748,6 +748,30 @@ def test_boost_semantics(index):
     assert _collect(index.search_after(q, k=5, after=cur)) == dist[5:10]
 
 
+def test_phrase_prefix_semantics(index):
+    """Phrase-prefix: the string form equals the union of dedicated
+    Phrase matches over the dictionary expansions of the trailing
+    prefix; scored retrieval agrees across the distributed and local
+    paths; every hit contains the leading word."""
+    from chearch_spark.plans.query import Phrase
+
+    exp = index._prefix_terms("so")
+    assert exp, "corpus must have so-prefixed vocabulary"
+    got = {r.doc_id for r in index.match_docs('"merge so*"').collect()}
+    want = set()
+    for t in exp:
+        want |= {
+            r.doc_id
+            for r in index.match_docs(Phrase(("merge", t))).collect()
+        }
+    assert got == want and got
+    assert got <= {
+        r.doc_id for r in index.match_docs(Term("merge")).collect()
+    }
+    s1 = _collect(index.search('"merge so*"', k=10))
+    assert index.local_search('"merge so*"', k=10) == s1
+
+
 def test_more_like_this_semantics(spark, tmp_path_factory):
     """MLT: interesting terms ranked (tf*idf desc, term asc) with the
     optional hot-term df cap; retrieval is the plain OR search minus

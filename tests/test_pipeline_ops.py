@@ -1273,3 +1273,27 @@ def test_pack_sequences_semantics(spark):
     assert pack_sequences(empty, 5).count() == 0
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, 0)
+
+
+def test_sample_hash_semantics(spark, corpus):
+    """Deterministic hash sampling: rate bounds enforced; keep set is
+    run-deterministic; NESTED across rates under one salt; salts draw
+    different sets; rate 0/1 are empty/identity; approximate rate
+    holds on a larger key space."""
+    from chearch_spark.operators.pipeline import sample_hash
+
+    ids = lambda df: {r.doc_id for r in df.select("doc_id").collect()}
+    with pytest.raises(ValueError, match="rate"):
+        sample_hash(corpus, 1.5)
+    assert ids(sample_hash(corpus, 0.0)) == set()
+    assert ids(sample_hash(corpus, 1.0)) == ids(corpus)
+    s3 = ids(sample_hash(corpus, 0.3))
+    assert s3 == ids(sample_hash(corpus, 0.3))  # deterministic
+    assert s3 <= ids(sample_hash(corpus, 0.7))  # nesting
+    # larger key space: rate accuracy and salt independence
+    big = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = ids(sample_hash(big, 0.25))
+    b = ids(sample_hash(big, 0.25, salt="v2"))
+    assert 0.20 * 2000 <= len(a) <= 0.30 * 2000
+    assert a != b  # different salts draw different sets
+    assert a <= ids(sample_hash(big, 0.5))

@@ -247,3 +247,35 @@ def test_boost_grammar_and_algebra():
 
     n = _normalize(Term("covid-19", 2.0))
     assert scoring_weights(n) == {"covid": 2.0, "19": 2.0}
+
+
+def test_phrase_prefix_grammar():
+    from chearch_spark.plans.parser import QueryParseError, parse_query
+    from chearch_spark.plans.query import (
+        Phrase,
+        PhrasePrefix,
+        Prefix,
+        to_postfix,
+    )
+    from chearch_spark.search import _normalize
+
+    assert parse_query('"merge so*"') == PhrasePrefix(("merge", "so"))
+    assert parse_query('"a b so*"') == PhrasePrefix(("a", "b", "so"))
+    assert parse_query('"so*"') == Prefix("so")  # one word = bare prefix
+    assert parse_query('"merge sort"') == Phrase(("merge", "sort"))
+    for bad in ['"me*ge so"', '"merge so?"', '"*"', '"m* so*"']:
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
+    # normalization: case folding, multi-token leading words, one-word
+    # degradation, prefix-token validation
+    assert _normalize(PhrasePrefix(("MERGE", "SO"))) == PhrasePrefix(
+        ("merge", "so")
+    )
+    assert _normalize(PhrasePrefix(("covid-19", "so"))) == PhrasePrefix(
+        ("covid", "19", "so")
+    )
+    assert _normalize(PhrasePrefix(("so",))) == Prefix("so")
+    with pytest.raises(ValueError):
+        _normalize(PhrasePrefix(("merge", "s o")))
+    with pytest.raises(ValueError, match="no opcode"):
+        to_postfix(PhrasePrefix(("a", "b")))
