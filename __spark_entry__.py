@@ -457,14 +457,30 @@ def _get_index(spark: SparkSession, sf_dir: str):
         out = os.path.join(
             tempfile.gettempdir(), f"chearch_entry_ix_v3_{fp}"
         )
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        build_index(
-            spark,
-            docs.select("doc_id", "text"),
-            out,
-            num_segments=8,
-            resume=True,
-        )
+        # per-PID build + ONE atomic rename (the _cached_lifecycle_index
+        # publication pattern): two concurrent gate/bench processes
+        # resuming into the same shared dir would otherwise read each
+        # other's half-written dictionary (observed as a transient
+        # FileNotFoundError in the prefix/wildcard probes).  With
+        # atomic publication, presence of stats.json == complete.
+        if not os.path.exists(os.path.join(out, "stats.json")):
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            build_dir = f"{out}.build.{os.getpid()}"
+            build_index(
+                spark,
+                docs.select("doc_id", "text"),
+                build_dir,
+                num_segments=8,
+                resume=False,
+            )
+            try:
+                os.rename(build_dir, out)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(build_dir, ignore_errors=True)
+                if not os.path.exists(os.path.join(out, "stats.json")):
+                    raise  # not a lost race — surface the real error
         _INDEX_CACHE[key] = Index(spark, out)
     return _INDEX_CACHE[key]
 
