@@ -1117,7 +1117,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     DuckDB comparison, so they keep the same correctness gate — just
     in pytest instead of the driver snapshot.
     """
-    from chearch_spark.plans.query import Term, Wildcard
+    from chearch_spark.plans.query import Synonym, Term, Wildcard
     from chearch_spark.operators import ann as A
     from chearch_spark.operators import dedup as D
 
@@ -1262,6 +1262,17 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # df-rate lift as one double division of exact int64 products
         "sig_terms": lambda s, sf: _get_index(s, sf).significant_terms(
             Term("merge") | Term("dup"), _docs(s, sf), k=10
+        ),
+        # Blended-stats synonym scoring (r6, Lucene SynonymQuery):
+        # docset = union, tf = sum of member tfs, df = max member df
+        # — one pseudo-term, not an OR of contributions
+        "bm25_topk_syn": lambda s, sf: _search(
+            s, sf, Synonym(("merge", "dup"))
+        ),
+        # Exact hit count without scoring (r6, ES _count)
+        "match_count": lambda s, sf: s.createDataFrame(
+            [(_get_index(s, sf).count(Term("merge") | Term("dup")),)],
+            "n_docs long",
         ),
         # Deterministic hash sampling (r6): reproducible keep set as a
         # pure function of (key, salt, rate) — engine/partitioning
@@ -1444,6 +1455,34 @@ LIMIT 10
 """,
         "pack_docs": _pack_docs_sql(),
         "sample_10pct": _sample_10pct_sql(),
+        "match_count": _BASE_CTE + """
+SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM tf WHERE term IN ('merge', 'dup')
+""",
+        # blended synonym scoring: ONE pseudo-term with tf = sum of
+        # member tfs and df = max member df, in the same float
+        # association as the engine kernel (idf * tf * (k1+1) / ...)
+        "bm25_topk_syn": _BASE_CTE + f"""
+, syn AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS stf
+  FROM tf WHERE term IN ('merge', 'dup') GROUP BY doc_id
+), sdf AS (
+  SELECT max(df) AS df FROM dfs WHERE term IN ('merge', 'dup')
+), scored AS (
+  SELECT syn.doc_id,
+         ln(1 + (s.n - sdf.df + 0.5) / (sdf.df + 0.5))
+         * syn.stf * ({_K1} + 1)
+         / (syn.stf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) AS score
+  FROM syn
+  JOIN dl ON dl.doc_id = syn.doc_id
+  CROSS JOIN sdf
+  CROSS JOIN stats s
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""",
         "phrase_prefix_match": f"""
 WITH tok0 AS (
   SELECT doc_id,

@@ -176,6 +176,53 @@ class Near(Node):
 
 
 @dataclass(frozen=True)
+class Synonym(Node):
+    """Blended-statistics synonym leaf (the Lucene ``SynonymQuery`` /
+    BlendedTermQuery surface): member terms that name the SAME concept
+    — the doc set is their union, but scoring treats the whole group
+    as ONE pseudo-term: per-doc tf = SUM of member tfs, df = MAX of
+    member dfs.  This is semantically different from the OR a query
+    expander would build: an OR sums per-member BM25 contributions, so
+    a doc mentioning two spelling variants of one concept outranks a
+    doc mentioning the concept twice via one variant; the blended form
+    scores both identically.  Composes with the whole algebra; no
+    CHASM opcode (the reference wire carries bare term hashes).
+    Members are normalized/deduped/sorted by ``_normalize`` so the
+    blend key is deterministic; a one-member group degrades to Term."""
+
+    words: tuple[str, ...]
+
+    def __post_init__(self):
+        object.__setattr__(self, "words", tuple(self.words))
+
+    def key(self) -> str:
+        """Synthetic postings/idf key for the blended pseudo-term —
+        '\\x00' is outside the token alphabet, so no real term can
+        collide with it."""
+        return "\x00syn:" + "|".join(self.words)
+
+    def _terms(self):
+        yield from self.words
+
+
+def synonym_leaves(node: Node) -> list["Synonym"]:
+    """Distinct Synonym leaves of the tree, first-occurrence order —
+    the scoring kernels pre-merge one blended posting list per leaf."""
+    out: list[Synonym] = []
+
+    def walk(n: Node) -> None:
+        if isinstance(n, Synonym):
+            if n not in out:
+                out.append(n)
+        elif isinstance(n, (And, Or, Diff)):
+            walk(n.b)
+            walk(n.a)
+
+    walk(node)
+    return out
+
+
+@dataclass(frozen=True)
 class Prefix(Node):
     """Term-prefix leaf (e.g. ``Prefix("merg")``), expanded against the
     index dictionary into an OR of matching terms at query time.
@@ -244,6 +291,8 @@ def scoring_terms(node: Node) -> list[str]:
         return scoring_terms(node.a)
     if isinstance(node, (Phrase, Near)):
         return node.terms()
+    if isinstance(node, Synonym):
+        return [node.key()]  # the blended pseudo-term, not the members
     if isinstance(node, (Prefix, Fuzzy, Wildcard, PhrasePrefix)):
         return []  # resolved during expansion, before scoring
     raise TypeError(node)
@@ -294,7 +343,9 @@ def to_postfix(node: Node) -> list[tuple]:
             walk(n.a)
             out.append(("AND",) if isinstance(n, And) else ("OR",))
         elif isinstance(
-            n, (Diff, Prefix, Fuzzy, Wildcard, Phrase, PhrasePrefix, Near)
+            n,
+            (Diff, Prefix, Fuzzy, Wildcard, Phrase, PhrasePrefix, Near,
+             Synonym),
         ):
             raise ValueError(
                 f"{type(n).__name__} is an engine extension with no "

@@ -51,6 +51,7 @@ from chearch_spark.plans.query import (
     Phrase,
     PhrasePrefix,
     Prefix,
+    Synonym,
     Term,
     Wildcard,
     all_terms_required,
@@ -60,6 +61,7 @@ from chearch_spark.plans.query import (
     positional_terms,
     scoring_terms,
     scoring_weights,
+    synonym_leaves,
 )
 
 
@@ -137,6 +139,21 @@ def _normalize(node: Node) -> Node:
                 f"phrase {node.words[:-1]!r} contains no indexable token"
             )
         return PhrasePrefix(tuple(toks) + (p,))
+    if isinstance(node, Synonym):
+        norm = set()
+        for w in node.words:
+            toks = spec.tokenize(w)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"synonym member {w!r} must normalize to exactly "
+                    f"one token, got {toks!r}"
+                )
+            norm.add(toks[0])
+        if not norm:
+            raise ValueError("synonym group needs at least one member")
+        if len(norm) == 1:
+            return Term(next(iter(norm)))
+        return Synonym(tuple(sorted(norm)))
     if isinstance(node, Fuzzy):
         q = node.term.lower()
         if not q or spec.tokenize(q) != [q]:
@@ -1536,11 +1553,13 @@ class Index:
         idfs_by_q = {}
         for name, n in nodes.items():
             w = scoring_weights(n)
-            idfs_by_q[name] = (
-                {t: v * w.get(t, 1.0) for t, v in idfs.items()}
-                if w
-                else idfs
-            )
+            syn = self._synonym_idfs(n, stats)
+            if w or syn:
+                iq = {t: v * w.get(t, 1.0) for t, v in idfs.items()}
+                iq.update(syn)
+                idfs_by_q[name] = iq
+            else:
+                idfs_by_q[name] = idfs
         avgdl = self.avgdl
         # prune to segments some query may touch: ONE probe on the
         # OR-fold of the union terms (a superset of the per-query
@@ -1620,11 +1639,25 @@ class Index:
             terms = node.terms()
         stats = self._cached_stats(terms)
         w = scoring_weights(node)
-        return {
+        idfs = {
             t: spec.idf(self.n_docs, stats[t][0]) * w.get(t, 1.0)
             for t in terms
             if t in stats
         }
+        idfs.update(self._synonym_idfs(node, stats))
+        return idfs
+
+    def _synonym_idfs(self, node: Node, stats) -> dict[str, float]:
+        """Blended idf per Synonym leaf: df = MAX of member dfs (the
+        Lucene SynonymQuery / BlendedTermQuery document-frequency
+        blend — the group is one concept, so its rarity is its most
+        common member's)."""
+        out: dict[str, float] = {}
+        for leaf in synonym_leaves(node):
+            dfs = [stats[t][0] for t in leaf.words if t in stats]
+            if dfs:
+                out[leaf.key()] = spec.idf(self.n_docs, max(dfs))
+        return out
 
     # -- driver-local low-latency path ------------------------------------
     def _cached_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
@@ -1663,6 +1696,8 @@ class Index:
                 return b(n.a) + b(n.b)
             if isinstance(n, Diff):
                 return b(n.a)
+            if isinstance(n, Synonym):
+                return sum(df_of(t) for t in n.words)  # union <= sum
             raise TypeError(n)
 
         return b(node)
@@ -2035,6 +2070,14 @@ class Index:
             .groupBy("lo", "hi")
             .agg(F.count("*").cast("long").alias("n_docs"))
         )
+
+    def count(self, query: Node | str) -> int:
+        """Exact hit count without scoring (the Elasticsearch
+        ``_count`` surface): the size of the query's doc set.  Runs
+        the term-pruned match kernel with no BM25 work and aggregates
+        count(*) — partial counts below the exchange, one long to the
+        driver; tombstoned docs excluded like every query path."""
+        return self.match_docs(query).count()
 
     def significant_terms(
         self,
@@ -2725,6 +2768,23 @@ def _drop_tombstoned(postings: dict, blocks: dict, meta_ids, tomb):
     return out_p, out_b
 
 
+def _merge_synonym_postings(members):
+    """Blend member posting lists into one pseudo-term: union of doc
+    indexes (kept sorted), per-doc tf = SUM of member tfs.  Vectorized
+    via one concat + argsort + reduceat group-sum."""
+    members = [m for m in members if m is not None and len(m[0])]
+    if not members:
+        return None
+    if len(members) == 1:
+        return members[0]
+    docs = np.concatenate([m[0] for m in members])
+    tfs = np.concatenate([m[1] for m in members])
+    order = np.argsort(docs, kind="stable")
+    docs, tfs = docs[order], tfs[order]
+    uniq, starts = np.unique(docs, return_index=True)
+    return uniq, np.add.reduceat(tfs, starts)
+
+
 def _eval_docset(node: Node, postings: dict, occ: dict | None = None):
     """AST -> sorted doc_index array (vectorized sorted-set algebra —
     the reference's merge operands, `operands.chpl:52-160`, minus the
@@ -2733,6 +2793,16 @@ def _eval_docset(node: Node, postings: dict, occ: dict | None = None):
     if isinstance(node, Term):
         p = postings.get(node.term)
         return p[0] if p is not None else np.empty(0, np.int64)
+    if isinstance(node, Synonym):
+        p = postings.get(node.key())  # pre-merged by the scoring path
+        if p is not None:
+            return p[0]
+        out = np.empty(0, np.int64)
+        for t in node.words:
+            m = postings.get(t)
+            if m is not None:
+                out = np.union1d(out, m[0])
+        return out
     if isinstance(node, (Phrase, Near)):
         return _eval_positional(node, occ or {})
     if isinstance(node, And):
@@ -2848,6 +2918,20 @@ def _score_decoded(
         np.empty(0, np.float64),
         np.empty(0, np.int64),
     )
+
+    syns = synonym_leaves(node)
+    if syns:
+        # pre-merge one blended posting list per Synonym leaf (union
+        # docs, SUM tfs — the Lucene SynonymQuery tf blend); copy-on-
+        # write so the driver-local cache's decoded dicts are never
+        # polluted with synthetic keys
+        postings = dict(postings)
+        for leaf in syns:
+            merged = _merge_synonym_postings(
+                [postings[t] for t in leaf.words if t in postings]
+            )
+            if merged is not None:
+                postings[leaf.key()] = merged
 
     dis = disjunctive_terms(node) if after is None else None
     if dis is not None:

@@ -748,6 +748,56 @@ def test_boost_semantics(index):
     assert _collect(index.search_after(q, k=5, after=cur)) == dist[5:10]
 
 
+def test_synonym_blended_scoring(index):
+    """Synonym leaf: doc set equals the OR union, but scoring blends
+    the group into ONE pseudo-term (tf = sum of member tfs, df = max
+    member df) — verified against a hand-computed BM25 for the top
+    hit; a one-member group is exactly the plain Term; the local path
+    agrees; composes under AND."""
+    from chearch_spark.plans.query import Synonym
+
+    syn = Synonym(("batch", "dup"))
+    orq = Term("batch") | Term("dup")
+    assert {r.doc_id for r in index.match_docs(syn).collect()} == {
+        r.doc_id for r in index.match_docs(orq).collect()
+    }
+    ss = _collect(index.search(syn, k=10))
+    assert ss != _collect(index.search(orq, k=10))
+    assert index.local_search(syn, k=10) == ss
+    assert _collect(index.search(Synonym(("batch",)), k=5)) == _collect(
+        index.search(Term("batch"), k=5)
+    )
+    # hand-check the top hit's blended score
+    stats = index.term_stats(["batch", "dup"])
+    df = max(stats["batch"][0], stats["dup"][0])
+    doc = ss[0][0]
+    tf = sum(
+        r.tf
+        for r in index.postings_df(["batch", "dup"])
+        .filter(f"doc_id = {doc}")
+        .collect()
+    )
+    dl = index.docmap().filter(f"doc_id = {doc}").collect()[0].doc_len
+    idf = spec.idf(index.n_docs, df)
+    denom = spec.BM25_K1 * (
+        1 - spec.BM25_B + spec.BM25_B * dl / index.avgdl
+    )
+    assert abs(idf * tf * (spec.BM25_K1 + 1) / (tf + denom) - ss[0][1]) < 1e-9
+    # composes under AND (position in the algebra, not a special case)
+    both = index.search(syn & Term("sort"), k=5)
+    assert both.count() >= 0
+
+
+def test_count_semantics(index):
+    """Index.count: exact unscored hit count — equals the size of the
+    full scored ranking, accepts the string grammar, 0 on no match."""
+    q = Term("batch") | Term("dup")
+    n = index.count(q)
+    assert n == len(_collect(index.search(q, k=1_000_000))) > 0
+    assert index.count("batch OR dup") == n
+    assert index.count(Term("zz_missing_zz")) == 0
+
+
 def test_phrase_prefix_semantics(index):
     """Phrase-prefix: the string form equals the union of dedicated
     Phrase matches over the dictionary expansions of the trailing

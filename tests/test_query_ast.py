@@ -279,3 +279,31 @@ def test_phrase_prefix_grammar():
         _normalize(PhrasePrefix(("merge", "s o")))
     with pytest.raises(ValueError, match="no opcode"):
         to_postfix(PhrasePrefix(("a", "b")))
+
+
+def test_synonym_algebra():
+    from chearch_spark.plans.query import (
+        Or,
+        Synonym,
+        Term,
+        scoring_terms,
+        synonym_leaves,
+        to_postfix,
+    )
+    from chearch_spark.search import _normalize
+
+    s = Synonym(("b", "a"))
+    # normalize: dedupe + sort (deterministic blend key), case fold,
+    # one-member degradation, multi-token member rejection
+    assert _normalize(Synonym(("B", "a", "b"))) == Synonym(("a", "b"))
+    assert _normalize(Synonym(("a",))) == Term("a")
+    with pytest.raises(ValueError, match="one token"):
+        _normalize(Synonym(("a b",)))
+    with pytest.raises(ValueError, match="at least one"):
+        _normalize(Synonym(()))
+    # the scoring key is the pseudo-term, not the members
+    assert scoring_terms(s) == [s.key()]
+    assert s.key().startswith("\x00syn:")
+    assert synonym_leaves(Or(s, Term("x"))) == [s]
+    with pytest.raises(ValueError, match="no opcode"):
+        to_postfix(s)
