@@ -350,6 +350,20 @@ def _sample_10pct_sql() -> str:
     return f"SELECT doc_id FROM ({sample_hash_sql(0.1)})"
 
 
+def _collapsed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from chearch_spark.plans.query import Term
+
+    ix = _get_index(spark, sf_dir)
+    out = ix.search_collapsed(
+        Term("merge") | Term("dup"), _docs(spark, sf_dir), "lang", k=10
+    )
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score"), "lang"
+    )
+
+
 def _page2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine side of the pagination gate: run page 1, carry its last
     row as the cursor, return page 2 via search_after."""
@@ -1269,6 +1283,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bm25_topk_syn": lambda s, sf: _search(
             s, sf, Synonym(("merge", "dup"))
         ),
+        # Field collapsing (r6, ES collapse): top-k with one hit per
+        # lang, each group represented by its best-scoring doc
+        "collapsed_search": _collapsed_query,
         # Exact hit count without scoring (r6, ES _count)
         "match_count": lambda s, sf: s.createDataFrame(
             [(_get_index(s, sf).count(Term("merge") | Term("dup")),)],
@@ -1458,6 +1475,31 @@ LIMIT 10
         "match_count": _BASE_CTE + """
 SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM tf WHERE term IN ('merge', 'dup')
+""",
+        "collapsed_search": _BASE_CTE + f"""
+, matched AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * ({_K1} + 1)
+              / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN dfs d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ('merge', 'dup')
+  GROUP BY tf.doc_id
+), grouped AS (
+  SELECT m.doc_id, m.score, doc.lang,
+         row_number() OVER (
+           PARTITION BY doc.lang
+           ORDER BY m.score DESC, m.doc_id ASC
+         ) AS rn
+  FROM matched m JOIN documents doc ON doc.doc_id = m.doc_id
+)
+SELECT doc_id, round(score, 6) AS score, lang
+FROM grouped WHERE rn = 1
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
 """,
         # blended synonym scoring: ONE pseudo-term with tf = sum of
         # member tfs and df = max member df, in the same float

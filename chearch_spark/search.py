@@ -1323,6 +1323,55 @@ class Index:
             .limit(k)
         )
 
+    def search_collapsed(
+        self,
+        query: Node | str,
+        meta: "DataFrame",
+        collapse_col: str,
+        k: int = spec.DEFAULT_K,
+        id_col: str = "doc_id",
+    ):
+        """Field collapsing (the Elasticsearch ``collapse`` surface):
+        top-``k`` hits with at most ONE hit per distinct value of
+        ``collapse_col`` — each group is represented by its
+        best-scoring doc (ties doc_id asc), and groups rank by their
+        representative's score in the pinned total order.  NULL group
+        values collapse into one NULL group, like SQL GROUP BY (ES
+        does the same for missing keys).
+
+        Plan: the kernels emit EVERY match scored (a per-segment
+        top-k cut could drop a group winner that ranks below k
+        locally — the same reason the filtered join path scores
+        everything), one forced shuffle-hash join against the
+        (doc_id, group) projection of ``meta`` (two kernel-output /
+        corpus-projection relations — no sane broadcast, and never
+        Catalyst's estimate), one per-group window rank, then
+        orderBy+limit plans as TakeOrderedAndProject so only k rows
+        pass the final gather.  The window shuffle is bounded by the
+        query's match count, never corpus row width."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        node = self._prep(query)
+        scored = self._scored_local(node, None)
+        groups = meta.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(collapse_col).alias("__grp"),
+        )
+        w = Window.partitionBy("__grp").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.join(groups.hint("shuffle_hash"), "doc_id", "inner")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "doc_id", "score", F.col("__grp").alias(collapse_col)
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def mlt_terms(
         self,
         doc_id: int,

@@ -344,6 +344,30 @@ def main() -> None:
     print("OK  significant terms: single foreground pass, partial agg, "
           "top-k plan")
 
+    # Field collapsing: full scored emission joins the (doc_id, group)
+    # projection via a FORCED shuffle-hash join (kernel output size is
+    # only an estimate to Catalyst — a broadcast there would ride on
+    # it), one per-group window, TakeOrderedAndProject on top
+    sc_df = ix.search_collapsed(
+        Term("merge") | Term("dup"), docs_meta, "lang", k=10
+    )
+    p = plan_of(sc_df)
+    assert "ShuffledHashJoin" in p, "collapse: join not forced shuffle-hash"
+    assert "Window" in p, "collapse: no per-group window"
+    assert "TakeOrderedAndProject" in p, "collapse: no top-k plan"
+    sections.append(
+        (
+            "Field collapsing (search_collapsed)",
+            p,
+            [("full scored emission -> forced shuffle-hash join with "
+              "the (doc_id, group) projection -> per-group window -> "
+              "TakeOrderedAndProject (all three asserted); shuffle "
+              "bounded by the match count", "—")],
+        )
+    )
+    print("OK  field collapsing: shuffle-hash join, group window, "
+          "top-k plan")
+
     # Prefix autocomplete: a ranked LIMIT over the dictionary scan —
     # the prefix range must push into the parquet scan (part-file /
     # row-group pruning on the range-partitioned dictionary) and the

@@ -748,6 +748,36 @@ def test_boost_semantics(index):
     assert _collect(index.search_after(q, k=5, after=cur)) == dist[5:10]
 
 
+def test_search_collapsed_semantics(spark, index):
+    """Field collapsing: the result equals post-hoc group-dedup of the
+    FULL ranking (first hit per group in rank order, then top-k) —
+    incl. a group whose winner ranks below k globally; NULL groups
+    collapse into one."""
+    from pyspark.sql import functions as F
+
+    q = Term("batch") | Term("dup")
+    full = index.search(q, k=1_000_000).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    grp = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    want, seen = [], set()
+    for r in full:
+        g = grp[r.doc_id]
+        if g in seen:
+            continue
+        seen.add(g)
+        want.append((r.doc_id, r.score, g))
+    want = want[:10]
+    got = [
+        (r.doc_id, r.score, r.lang)
+        for r in index.search_collapsed(q, docs, "lang", k=10).collect()
+    ]
+    assert got == want
+    # collapsing can't return two hits of one group, and fewer groups
+    # than k means fewer rows, never padding
+    langs = [g for _, _, g in got]
+    assert len(langs) == len(set(langs)) <= 10
+
+
 def test_synonym_blended_scoring(index):
     """Synonym leaf: doc set equals the OR union, but scoring blends
     the group into ONE pseudo-term (tf = sum of member tfs, df = max
