@@ -350,6 +350,24 @@ def _sample_10pct_sql() -> str:
     return f"SELECT doc_id FROM ({sample_hash_sql(0.1)})"
 
 
+def _rescored_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from chearch_spark.plans.query import Term
+
+    ix = _get_index(spark, sf_dir)
+    out = ix.rescore(
+        Term("merge") | Term("dup"), Term("sort"),
+        k=10, window=50, rescore_weight=2.0,
+    )
+    return out.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.round("base_score", 6).alias("base_score"),
+        F.round("rescore_score", 6).alias("rescore_score"),
+    )
+
+
 def _collapsed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1286,6 +1304,10 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # Field collapsing (r6, ES collapse): top-k with one hit per
         # lang, each group represented by its best-scoring doc
         "collapsed_search": _collapsed_query,
+        # Two-phase rescoring (r6, ES rescore): the top-50 window of
+        # merge|dup re-ranked by base + 2*bm25(sort) — the rescore
+        # query scores only the window, never the corpus
+        "rescored_search": _rescored_query,
         # Exact hit count without scoring (r6, ES _count)
         "match_count": lambda s, sf: s.createDataFrame(
             [(_get_index(s, sf).count(Term("merge") | Term("dup")),)],
@@ -1475,6 +1497,42 @@ LIMIT 10
         "match_count": _BASE_CTE + """
 SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM tf WHERE term IN ('merge', 'dup')
+""",
+        "rescored_search": _BASE_CTE + f"""
+, bmatched AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * ({_K1} + 1)
+              / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN dfs d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ('merge', 'dup')
+  GROUP BY tf.doc_id
+), base AS (
+  SELECT doc_id, score FROM bmatched
+  ORDER BY score DESC, doc_id ASC
+  LIMIT 50
+), rmatched AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * ({_K1} + 1)
+              / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN dfs d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term = 'sort'
+  GROUP BY tf.doc_id
+)
+SELECT b.doc_id,
+       round(1.0 * b.score + 2.0 * coalesce(r.score, 0), 6) AS score,
+       round(b.score, 6) AS base_score,
+       round(coalesce(r.score, 0), 6) AS rescore_score
+FROM base b LEFT JOIN rmatched r ON r.doc_id = b.doc_id
+ORDER BY (1.0 * b.score + 2.0 * coalesce(r.score, 0)) DESC, b.doc_id ASC
+LIMIT 10
 """,
         "collapsed_search": _BASE_CTE + f"""
 , matched AS (

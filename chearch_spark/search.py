@@ -1323,6 +1323,81 @@ class Index:
             .limit(k)
         )
 
+    def rescore(
+        self,
+        query: Node | str,
+        rescore_query: Node | str,
+        k: int = spec.DEFAULT_K,
+        window: int = 100,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+    ):
+        """Two-phase rescoring (the Elasticsearch ``rescore``
+        surface): run ``query``, take its top-``window`` hits, and
+        re-rank THAT WINDOW by ``query_weight * base_score +
+        rescore_weight * score(rescore_query)`` — docs in the window
+        that don't match the rescore query keep their base
+        contribution alone; docs outside the window can never enter
+        (ES semantics: rescoring refines, it does not recall).
+        Returns (doc_id, score, base_score, rescore_score) in the
+        combined total order (score desc, doc_id asc), top-``k`` of
+        the window.
+
+        Plan: phase 1 is a plain :meth:`search` with one O(window)
+        driver gather (the same k-scale collect every pagination /
+        metadata path does); phase 2 ships the window ids into the
+        scoring kernels as an include set (the filtered-search kernel
+        path — per-segment emission ≤ window, no corpus join), and the
+        combine is one join of two ≤window-row relations.  The
+        expensive rescore query (e.g. a phrase) therefore scores only
+        ``window`` docs, never the corpus — the entire point of the
+        surface.  Unique external doc ids assumed (the documents
+        schema pins them); the rescore side aggregates by MAX, which
+        is idempotent if an id is ever duplicated."""
+        from pyspark.sql import functions as F
+
+        window, k = int(window), int(k)
+        if window <= 0 or k <= 0:
+            raise ValueError(f"window and k must be > 0, got {window}, {k}")
+        qw, rw = float(query_weight), float(rescore_weight)
+        base = self.search(query, k=window).collect()
+        schema = (
+            "doc_id long, score double, base_score double, "
+            "rescore_score double"
+        )
+        if not base:
+            return self.spark.createDataFrame([], schema)
+        inc = np.unique(
+            np.fromiter((r["doc_id"] for r in base), np.int64, len(base))
+        )
+        h = inc
+        if len(inc) > _TOMB_BROADCAST_THRESHOLD:
+            h = self.spark.sparkContext.broadcast(inc)
+        res = (
+            self._scored_local(self._prep(rescore_query), None, include_h=h)
+            .groupBy("doc_id")
+            .agg(F.max("score").alias("rescore_score"))
+        )
+        base_df = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in base],
+            "doc_id long, base_score double",
+        )
+        return (
+            base_df.join(res, "doc_id", "left")
+            .withColumn(
+                "rescore_score",
+                F.coalesce(F.col("rescore_score"), F.lit(0.0)),
+            )
+            .withColumn(
+                "score",
+                F.lit(qw) * F.col("base_score")
+                + F.lit(rw) * F.col("rescore_score"),
+            )
+            .select("doc_id", "score", "base_score", "rescore_score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_collapsed(
         self,
         query: Node | str,

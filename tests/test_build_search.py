@@ -748,6 +748,35 @@ def test_boost_semantics(index):
     assert _collect(index.search_after(q, k=5, after=cur)) == dist[5:10]
 
 
+def test_rescore_semantics(index):
+    """Two-phase rescoring: equals the post-hoc recompute — top-window
+    of the base query re-ranked by qw*base + rw*rescore, docs outside
+    the window never enter, non-matching window docs keep the base
+    contribution alone."""
+    q = Term("batch") | Term("dup")
+    base = _collect(index.search(q, k=50))
+    rs = dict(_collect(index.search(Term("merge"), k=1_000_000)))
+    want = sorted(
+        ((d, 1.0 * s + 2.0 * rs.get(d, 0.0), s, rs.get(d, 0.0))
+         for d, s in base),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = [
+        (r.doc_id, r.score, r.base_score, r.rescore_score)
+        for r in index.rescore(
+            q, Term("merge"), k=10, window=50, rescore_weight=2.0
+        ).collect()
+    ]
+    assert got == want
+    # a doc outside the window never enters, even with a huge rescore
+    window_ids = {d for d, _ in base}
+    assert all(d in window_ids for d, *_ in got)
+    # empty base -> empty result
+    assert index.rescore(Term("zz_missing_zz"), q, k=10).count() == 0
+    with pytest.raises(ValueError, match="window"):
+        index.rescore(q, Term("merge"), window=0)
+
+
 def test_search_collapsed_semantics(spark, index):
     """Field collapsing: the result equals post-hoc group-dedup of the
     FULL ranking (first hit per group in rank order, then top-k) —
