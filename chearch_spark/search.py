@@ -1323,6 +1323,87 @@ class Index:
             .limit(k)
         )
 
+    def explain_score(self, query: Node | str, doc_id: int) -> dict:
+        """Score breakdown for one document (the Lucene ``explain``
+        surface): per-scoring-term tf / df / weighted idf /
+        contribution plus the total, computed from the same global
+        stats and in the same float order as the kernels — the test
+        pins ``total`` BIT-EXACT against :meth:`search`'s score.
+        Boosted terms show their weighted idf; Synonym leaves appear
+        as one blended pseudo-entry (tf = sum of member tfs, df = max
+        member df).  Diagnostic driver-side path: two k-row lookups
+        (postings rows + the docmap row), no corpus work.  A doc
+        outside the query's doc set explains to total 0.0 with its
+        per-term partials (exactly what the kernel would add if the
+        docset admitted it) — callers check membership via
+        :meth:`match_docs`/:meth:`count` semantics, not here."""
+        from pyspark.sql import functions as F
+
+        doc_id = int(doc_id)
+        node = self._prep(query)
+        terms = node.terms()
+        idfs = self._weighted_idfs(node, terms)
+        dm = (
+            self.docmap()
+            .filter(F.col("doc_id") == doc_id)
+            .select("doc_len")
+            .collect()
+        )
+        if not dm:
+            raise KeyError(f"doc_id {doc_id} is not in the index")
+        dl = float(dm[0]["doc_len"])
+        denom = spec.BM25_K1 * (
+            1.0 - spec.BM25_B + spec.BM25_B * dl / self.avgdl
+        )
+        tf_by_term = (
+            {
+                r["term"]: int(r["tf"])
+                for r in self.postings_df(terms)
+                .filter(F.col("doc_id") == doc_id)
+                .collect()
+            }
+            if terms
+            else {}
+        )
+        syn_by_key = {s.key(): s for s in synonym_leaves(node)}
+        stats = self._cached_stats(terms)
+        out: dict[str, dict] = {}
+        total = 0.0
+        for t in scoring_terms(node):
+            if t in syn_by_key:
+                leaf = syn_by_key[t]
+                tf = sum(tf_by_term.get(m, 0) for m in leaf.words)
+                df = max(
+                    (stats[m][0] for m in leaf.words if m in stats),
+                    default=0,
+                )
+                label = "syn(" + "|".join(leaf.words) + ")"
+            else:
+                tf = tf_by_term.get(t, 0)
+                df = stats[t][0] if t in stats else 0
+                label = t
+            idf = idfs.get(t, 0.0)
+            contrib = (
+                idf * tf * (spec.BM25_K1 + 1.0) / (tf + denom)
+                if tf and idf
+                else 0.0
+            )
+            out[label] = {
+                "tf": int(tf),
+                "df": int(df),
+                "weighted_idf": idf,
+                "contribution": contrib,
+            }
+            # same accumulation order as the kernel's scoring loop
+            total += contrib
+        return {
+            "doc_id": doc_id,
+            "doc_len": int(dl),
+            "avgdl": self.avgdl,
+            "total": total,
+            "terms": out,
+        }
+
     def rescore(
         self,
         query: Node | str,

@@ -748,6 +748,40 @@ def test_boost_semantics(index):
     assert _collect(index.search_after(q, k=5, after=cur)) == dist[5:10]
 
 
+def test_explain_score(index):
+    """Lucene-style explain: per-term breakdown whose total matches
+    the engine's score for the same doc (bit-exact on the exact
+    scoring path; <=1e-9 on the WAND path, whose per-posting
+    accumulation order may differ in the last ulp), boosts visible in
+    the weighted idf, synonyms as one blended entry, unknown doc
+    raises."""
+    from chearch_spark.plans.query import Synonym
+
+    for q in [
+        Term("batch"),
+        Term("merge") & Term("sort"),
+        Term("merge", 2.0) | Term("dup"),
+        Synonym(("batch", "dup")),
+    ]:
+        for d, s in _collect(index.search(q, k=3)):
+            e = index.explain_score(q, d)
+            assert abs(e["total"] - s) < 1e-9, (q, d)
+            assert e["total"] == sum(
+                t["contribution"] for t in e["terms"].values()
+            )
+    d0 = _collect(index.search(Term("batch"), k=1))[0][0]
+    e1 = index.explain_score(Term("batch"), d0)
+    e2 = index.explain_score(Term("batch", 2.0), d0)
+    assert (
+        e2["terms"]["batch"]["weighted_idf"]
+        == 2.0 * e1["terms"]["batch"]["weighted_idf"]
+    )
+    syn = index.explain_score(Synonym(("batch", "dup")), d0)
+    assert "syn(batch|dup)" in syn["terms"]
+    with pytest.raises(KeyError):
+        index.explain_score(Term("batch"), 10**12)
+
+
 def test_rescore_semantics(index):
     """Two-phase rescoring: equals the post-hoc recompute — top-window
     of the base query re-ranked by qw*base + rw*rescore, docs outside
