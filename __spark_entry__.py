@@ -486,8 +486,12 @@ def _get_index(spark: SparkSession, sf_dir: str):
         fp = hashlib.md5(
             f"{key}|{st.st_size}|{st.st_mtime_ns}".encode()
         ).hexdigest()[:16]
+        # v4: the v3 namespace was populated by the resume-in-place
+        # scheme, so a killed pre-v4 run could leave a stats.json-less
+        # v3 dir that os.rename can never replace; a fresh namespace
+        # only ever holds atomically-published dirs
         out = os.path.join(
-            tempfile.gettempdir(), f"chearch_entry_ix_v3_{fp}"
+            tempfile.gettempdir(), f"chearch_entry_ix_v4_{fp}"
         )
         # per-PID build + ONE atomic rename (the _cached_lifecycle_index
         # publication pattern): two concurrent gate/bench processes

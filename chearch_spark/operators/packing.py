@@ -73,8 +73,12 @@ def pack_sequences(
         F.col(id_col).cast("long").alias("doc_id"),
         F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
     )
-    bounds = counts.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    # bounds from the RAW id column — the id-only projection skips the
+    # tokenize work, so the full-corpus tokenize runs twice (totals +
+    # the returned plan), not three times
+    bounds = df.agg(
+        F.min(F.col(id_col).cast("long")).alias("lo"),
+        F.max(F.col(id_col).cast("long")).alias("hi"),
     ).first()
     if bounds["lo"] is None:
         return counts.select(

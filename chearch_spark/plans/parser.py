@@ -197,6 +197,12 @@ class _Parser:
                 "NEAR operands must be plain terms (no phrases, "
                 "prefixes, fuzzies, or groups)"
             )
+        if node.boost != 1.0 or right.boost != 1.0:
+            # refusing beats silently discarding the user's weight
+            raise QueryParseError(
+                "NEAR operands cannot carry boosts (positional leaves "
+                "score their member terms unweighted)"
+            )
         window = int(m.group(1)) if m.group(1) else DEFAULT_NEAR_WINDOW
         return Near(node.term, right.term, window)
 

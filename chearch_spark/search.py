@@ -78,6 +78,13 @@ def _normalize(node: Node) -> Node:
     token pair) and degrades to a plain Term when one token remains.
     """
     if isinstance(node, Term):
+        if node == _IMPOSSIBLE:
+            # the zero-expansion sentinel must survive re-normalization
+            # (its '-' would otherwise tokenize away, turning "matches
+            # nothing" into the REAL term 'impossible') — this keeps
+            # _prep idempotent for callers that pass a prepped tree
+            # back into prepping APIs
+            return node
         toks = spec.tokenize(node.term)
         if not toks:
             raise ValueError(
@@ -1755,16 +1762,10 @@ class Index:
         # per-query boost weighting: two queries in one batch may
         # boost the same term differently, so each scores against its
         # own (tiny, terms-sized) weighted view of the shared idfs
-        idfs_by_q = {}
-        for name, n in nodes.items():
-            w = scoring_weights(n)
-            syn = self._synonym_idfs(n, stats)
-            if w or syn:
-                iq = {t: v * w.get(t, 1.0) for t, v in idfs.items()}
-                iq.update(syn)
-                idfs_by_q[name] = iq
-            else:
-                idfs_by_q[name] = idfs
+        idfs_by_q = {
+            name: self._apply_query_weights(n, stats, idfs)
+            for name, n in nodes.items()
+        }
         avgdl = self.avgdl
         # prune to segments some query may touch: ONE probe on the
         # OR-fold of the union terms (a superset of the per-query
@@ -1843,14 +1844,27 @@ class Index:
         if terms is None:
             terms = node.terms()
         stats = self._cached_stats(terms)
-        w = scoring_weights(node)
-        idfs = {
-            t: spec.idf(self.n_docs, stats[t][0]) * w.get(t, 1.0)
+        base = {
+            t: spec.idf(self.n_docs, stats[t][0])
             for t in terms
             if t in stats
         }
-        idfs.update(self._synonym_idfs(node, stats))
-        return idfs
+        return self._apply_query_weights(node, stats, base)
+
+    def _apply_query_weights(self, node: Node, stats, idfs):
+        """Boost multipliers + blended synonym idfs over a base idf
+        dict — the ONE source of truth for query-time reweighting,
+        shared by :meth:`_weighted_idfs` (single-query paths) and
+        :meth:`search_many` (per-query views over one shared base).
+        Returns the input dict unchanged when the query carries no
+        boosts or synonyms."""
+        w = scoring_weights(node)
+        syn = self._synonym_idfs(node, stats)
+        if not w and not syn:
+            return idfs
+        out = {t: v * w.get(t, 1.0) for t, v in idfs.items()}
+        out.update(syn)
+        return out
 
     def _synonym_idfs(self, node: Node, stats) -> dict[str, float]:
         """Blended idf per Synonym leaf: df = MAX of member dfs (the
@@ -2329,13 +2343,18 @@ class Index:
 
         if k <= 0:
             raise ValueError(f"k must be > 0, got {k}")
-        node = self._prep(query)
-        fg_n = self.match_docs(node).count()
+        # raw query on both calls, like the rest of the facet family —
+        # each preps once internally (prepping is idempotent, but the
+        # expansion probes are cheaper paid per-call than reasoned
+        # about twice)
+        fg_n = self.match_docs(query).count()
         if fg_n == 0:
             return self.spark.createDataFrame(
                 [], "term string, fg_df long, bg_df long, score double"
             )
-        joined = self._facet_matched(node, meta, id_col, broadcast_threshold)
+        joined = self._facet_matched(
+            query, meta, id_col, broadcast_threshold
+        )
         fg = (
             joined.select(
                 F.explode(
@@ -2390,8 +2409,24 @@ class Index:
 
         from chearch_spark.functions.text import snippets
 
+        def _snippet_terms(node: Node) -> list[str]:
+            # scoring_terms yields the '\x00syn:' pseudo-key for a
+            # Synonym leaf — a string no token can match, which would
+            # silently drop synonym-matched hits from the snippet
+            # join; the snippet matcher wants the MEMBER words
+            out: list[str] = []
+            for t in scoring_terms(node):
+                if t.startswith("\x00syn:"):
+                    out.extend(
+                        w for w in t[len("\x00syn:"):].split("|")
+                        if w not in out
+                    )
+                elif t not in out:
+                    out.append(t)
+            return out
+
         node = self._prep(query)
-        terms = scoring_terms(node)
+        terms = _snippet_terms(node)
         rows = self.search(node, k).collect()
         top = self.spark.createDataFrame(
             [(int(r.doc_id), float(r.score)) for r in rows] or [],

@@ -879,6 +879,19 @@ def test_synonym_blended_scoring(index):
     # composes under AND (position in the algebra, not a special case)
     both = index.search(syn & Term("sort"), k=5)
     assert both.count() >= 0
+    # snippets for synonym-matched hits must use MEMBER words, not the
+    # '\x00syn:' pseudo-key (which no token can match) — every hit
+    # keeps its snippet row
+    import pyspark.sql
+
+    docs = pyspark.sql.SparkSession.getActiveSession().read.parquet(
+        f"{SF_DIR}/documents.parquet"
+    )
+    sw = index.search_with_snippets(syn, docs, k=5).collect()
+    assert [r.doc_id for r in sw] == [d for d, _ in ss[:5]]
+    assert all(
+        ("batch" in r.snippet) or ("dup" in r.snippet) for r in sw
+    )
 
 
 def test_count_semantics(index):

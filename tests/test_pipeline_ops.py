@@ -1152,6 +1152,33 @@ def test_significant_terms_semantics(spark, tmp_path_factory):
     assert ix.significant_terms(
         Term("zz_missing_zz"), meta, k=10
     ).count() == 0
+
+
+def test_significant_terms_impossible_sentinel(spark, tmp_path_factory):
+    """A zero-expansion leaf (Wildcard with no dictionary matches)
+    must yield an EMPTY frame even when the corpus contains the word
+    'impossible' — regression for the _IMPOSSIBLE sentinel being
+    re-normalized into a real term by a second _prep pass."""
+    from chearch_spark.build import build_index
+    from chearch_spark.plans.query import Wildcard
+    from chearch_spark.search import Index
+
+    rows = [(0, "impossible kappa"), (1, "kappa misc")]
+    meta = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("sig_imp_ix"))
+    build_index(
+        spark, meta.select("doc_id", "text"), out,
+        num_segments=1, resume=False,
+    )
+    ix = Index(spark, out)
+    assert ix.significant_terms(Wildcard("zzqx*"), meta, k=10).count() == 0
+    # _prep is idempotent on the sentinel itself
+    assert ix._prep(ix._prep(Wildcard("zzqx*"))) == ix._prep(
+        Wildcard("zzqx*")
+    )
+
+
+def test_facet_range_semantics(spark, tmp_path_factory):
     """Range facets: half-open [lo, hi) fixed-width buckets with floor
     semantics (below-start values land in negative buckets), NULLs
     group under a NULL bucket, empty buckets absent, width<=0
