@@ -18,16 +18,37 @@ and the reference-wire-compatible TCP server in
 """
 
 from chearch_spark.build import build_index
-from chearch_spark.plans.query import And, Diff, Node, Or, Prefix, Term
+from chearch_spark.plans.parser import parse_query
+from chearch_spark.plans.query import (
+    And,
+    Diff,
+    Fuzzy,
+    Near,
+    Node,
+    Or,
+    Phrase,
+    PhrasePrefix,
+    Prefix,
+    Synonym,
+    Term,
+    Wildcard,
+)
 from chearch_spark.search import Index
 
 __all__ = [
     "And",
     "Diff",
+    "Fuzzy",
     "Index",
+    "Near",
     "Node",
     "Or",
+    "Phrase",
+    "PhrasePrefix",
     "Prefix",
+    "Synonym",
     "Term",
+    "Wildcard",
     "build_index",
+    "parse_query",
 ]
