@@ -20,7 +20,17 @@ from __future__ import annotations
 from collections import Counter
 
 from chearch_spark import spec
-from chearch_spark.plans.query import And, Diff, Node, Or, Term, scoring_terms
+from chearch_spark.plans.query import (
+    And,
+    Diff,
+    Node,
+    Or,
+    Synonym,
+    Term,
+    scoring_terms,
+    scoring_weights,
+    synonym_leaves,
+)
 
 
 class OracleIndex:
@@ -89,19 +99,43 @@ class OracleIndex:
             return self.doc_set(node.a) | self.doc_set(node.b)
         if isinstance(node, Diff):
             return self.doc_set(node.a) - self.doc_set(node.b)
+        if isinstance(node, Synonym):
+            out: set[int] = set()
+            for m in node.words:
+                out |= set(self.tf.get(m, {}))
+            return out
         raise TypeError(node)
 
     def score(self, node: Node, doc_index: int) -> float:
         """Pinned scoring: sum of BM25 contributions over the query's
-        DISTINCT terms present in the doc (spec §F4)."""
+        DISTINCT scoring terms present in the doc (spec §F4) — with
+        query-time boosts multiplying the term's idf (the engine's
+        `_weighted_idfs` seam) and Synonym leaves blended as ONE
+        pseudo-term (tf = sum of member tfs, df = max member df)."""
         total = 0.0
         avgdl = self.avgdl
+        weights = scoring_weights(node)
+        syn = {s.key(): s for s in synonym_leaves(node)}
         for term in scoring_terms(node):
+            if term in syn:
+                leaf = syn[term]
+                tf = sum(
+                    self.tf.get(m, {}).get(doc_index, 0)
+                    for m in leaf.words
+                )
+                df = max((self.df(m) for m in leaf.words), default=0)
+                if tf and df:
+                    total += spec.bm25_term_score(
+                        float(tf), float(self.doc_len[doc_index]), avgdl,
+                        spec.idf(self.n_docs, df),
+                    )
+                continue
             tf = self.tf.get(term, {}).get(doc_index)
             if tf:
                 total += spec.bm25_term_score(
                     float(tf), float(self.doc_len[doc_index]), avgdl,
-                    spec.idf(self.n_docs, self.df(term)),
+                    spec.idf(self.n_docs, self.df(term))
+                    * weights.get(term, 1.0),
                 )
         return total
 

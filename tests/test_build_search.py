@@ -894,6 +894,49 @@ def test_synonym_blended_scoring(index):
     )
 
 
+def test_random_boosted_synonym_trees_rank_identical(index, oracle):
+    """Property sweep: 25 seeded random query trees mixing plain,
+    boosted, and Synonym leaves under And/Or/Diff must rank- and
+    score-identical between the distributed engine and the pure-python
+    oracle — the new scoring semantics (weighted idf, blended
+    pseudo-terms) under arbitrary composition, not just the pinned
+    contract shapes."""
+    import random
+
+    from chearch_spark.plans.query import Diff, Synonym
+
+    rng = random.Random(20260817)
+    vocab = sorted(oracle.tf, key=lambda t: -len(oracle.tf[t]))[:12]
+    vocab.append("zz_missing_zz")
+
+    def leaf():
+        t = rng.choice(vocab)
+        r = rng.random()
+        if r < 0.3:
+            return Term(t, rng.choice([0.5, 1.5, 2.0, 3.0]))
+        if r < 0.5:
+            u = rng.choice(vocab)
+            if u != t:
+                return Synonym((t, u))
+        return Term(t)
+
+    def tree(depth):
+        if depth == 0 or rng.random() < 0.35:
+            return leaf()
+        a, b = tree(depth - 1), tree(depth - 1)
+        return rng.choice(
+            [lambda: a & b, lambda: a | b, lambda: Diff(a, b)]
+        )()
+
+    for i in range(25):
+        q = tree(2)
+        got = _collect(index.search(q, k=10))
+        want = oracle.search(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], (i, q)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), (i, q)
+
+
 def test_count_semantics(index):
     """Index.count: exact unscored hit count — equals the size of the
     full scored ranking, accepts the string grammar, 0 on no match."""
