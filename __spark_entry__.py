@@ -350,6 +350,22 @@ def _sample_10pct_sql() -> str:
     return f"SELECT doc_id FROM ({sample_hash_sql(0.1)})"
 
 
+def _top_hits_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from chearch_spark.plans.query import Term
+
+    ix = _get_index(spark, sf_dir)
+    out = ix.top_hits_by_group(
+        Term("merge") | Term("dup"), _docs(spark, sf_dir), "lang",
+        n_groups=3, n_per_group=2,
+    )
+    return out.select(
+        "group", "group_rank", "hit_rank", "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _rescored_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1312,6 +1328,9 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # merge|dup re-ranked by base + 2*bm25(sort) — the rescore
         # query scores only the window, never the corpus
         "rescored_search": _rescored_query,
+        # Grouped top hits (r6, ES terms+top_hits): the 3 best lang
+        # groups, each with its top-2 hits
+        "top_hits_by_lang": _top_hits_query,
         # Exact hit count without scoring (r6, ES _count)
         "match_count": lambda s, sf: s.createDataFrame(
             [(_get_index(s, sf).count(Term("merge") | Term("dup")),)],
@@ -1501,6 +1520,40 @@ LIMIT 10
         "match_count": _BASE_CTE + """
 SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM tf WHERE term IN ('merge', 'dup')
+""",
+        "top_hits_by_lang": _BASE_CTE + f"""
+, matched AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * ({_K1} + 1)
+              / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN dfs d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ('merge', 'dup')
+  GROUP BY tf.doc_id
+), h AS (
+  SELECT doc.lang AS grp, m.doc_id, m.score,
+         row_number() OVER (
+           PARTITION BY doc.lang ORDER BY m.score DESC, m.doc_id ASC
+         ) AS hit_rank
+  FROM matched m JOIN documents doc ON doc.doc_id = m.doc_id
+), hh AS (
+  SELECT * FROM h WHERE hit_rank <= 2
+), g AS (
+  SELECT grp,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS group_rank
+  FROM hh WHERE hit_rank = 1
+)
+SELECT hh.grp AS "group",
+       CAST(g.group_rank AS INT) AS group_rank,
+       CAST(hh.hit_rank AS INT) AS hit_rank,
+       hh.doc_id,
+       round(hh.score, 6) AS score
+FROM hh JOIN g ON g.grp = hh.grp
+WHERE g.group_rank <= 3
+ORDER BY g.group_rank, hh.hit_rank
 """,
         "rescored_search": _BASE_CTE + f"""
 , bmatched AS (

@@ -1535,6 +1535,87 @@ class Index:
             .limit(k)
         )
 
+    def top_hits_by_group(
+        self,
+        query: Node | str,
+        meta: "DataFrame",
+        group_col: str,
+        n_groups: int = 5,
+        n_per_group: int = 3,
+        id_col: str = "doc_id",
+    ):
+        """Grouped top hits (the Elasticsearch terms-aggregation +
+        ``top_hits`` pattern, and the SERP "grouped results" shape):
+        the ``n_groups`` best groups — ranked by their best hit's
+        score in the pinned total order — each with its top
+        ``n_per_group`` hits.  Returns (group, group_rank, hit_rank,
+        doc_id, score) ordered (group_rank, hit_rank); NULL group
+        values form one group like SQL GROUP BY.
+        :meth:`search_collapsed` is the ``n_per_group=1`` projection
+        of this surface.
+
+        Plan: full scored emission + the same forced shuffle-hash
+        (doc_id, group) join as collapse (a per-segment top-k cut
+        could drop a group's hits), ONE window partitioned by group
+        ranks hits within each group (cut to n_per_group), then a
+        group-best ranking over the ≤ groups·n_per_group survivors
+        picks the n_groups leaders.  Both windows shuffle relations
+        bounded by the match count, never corpus row width."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        n_groups, n_per_group = int(n_groups), int(n_per_group)
+        if n_groups <= 0 or n_per_group <= 0:
+            raise ValueError(
+                f"n_groups and n_per_group must be > 0, got "
+                f"{n_groups}, {n_per_group}"
+            )
+        node = self._prep(query)
+        scored = self._scored_local(node, None)
+        groups = meta.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(group_col).alias("group"),
+        )
+        w_hit = Window.partitionBy("group").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        hits = (
+            scored.join(groups.hint("shuffle_hash"), "doc_id", "inner")
+            .withColumn("hit_rank", F.row_number().over(w_hit))
+            .filter(F.col("hit_rank") <= n_per_group)
+        )
+        # group ranking WITHOUT a self-join (a join back on the group
+        # key would drop NULL groups — NULL never equals NULL in a
+        # join): broadcast each group's best (score, doc_id) to its
+        # rows via the group window, then dense_rank the pairs — the
+        # best doc is unique per group (a doc has one group), so ranks
+        # are distinct and consecutive.  The ordering window is global
+        # but runs over <= total_groups * n_per_group surviving rows,
+        # never the match set.
+        w_g = Window.partitionBy("group").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ranked = (
+            hits.withColumn("__best", F.first("score").over(w_g))
+            .withColumn("__best_doc", F.first("doc_id").over(w_g))
+            .withColumn(
+                "group_rank",
+                F.dense_rank().over(
+                    Window.orderBy(
+                        F.desc("__best"), F.asc("__best_doc")
+                    )
+                ),
+            )
+            .filter(F.col("group_rank") <= n_groups)
+        )
+        return ranked.select(
+            "group",
+            F.col("group_rank").cast("int").alias("group_rank"),
+            F.col("hit_rank").cast("int").alias("hit_rank"),
+            "doc_id",
+            "score",
+        ).orderBy("group_rank", "hit_rank")
+
     def mlt_terms(
         self,
         doc_id: int,

@@ -841,6 +841,55 @@ def test_search_collapsed_semantics(spark, index):
     assert len(langs) == len(set(langs)) <= 10
 
 
+def test_top_hits_by_group_semantics(spark, index):
+    """Grouped top hits: equals the post-hoc recompute from the full
+    ranking (groups ranked by best hit, each cut to n_per_group), the
+    n_per_group=1 projection matches search_collapsed, and NULL groups
+    survive (the windows-only plan never joins on the group key)."""
+    q = Term("batch") | Term("dup")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    full = index.search(q, k=1_000_000).collect()
+    grp = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    per_group: dict = {}
+    for r in full:
+        per_group.setdefault(grp[r.doc_id], []).append(
+            (r.doc_id, r.score)
+        )
+    order = sorted(
+        per_group, key=lambda g: (-per_group[g][0][1], per_group[g][0][0])
+    )[:3]
+    want = [
+        (g, gi + 1, hi + 1, d, s)
+        for gi, g in enumerate(order)
+        for hi, (d, s) in enumerate(per_group[g][:2])
+    ]
+    got = [
+        (r.group, r.group_rank, r.hit_rank, r.doc_id, r.score)
+        for r in index.top_hits_by_group(
+            q, docs, "lang", n_groups=3, n_per_group=2
+        ).collect()
+    ]
+    assert got == want
+    # n_per_group=1 projection == search_collapsed
+    one = index.top_hits_by_group(
+        q, docs, "lang", n_groups=10, n_per_group=1
+    ).collect()
+    coll = index.search_collapsed(q, docs, "lang", k=10).collect()
+    assert [(r.doc_id, r.score) for r in one] == [
+        (r.doc_id, r.score) for r in coll
+    ]
+    # NULL groups form one group and are never join-dropped
+    nmeta = docs.selectExpr(
+        "doc_id", "CASE WHEN lang = 'en' THEN NULL ELSE lang END AS lang"
+    )
+    rows = index.top_hits_by_group(
+        q, nmeta, "lang", n_groups=10, n_per_group=2
+    ).collect()
+    assert any(r.group is None for r in rows)
+    with pytest.raises(ValueError, match="n_groups"):
+        index.top_hits_by_group(q, docs, "lang", n_groups=0)
+
+
 def test_synonym_blended_scoring(index):
     """Synonym leaf: doc set equals the OR union, but scoring blends
     the group into ONE pseudo-term (tf = sum of member tfs, df = max
