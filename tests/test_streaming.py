@@ -1131,3 +1131,63 @@ def test_finalize_driver_memory_at_10k_segments(spark, tmp_path_factory):
     # generous wall bound: catches an accidental O(S^2) listing or a
     # per-segment driver loop, not VM noise (measured ~26 s on 4 cores)
     assert wall < 180, f"finalize took {wall:.0f}s at 10k segments"
+
+
+def test_answer_query_stream(spark, tmp_path_factory):
+    """Streaming query answering: each micro-batch's queries run as
+    one search_many job; per-query results equal plain search; a
+    malformed query fails only itself (an error row); duplicate query
+    strings in a batch each get their own qid's rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chearch_spark.streaming.queries import answer_query_stream
+
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta"),
+        (2, "alpha"),
+        (3, "delta only"),
+    ]
+    base = tmp_path_factory.mktemp("qstream")
+    ixdir = str(base / "ix")
+    build_index(
+        spark,
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        ixdir, num_segments=2, resume=False,
+    )
+    ix = Index(spark, ixdir)
+
+    qdir = base / "queries"
+    qdir.mkdir()
+    def _qfile(name, items):
+        pq.write_table(
+            pa.table({"qid": pa.array([q for q, _ in items], pa.int64()),
+                      "query": pa.array([s for _, s in items])}),
+            str(qdir / name),
+        )
+    _qfile("b1.parquet", [(0, "alpha"), (1, "alpha beta")])
+    _qfile("b2.parquet", [(2, "alpha OR delta"), (3, "AND"),
+                          (4, "alpha")])  # dup of qid 0's string
+
+    out = str(base / "answers")
+    answer_query_stream(ix, str(qdir), out, k=5)
+    res = spark.read.parquet(os.path.join(out, "results")).collect()
+
+    by_qid = {}
+    for r in res:
+        by_qid.setdefault(r.qid, []).append(r)
+    # per-query results equal plain search (rank order)
+    for qid, qs in [(0, "alpha"), (1, "alpha beta"),
+                    (2, "alpha OR delta"), (4, "alpha")]:
+        got = sorted(by_qid[qid], key=lambda r: r.rank)
+        want = ix.search(qs, k=5).collect()
+        assert [(g.doc_id, g.score) for g in got] == [
+            (w.doc_id, w.score) for w in want
+        ], qid
+        assert all(g.error is None for g in got)
+    # the malformed query failed ONLY itself
+    err = by_qid[3]
+    assert len(err) == 1 and err[0].error and err[0].rank is None
+    # one micro-batch per file (maxFilesPerTrigger=1)
+    assert {r.batch_id for r in res} == {0, 1}
