@@ -1169,7 +1169,7 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     DuckDB comparison, so they keep the same correctness gate — just
     in pytest instead of the driver snapshot.
     """
-    from chearch_spark.plans.query import Synonym, Term, Wildcard
+    from chearch_spark.plans.query import Regexp, Synonym, Term, Wildcard
     from chearch_spark.operators import ann as A
     from chearch_spark.operators import dedup as D
 
@@ -1218,6 +1218,15 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         ),
         "bm25_topk_wildcard": lambda s, sf: _search(
             s, sf, Wildcard("s?rt") | Term("dup")
+        ),
+        # Regexp queries (r6, Lucene RegexpQuery /pattern/): whole-term
+        # anchored, dictionary-expanded, cross-engine regex subset
+        "regexp_match": lambda s, sf: _match(s, sf, Regexp("s.rt")),
+        "regexp_terms": lambda s, sf: _get_index(s, sf).regexp_terms(
+            "s(or|ub).*"
+        ),
+        "bm25_topk_regexp": lambda s, sf: _search(
+            s, sf, "/m.rge/ OR dup"
         ),
         # r6 rotation: multi-green since r1/r2, swapped out of the
         # driver snapshot so the r5 surfaces (facets/fuzzy/snippets/
@@ -1398,6 +1407,29 @@ SELECT term, CAST(df AS BIGINT) AS df FROM dfs WHERE term LIKE 'm%e'
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
   WHERE tf.term LIKE 's_rt' OR tf.term = 'dup'
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(matched.score, 6) AS score
+FROM matched ORDER BY matched.score DESC, doc_id ASC LIMIT 10
+""",
+        "regexp_match": _BASE_CTE + """
+SELECT DISTINCT doc_id FROM tf WHERE regexp_full_match(term, 's.rt')
+""",
+        "regexp_terms": _BASE_CTE + """
+SELECT term, CAST(df AS BIGINT) AS df FROM dfs
+WHERE regexp_full_match(term, 's(or|ub).*')
+""",
+        "bm25_topk_regexp": _BASE_CTE + f"""
+, matched AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * ({_K1} + 1)
+              / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN dfs d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE regexp_full_match(tf.term, 'm.rge') OR tf.term = 'dup'
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(matched.score, 6) AS score

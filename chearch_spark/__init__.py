@@ -29,6 +29,7 @@ from chearch_spark.plans.query import (
     Phrase,
     PhrasePrefix,
     Prefix,
+    Regexp,
     Synonym,
     Term,
     Wildcard,
@@ -46,6 +47,7 @@ __all__ = [
     "Phrase",
     "PhrasePrefix",
     "Prefix",
+    "Regexp",
     "Synonym",
     "Term",
     "Wildcard",

@@ -54,6 +54,7 @@ from chearch_spark.plans.query import (
     Phrase,
     PhrasePrefix,
     Prefix,
+    Regexp,
     Term,
     Wildcard,
 )
@@ -64,7 +65,11 @@ from chearch_spark.plans.query import (
 # tokens in a post-pass (negation is positional: only at clause
 # start), so 'covid-19' stays one token while '-covid' lexes as
 # ('-', 'covid').
-_LEX = re.compile(r'"[^"]*"|\(|\)|[^\s()"]+')
+# the /regex/ alternative must come before '('/')' so a pattern's own
+# grouping parens stay inside one token; '/' cannot appear INSIDE a
+# pattern (the token alphabet is [a-z0-9_], so a slash could never
+# match a term anyway)
+_LEX = re.compile(r'"[^"]*"|/[^\s/]+/|\(|\)|[^\s()"]+')
 
 _NEAR_RE = re.compile(r"NEAR(?:/(\d+))?", re.IGNORECASE)
 
@@ -238,6 +243,12 @@ class _Parser:
             return node
         if t == ")":
             raise QueryParseError("unbalanced ')'")
+        if t.startswith("/") and t.endswith("/") and len(t) > 2:
+            # Lucene /regex/ syntax — whole-term anchored, expanded
+            # against the dictionary (validation happens in the
+            # engine's _normalize, where the cross-engine subset is
+            # enforced)
+            return Regexp(t[1:-1])
         if "^" in t:
             # Lucene-style query-time boost: term^2.5 (plain terms
             # only — a boost reweights BM25 scoring, and the unranked
@@ -246,7 +257,7 @@ class _Parser:
             base, _, bexpr = t.rpartition("^")
             if not base or "^" in base:
                 raise QueryParseError(f"malformed boost in {t!r}")
-            if any(c in base for c in "*?~"):
+            if any(c in base for c in "*?~/"):
                 raise QueryParseError(
                     f"boost applies to plain terms only, got {t!r}"
                 )

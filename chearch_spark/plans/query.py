@@ -261,6 +261,25 @@ class Wildcard(Node):
 
 
 @dataclass(frozen=True)
+class Regexp(Node):
+    """Regular-expression leaf (the Lucene ``RegexpQuery`` surface,
+    parser form ``/s(or|ub)t/``): the pattern is implicitly anchored
+    to the WHOLE term (Lucene semantics) and expanded against the
+    index dictionary into an OR of matching terms.  The accepted
+    syntax is the subset common to Python ``re``, Java ``rlike``, and
+    DuckDB's RE2 (no backreferences, no lookaround) so the driver
+    probe, the distributed probe, and the SQL oracle all agree; a
+    literal prefix before the first metacharacter range-prunes the
+    dictionary scan like Wildcard.  Same raise-don't-truncate cap as
+    Prefix.  Extension — the reference has exact term ids only."""
+
+    pattern: str
+
+    def _terms(self):
+        yield from ()  # resolved during expansion, not term lookup
+
+
+@dataclass(frozen=True)
 class Fuzzy(Node):
     """Fuzzy-term leaf (e.g. ``Fuzzy("merg")``), expanded against the
     index dictionary into an OR of terms within edit distance 1 —
@@ -293,7 +312,7 @@ def scoring_terms(node: Node) -> list[str]:
         return node.terms()
     if isinstance(node, Synonym):
         return [node.key()]  # the blended pseudo-term, not the members
-    if isinstance(node, (Prefix, Fuzzy, Wildcard, PhrasePrefix)):
+    if isinstance(node, (Prefix, Fuzzy, Wildcard, PhrasePrefix, Regexp)):
         return []  # resolved during expansion, before scoring
     raise TypeError(node)
 
@@ -345,7 +364,7 @@ def to_postfix(node: Node) -> list[tuple]:
         elif isinstance(
             n,
             (Diff, Prefix, Fuzzy, Wildcard, Phrase, PhrasePrefix, Near,
-             Synonym),
+             Synonym, Regexp),
         ):
             raise ValueError(
                 f"{type(n).__name__} is an engine extension with no "

@@ -51,6 +51,7 @@ from chearch_spark.plans.query import (
     Phrase,
     PhrasePrefix,
     Prefix,
+    Regexp,
     Synonym,
     Term,
     Wildcard,
@@ -166,6 +167,12 @@ def _normalize(node: Node) -> Node:
         if not q or spec.tokenize(q) != [q]:
             raise ValueError(f"fuzzy term {node.term!r} is not a token")
         return Fuzzy(q)
+    if isinstance(node, Regexp):
+        p = node.pattern.lower()
+        if not p:
+            raise ValueError("empty regexp")
+        _validate_regexp(p)
+        return Regexp(p)
     if isinstance(node, Wildcard):
         p = node.pattern.lower()
         lit = p.replace("*", "").replace("?", "")
@@ -223,6 +230,80 @@ def _wildcard_literal_prefix(pattern: str) -> str:
         if ch in "*?":
             return pattern[:i]
     return pattern
+
+
+def _regexp_anchored(pattern: str) -> str:
+    """Whole-term anchoring (Lucene RegexpQuery semantics) in a form
+    Python ``re``, Java ``rlike``, and DuckDB's RE2 all accept."""
+    return "^(?:" + pattern + ")$"
+
+
+def _has_top_level_alternation(pattern: str) -> bool:
+    """True when an unescaped '|' sits at paren depth 0 (outside any
+    character class) — the whole pattern is then a choice and no
+    prefix is guaranteed.  A '|' inside a group (``s(or|ub)``) scopes
+    to the group and leaves the leading literal intact."""
+    depth, i, n = 0, 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "[":  # character class: '|' inside is literal
+            i += 1
+            while i < n and pattern[i] != "]":
+                i += 2 if pattern[i] == "\\" else 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            return True
+        i += 1
+    return False
+
+
+def _regexp_literal_prefix(pattern: str) -> str:
+    """GUARANTEED literal prefix of every string the pattern can match
+    ('' when none can be proven): used only for range pruning, so
+    under-claiming is safe and over-claiming is not.  Rules: a
+    TOP-LEVEL '|' kills the prefix outright (the left alternative is
+    just one choice); a '*', '?', or '{' quantifier makes its
+    preceding char optional (or repeatable-from-zero) and drops it;
+    '+' keeps its char (one occurrence is guaranteed); any other
+    metacharacter ends the literal run."""
+    if _has_top_level_alternation(pattern):
+        return ""
+    out: list[str] = []
+    for ch in pattern:
+        if ch in ".([{\\^$)*+?|":
+            if ch in "*?{" and out:
+                out.pop()
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+def _validate_regexp(pattern: str) -> None:
+    """Reject constructs outside the Python-re / Java-rlike / RE2
+    COMMON subset — a pattern the engines disagree on would break the
+    driver-vs-distributed-vs-oracle identity this leaf pins."""
+    import re as _re
+
+    if _re.search(r"\(\?(?!:)", pattern):
+        raise ValueError(
+            f"regexp {pattern!r}: lookaround / inline flags are "
+            "outside the cross-engine subset (RE2 lacks them)"
+        )
+    if _re.search(r"\\[0-9]", pattern):
+        raise ValueError(
+            f"regexp {pattern!r}: backreferences are outside the "
+            "cross-engine subset (RE2 lacks them)"
+        )
+    try:
+        _re.compile(_regexp_anchored(pattern))
+    except _re.error as exc:
+        raise ValueError(f"invalid regexp {pattern!r}: {exc}") from None
 
 
 def _within_one_edit(a: str, b: str) -> bool:
@@ -556,19 +637,45 @@ class Index:
         scan prunes to the prefix's part files/row groups (a leading
         wildcard honestly scans the whole vocabulary — no index order
         can serve ``*ort``)."""
+        pat = pattern.lower()
+        return self._pattern_terms_df(
+            _wildcard_regex(pat), _wildcard_literal_prefix(pat)
+        )
+
+    def regexp_terms(self, pattern: str):
+        """Regexp dictionary probe (the Lucene RegexpQuery surface):
+        every indexed term FULLY matching ``pattern`` — (term, df)
+        DataFrame.  Same narrow range-prunable dictionary scan as
+        :meth:`wildcard_terms`; the pattern must stay inside the
+        Python/Java/RE2 common subset (validated) so this probe, the
+        driver probe, and the SQL oracle agree."""
+        p = pattern.lower()
+        if not p:
+            raise ValueError("empty regexp")
+        _validate_regexp(p)
+        return self._pattern_terms_df(
+            _regexp_anchored(p), _regexp_literal_prefix(p)
+        )
+
+    def _pattern_terms_df(self, java_rx: str, lead: str):
+        """Shared pattern probe: one narrow (term, df) scan of the
+        range-partitioned dictionary with an anchored-regex filter
+        (pure Catalyst ``rlike``, no kernel) — vocabulary-sized, never
+        corpus-sized; a guaranteed literal prefix is ALSO pushed as a
+        range predicate so the scan prunes to its part files/row
+        groups (a leading metacharacter honestly scans the whole
+        vocabulary — no index order can serve it)."""
         from pyspark.sql import functions as F
 
-        pat = pattern.lower()
         d = self.spark.read.parquet(self.dict_dir).select("term", "df")
-        lead = _wildcard_literal_prefix(pat)
         if lead:
             hi = lead[:-1] + chr(ord(lead[-1]) + 1)
             d = d.filter(
                 (F.col("term") >= lead) & (F.col("term") < hi)
             )
-        return d.filter(
-            F.col("term").rlike(_wildcard_regex(pat))
-        ).select("term", F.col("df").cast("long").alias("df"))
+        return d.filter(F.col("term").rlike(java_rx)).select(
+            "term", F.col("df").cast("long").alias("df")
+        )
 
     def suggest(self, prefix: str, k: int = 8):
         """Prefix autocomplete (the Lucene/ES completion-suggester
@@ -606,22 +713,43 @@ class Index:
         )
 
     def _wildcard_expansion_terms(self, pattern: str) -> list[str]:
-        """Expansion list for a Wildcard leaf — sorted, CAPPED at
+        """Expansion list for a Wildcard leaf (shared machinery
+        docstring on :meth:`_expansion_terms_by_regex`)."""
+        pat = pattern.lower()
+        return self._expansion_terms_by_regex(
+            _wildcard_regex(pat),
+            _wildcard_literal_prefix(pat),
+            f"wildcard {pattern!r}",
+        )
+
+    def _regexp_expansion_terms(self, pattern: str) -> list[str]:
+        """Expansion list for a Regexp leaf (pattern pre-validated by
+        ``_normalize``)."""
+        return self._expansion_terms_by_regex(
+            _regexp_anchored(pattern),
+            _regexp_literal_prefix(pattern),
+            f"regexp {pattern!r}",
+        )
+
+    def _expansion_terms_by_regex(
+        self, anchored_rx: str, lead: str, what: str
+    ) -> list[str]:
+        """Shared pattern-expansion probe — sorted, CAPPED at
         ``MAX_PREFIX_EXPANSION`` with the same raise-don't-truncate
-        discipline as Prefix (wildcard matches are unranked).
+        discipline as Prefix (pattern matches are unranked).
 
         Prefix-anchored patterns probe only the part files whose term
         range intersects (driver-side pyarrow, like Prefix); leading
-        wildcards over a dictionary small enough to read driver-side
-        (``FUZZY_DRIVER_DICT_BYTES``) scan it with pyarrow, larger
-        ones run the distributed :meth:`wildcard_terms` probe."""
+        metacharacters over a dictionary small enough to read
+        driver-side (``FUZZY_DRIVER_DICT_BYTES``) scan it with
+        pyarrow, larger ones run the distributed
+        :meth:`_pattern_terms_df` probe — ``anchored_rx`` is inside
+        the Python/Java common subset, so both paths agree."""
         import re as _re
 
         import pyarrow.dataset as ds
 
-        pat = pattern.lower()
-        rx = _re.compile(_wildcard_regex(pat))
-        lead = _wildcard_literal_prefix(pat)
+        rx = _re.compile(anchored_rx)
         if lead:
             hi = lead[:-1] + chr(ord(lead[-1]) + 1)
             files = self._dict_files_for_range(lead, hi)
@@ -653,11 +781,14 @@ class Index:
                 )
             else:
                 terms = sorted(
-                    r.term for r in self.wildcard_terms(pat).collect()
+                    r.term
+                    for r in self._pattern_terms_df(
+                        anchored_rx, lead
+                    ).collect()
                 )
         if len(terms) > MAX_PREFIX_EXPANSION:
             raise ValueError(
-                f"wildcard {pattern!r} expands to {len(terms)} dictionary "
+                f"{what} expands to {len(terms)} dictionary "
                 f"terms (> MAX_PREFIX_EXPANSION={MAX_PREFIX_EXPANSION}); "
                 "narrow the pattern"
             )
@@ -780,6 +911,14 @@ class Index:
             for t in terms[1:]:
                 out3 = Or(out3, Term(t))
             return out3
+        if isinstance(node, Regexp):
+            terms = self._regexp_expansion_terms(node.pattern)
+            if not terms:
+                return _IMPOSSIBLE
+            out5: Node = Term(terms[0])
+            for t in terms[1:]:
+                out5 = Or(out5, Term(t))
+            return out5
         if isinstance(node, PhrasePrefix):
             # one OR-fold of Phrase leaves, one per completion of the
             # trailing prefix (term-asc order pins the fold shape);

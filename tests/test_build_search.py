@@ -1492,3 +1492,24 @@ def test_string_queries_use_full_grammar(index):
         for r in index.match_docs(Term("merge") - Term("sort")).collect()
     }
     assert a == b
+
+
+def test_regexp_semantics(index):
+    """Regexp leaf: character-class patterns equal the corresponding
+    Wildcard; alternation equals the exact-term OR; scored string form
+    agrees with the local path; a no-match pattern yields empty."""
+    from chearch_spark.plans.query import Regexp, Wildcard
+
+    a = {r.doc_id for r in index.match_docs(Regexp("s.rt")).collect()}
+    assert a == {
+        r.doc_id for r in index.match_docs(Wildcard("s?rt")).collect()
+    }
+    assert {
+        r.doc_id for r in index.match_docs(Regexp("(batch|dup)")).collect()
+    } == {
+        r.doc_id
+        for r in index.match_docs(Term("batch") | Term("dup")).collect()
+    }
+    s1 = _collect(index.search("/s.rt/ OR dup", k=10))
+    assert index.local_search("/s.rt/ OR dup", k=10) == s1
+    assert index.match_docs(Regexp("zzqx[0-9]+")).count() == 0

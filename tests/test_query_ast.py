@@ -307,3 +307,55 @@ def test_synonym_algebra():
     assert synonym_leaves(Or(s, Term("x"))) == [s]
     with pytest.raises(ValueError, match="no opcode"):
         to_postfix(s)
+
+
+def test_regexp_grammar_and_helpers():
+    from chearch_spark.plans.parser import QueryParseError, parse_query
+    from chearch_spark.plans.query import (
+        Diff,
+        Regexp,
+        Term,
+        scoring_terms,
+        to_postfix,
+    )
+    from chearch_spark.search import (
+        _normalize,
+        _regexp_literal_prefix,
+        _validate_regexp,
+    )
+
+    assert parse_query("/s(or|ub)t/") == Regexp("s(or|ub)t")
+    assert parse_query("/s.rt/ OR dup") == (Regexp("s.rt") | Term("dup"))
+    assert parse_query("a -/s.rt/") == Diff(Term("a"), Regexp("s.rt"))
+    with pytest.raises(QueryParseError):
+        parse_query("/re/^2")  # boost applies to plain terms only
+    # normalize: lowercase + cross-engine subset validation
+    assert _normalize(Regexp("S.RT")) == Regexp("s.rt")
+    for bad in [r"a(?=b)", r"(a)\1", "a(", ""]:
+        with pytest.raises(ValueError):
+            _normalize(Regexp(bad))
+    _validate_regexp("a(?:b|c)+[0-9]{1,3}")  # the allowed subset
+    # guaranteed-literal-prefix rules (range pruning must never
+    # over-claim)
+    assert _regexp_literal_prefix("sort") == "sort"
+    assert _regexp_literal_prefix("sor*t") == "so"
+    assert _regexp_literal_prefix("s.rt") == "s"
+    assert _regexp_literal_prefix("ab+") == "ab"
+    assert _regexp_literal_prefix("ab?") == "a"
+    assert _regexp_literal_prefix("a|b") == ""
+    assert _regexp_literal_prefix(".*x") == ""
+    assert scoring_terms(Regexp("a.b")) == []
+    with pytest.raises(ValueError, match="no opcode"):
+        to_postfix(Regexp("a"))
+
+
+def test_regexp_prefix_grouped_alternation():
+    """Range-pruning prefix: a '|' INSIDE a group keeps the leading
+    literal; a top-level '|' (even after other metachars) kills it."""
+    from chearch_spark.search import _regexp_literal_prefix as p
+
+    assert p("s(or|ub).*") == "s"
+    assert p("s(or|ub)t") == "s"
+    assert p("s.a|b") == ""      # top-level alternation after the break
+    assert p(r"a\|b") == "a"     # escaped pipe is a literal
+    assert p("[ab]x") == ""
