@@ -503,6 +503,34 @@ def main() -> None:
     )
     print("OK  wildcard probe: no shuffle, range-pruned dictionary scan")
 
+    # Regexp probe: same shared machinery (_pattern_terms_df) — the
+    # GUARANTEED literal prefix must survive a grouped alternation
+    # ('s(or|ub).*' guarantees 's'; only a TOP-LEVEL '|' kills the
+    # range), and the scan stays (term, df)-only with zero exchanges
+    rxp = ix.regexp_terms("s(or|ub).*")
+    p = plan_of(rxp)
+    assert "Exchange" not in p, "regexp: unexpected shuffle"
+    assert "GreaterThanOrEqual(term,s)" in p and "LessThan(term,t)" in p, (
+        "regexp: grouped-alternation literal prefix not pushed as a "
+        "range predicate"
+    )
+    rx_scans = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rx_scans and all(
+        "term" in ln and "cf" not in ln and "segs" not in ln
+        for ln in rx_scans
+    ), "regexp: dictionary scan reads more than (term, df)"
+    sections.append(
+        (
+            "Regexp dictionary probe",
+            p,
+            [("zero exchanges; (term, df)-only ReadSchema; the "
+              "guaranteed literal prefix pushes a term range even "
+              "under a grouped alternation (all asserted)", "—")],
+        )
+    )
+    print("OK  regexp probe: no shuffle, grouped-alternation range "
+          "pruning")
+
     # SQ8 top-k: bounds (1 row) and query vectors broadcast; the
     # corpus is projected (encode+decode JVM transforms) but NEVER
     # shuffled — no hashpartitioning of corpus rows before the
