@@ -68,8 +68,11 @@ from chearch_spark.plans.query import (
 # the /regex/ alternative must come before '('/')' so a pattern's own
 # grouping parens stay inside one token; '/' cannot appear INSIDE a
 # pattern (the token alphabet is [a-z0-9_], so a slash could never
-# match a term anyway)
-_LEX = re.compile(r'"[^"]*"|/[^\s/]+/|\(|\)|[^\s()"]+')
+# match a term anyway).  Leading '-'s are consumed INTO the regex
+# alternative (then split off by the post-pass below) — otherwise
+# '-/s(or|ub)t/' would fall to the word alternative, which stops at
+# '(' and silently shreds the pattern into unrelated terms
+_LEX = re.compile(r'"[^"]*"|-*/[^\s/]+/|\(|\)|[^\s()"]+')
 
 _NEAR_RE = re.compile(r"NEAR(?:/(\d+))?", re.IGNORECASE)
 

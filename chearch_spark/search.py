@@ -168,11 +168,10 @@ def _normalize(node: Node) -> Node:
             raise ValueError(f"fuzzy term {node.term!r} is not a token")
         return Fuzzy(q)
     if isinstance(node, Regexp):
-        p = node.pattern.lower()
-        if not p:
+        if not node.pattern:
             raise ValueError("empty regexp")
-        _validate_regexp(p)
-        return Regexp(p)
+        _validate_regexp(node.pattern)  # RAW: before the case fold
+        return Regexp(node.pattern.lower())
     if isinstance(node, Wildcard):
         p = node.pattern.lower()
         lit = p.replace("*", "").replace("?", "")
@@ -287,7 +286,10 @@ def _regexp_literal_prefix(pattern: str) -> str:
 def _validate_regexp(pattern: str) -> None:
     """Reject constructs outside the Python-re / Java-rlike / RE2
     COMMON subset — a pattern the engines disagree on would break the
-    driver-vs-distributed-vs-oracle identity this leaf pins."""
+    driver-vs-distributed-vs-oracle identity this leaf pins.  Runs on
+    the RAW (pre-lowercase) pattern: lowercasing inverts uppercase
+    escape classes (``\\D`` -> ``\\d``), so those must be rejected
+    before the fold, not silently flipped."""
     import re as _re
 
     if _re.search(r"\(\?(?!:)", pattern):
@@ -299,6 +301,23 @@ def _validate_regexp(pattern: str) -> None:
         raise ValueError(
             f"regexp {pattern!r}: backreferences are outside the "
             "cross-engine subset (RE2 lacks them)"
+        )
+    if _re.search(r"\\[A-Z]", pattern):
+        raise ValueError(
+            f"regexp {pattern!r}: uppercase escape classes would be "
+            "INVERTED by term lowercasing (\\D -> \\d) — spell the "
+            "class out (terms are [a-z0-9_]+)"
+        )
+    if _re.search(r"(?<!\\)\{(?!\d+(,\d*)?\})", pattern):
+        raise ValueError(
+            f"regexp {pattern!r}: a bare '{{' is a literal to Python "
+            "but a syntax error to Java rlike — escape it or complete "
+            "the quantifier"
+        )
+    if _re.search(r"[*+?}]\+", pattern):
+        raise ValueError(
+            f"regexp {pattern!r}: possessive quantifiers are outside "
+            "the cross-engine subset (RE2 lacks them)"
         )
     try:
         _re.compile(_regexp_anchored(pattern))
@@ -649,10 +668,10 @@ class Index:
         :meth:`wildcard_terms`; the pattern must stay inside the
         Python/Java/RE2 common subset (validated) so this probe, the
         driver probe, and the SQL oracle agree."""
-        p = pattern.lower()
-        if not p:
+        if not pattern:
             raise ValueError("empty regexp")
-        _validate_regexp(p)
+        _validate_regexp(pattern)  # RAW: before the case fold
+        p = pattern.lower()
         return self._pattern_terms_df(
             _regexp_anchored(p), _regexp_literal_prefix(p)
         )
@@ -1740,8 +1759,15 @@ class Index:
             .withColumn(
                 "group_rank",
                 F.dense_rank().over(
+                    # the group key itself is the final tie-break: a
+                    # doc mapped to TWO groups (duplicate meta rows)
+                    # gives both the same (__best, __best_doc) pair,
+                    # and without it they would share a rank — more
+                    # than n_groups groups, nondeterministic order
                     Window.orderBy(
-                        F.desc("__best"), F.asc("__best_doc")
+                        F.desc("__best"),
+                        F.asc("__best_doc"),
+                        F.asc_nulls_first("group"),
                     )
                 ),
             )

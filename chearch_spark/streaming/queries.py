@@ -20,10 +20,17 @@ threads to `foreachBatch`.  Per batch:
    foreachBatch batches are serialized per stream, so appends never
    race.
 
-Result rows: (batch_id, qid, query, rank, doc_id, score, error) —
-error is NULL for answered queries; error rows carry NULL
-rank/doc_id/score.  The reference has no streaming at all; its TCP
-loop answers one request per read (`chearch_srv.chpl:20-72`).
+Result rows: (batch_id, qid, query, rank, doc_id, score, error),
+with batch_id recovered from the hive-style per-batch partition dir
+(written with overwrite so an at-least-once batch REPLAY is
+idempotent — a blind append would duplicate rows when the driver dies
+between the write and the checkpoint commit).  error is NULL for
+answered queries; a VALID query with zero hits gets one
+all-NULL-payload row (rank NULL + error NULL — an answered empty
+result, distinguishable from a lost request); malformed/NULL queries
+get one error row; rows with a NULL qid are unaddressable and
+dropped.  The reference has no streaming at all; its TCP loop answers
+one request per read (`chearch_srv.chpl:20-72`).
 """
 
 from __future__ import annotations
@@ -54,15 +61,23 @@ def answer_query_stream(
     res_dir = os.path.join(out_dir, "results")
 
     def _each(batch_df, batch_id: int) -> None:
-        rows = batch_df.select("qid", "query").collect()
+        rows = [
+            r
+            for r in batch_df.select("qid", "query").collect()
+            if r["qid"] is not None  # a NULL qid is unaddressable
+        ]
         if not rows:
             return
         errors: dict[str, str] = {}
         nodes: dict[str, object] = {}
         for q in {r["query"] for r in rows}:
             try:
+                if q is None:
+                    raise ValueError("null query")
                 nodes[q] = ix._prep(q)
-            except (ValueError, KeyError) as exc:  # incl. parse errors
+            except Exception as exc:  # noqa: BLE001 — a malformed
+                # query must fail ONLY itself (the per-frame rule),
+                # whatever its failure mode
                 errors[q] = str(exc)
         qmap = spark.createDataFrame(
             [(int(r["qid"]), r["query"]) for r in rows],
@@ -90,15 +105,24 @@ def answer_query_stream(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        # LEFT join (null-safe on the key): a VALID query with zero
+        # hits still gets one all-NULL-payload row — an answered
+        # empty result is distinguishable from a lost request (rank
+        # NULL + error NULL) and from a malformed one (error set)
+        cond = qmap["query"].eqNullSafe(out["query"])
         (
-            qmap.join(F.broadcast(out), "query", "inner")
-            .withColumn("batch_id", F.lit(int(batch_id)))
+            qmap.join(F.broadcast(out), cond, "left")
+            .drop(out["query"])
             .select(
-                "batch_id", "qid", "query", "rank", "doc_id",
-                "score", "error",
+                "qid", "query", "rank", "doc_id", "score", "error",
             )
-            .write.mode("append")
-            .parquet(res_dir)
+            # per-batch partition dir + overwrite: Structured
+            # Streaming replays a batch whose append committed but
+            # whose checkpoint didn't — overwrite makes the replay
+            # idempotent, and the hive-style dirname gives readers
+            # the batch_id column back at scan time
+            .write.mode("overwrite")
+            .parquet(os.path.join(res_dir, f"batch_id={int(batch_id)}"))
         )
 
     reader = (

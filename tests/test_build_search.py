@@ -888,6 +888,26 @@ def test_top_hits_by_group_semantics(spark, index):
     assert any(r.group is None for r in rows)
     with pytest.raises(ValueError, match="n_groups"):
         index.top_hits_by_group(q, docs, "lang", n_groups=0)
+    # a doc mapped to TWO groups (duplicate meta rows) ties both
+    # groups on (best score, best doc); the group key tie-break keeps
+    # ranks distinct, the n_groups cut exact, and the output pinned
+    top_doc, top_score = full[0].doc_id, full[0].score
+    top_lang = grp[top_doc]
+    dmeta = docs.select("doc_id", "lang").unionByName(
+        spark.createDataFrame(
+            [(top_doc, "zzgrp")], "doc_id long, lang string"
+        )
+    )
+    two = [
+        (r.group, r.group_rank, r.hit_rank, r.doc_id, r.score)
+        for r in index.top_hits_by_group(
+            q, dmeta, "lang", n_groups=2, n_per_group=1
+        ).collect()
+    ]
+    assert two == [
+        (top_lang, 1, 1, top_doc, top_score),
+        ("zzgrp", 2, 1, top_doc, top_score),
+    ]
 
 
 def test_synonym_blended_scoring(index):

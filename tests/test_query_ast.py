@@ -327,14 +327,24 @@ def test_regexp_grammar_and_helpers():
     assert parse_query("/s(or|ub)t/") == Regexp("s(or|ub)t")
     assert parse_query("/s.rt/ OR dup") == (Regexp("s.rt") | Term("dup"))
     assert parse_query("a -/s.rt/") == Diff(Term("a"), Regexp("s.rt"))
+    # a NEGATED parenthesized pattern must stay one token (the lexer
+    # consumes leading '-'s into the regex alternative)
+    assert parse_query("a -/s(or|ub)t/") == Diff(
+        Term("a"), Regexp("s(or|ub)t")
+    )
     with pytest.raises(QueryParseError):
         parse_query("/re/^2")  # boost applies to plain terms only
-    # normalize: lowercase + cross-engine subset validation
+    # normalize: lowercase + cross-engine subset validation; uppercase
+    # escape classes would be INVERTED by the case fold (\D -> \d) and
+    # Java-divergent syntax (bare '{', possessive quantifiers) would
+    # make the driver and distributed probes disagree — all rejected
     assert _normalize(Regexp("S.RT")) == Regexp("s.rt")
-    for bad in [r"a(?=b)", r"(a)\1", "a(", ""]:
+    for bad in [r"a(?=b)", r"(a)\1", "a(", "", r"a\D+", r"\Wx",
+                "a{b", "a*+", "a++"]:
         with pytest.raises(ValueError):
             _normalize(Regexp(bad))
     _validate_regexp("a(?:b|c)+[0-9]{1,3}")  # the allowed subset
+    _validate_regexp(r"a\{b")                # escaped brace is fine
     # guaranteed-literal-prefix rules (range pruning must never
     # over-claim)
     assert _regexp_literal_prefix("sort") == "sort"

@@ -1168,7 +1168,9 @@ def test_answer_query_stream(spark, tmp_path_factory):
         )
     _qfile("b1.parquet", [(0, "alpha"), (1, "alpha beta")])
     _qfile("b2.parquet", [(2, "alpha OR delta"), (3, "AND"),
-                          (4, "alpha")])  # dup of qid 0's string
+                          (4, "alpha"),           # dup of qid 0's string
+                          (5, "zz_nohit_zz"),     # valid, zero hits
+                          (6, None)])             # NULL query
 
     out = str(base / "answers")
     answer_query_stream(ix, str(qdir), out, k=5)
@@ -1189,5 +1191,13 @@ def test_answer_query_stream(spark, tmp_path_factory):
     # the malformed query failed ONLY itself
     err = by_qid[3]
     assert len(err) == 1 and err[0].error and err[0].rank is None
+    # a NULL query fails only itself too (TypeError-class inputs)
+    nul = by_qid[6]
+    assert len(nul) == 1 and nul[0].error and nul[0].rank is None
+    # a VALID zero-hit query still answers: one all-NULL-payload row
+    # (rank NULL + error NULL = answered empty, not lost)
+    zero = by_qid[5]
+    assert len(zero) == 1 and zero[0].error is None
+    assert zero[0].rank is None and zero[0].doc_id is None
     # one micro-batch per file (maxFilesPerTrigger=1)
     assert {r.batch_id for r in res} == {0, 1}
