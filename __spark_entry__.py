@@ -65,6 +65,7 @@ def _bm25_sql(
     meta_where: str | None = None,
     offset: int = 0,
     weights: dict[str, float] | None = None,
+    score_factor: str | None = None,
 ) -> str:
     """Top-10 BM25 in DuckDB SQL; `require` filters the doc set (e.g.
     'has_merge AND has_sort' for conjunctions) over per-term flags;
@@ -75,7 +76,9 @@ def _bm25_sql(
     mirroring Index.search_filtered; `offset` mirrors cursor
     pagination (the pinned total order makes OFFSET exact);
     `weights` mirrors query-time term boosts (Term(t, w) / 'term^w'),
-    multiplying the boosted term's BM25 contribution."""
+    multiplying the boosted term's BM25 contribution; `score_factor`
+    (an expression over the `matched` row, e.g. a CASE on a has_ flag)
+    multiplies the FINAL score — the Boosting-query demotion mirror."""
     flags = ",\n         ".join(
         f"max(CASE WHEN tf.term = '{t}' THEN 1 ELSE 0 END) AS has_{t}"
         for t in terms
@@ -103,11 +106,12 @@ def _bm25_sql(
   WHERE tf.term IN ({_sql_terms(terms)})
   GROUP BY tf.doc_id
 )
-SELECT matched.doc_id AS doc_id, round(matched.score, 6) AS score
+SELECT matched.doc_id AS doc_id,
+       round(matched.score{f" * ({score_factor})" if score_factor else ""}, 6) AS score
 FROM matched
 {f"JOIN {src} fd ON fd.doc_id = matched.doc_id" if meta_where else ""}
 WHERE ({require}){f" AND ({meta_where})" if meta_where else ""}
-ORDER BY matched.score DESC, doc_id ASC
+ORDER BY matched.score{f" * ({score_factor})" if score_factor else ""} DESC, doc_id ASC
 LIMIT 10{f" OFFSET {offset}" if offset else ""}
 """
 
@@ -1169,7 +1173,18 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     DuckDB comparison, so they keep the same correctness gate — just
     in pytest instead of the driver snapshot.
     """
-    from chearch_spark.plans.query import Regexp, Synonym, Term, Wildcard
+    from chearch_spark.plans.query import (
+        And,
+        Boosting,
+        ConstantScore,
+        DisMax,
+        MinShould,
+        Or,
+        Regexp,
+        Synonym,
+        Term,
+        Wildcard,
+    )
     from chearch_spark.operators import ann as A
     from chearch_spark.operators import dedup as D
 
@@ -1361,6 +1376,29 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "pack_docs": lambda s, sf: __import__(
             "chearch_spark.operators.packing", fromlist=["pack_sequences"]
         ).pack_sequences(_docs(s, sf), 512),
+        # Scoring combinators (r6, Lucene/ES parity): BooleanQuery
+        # minimum_should_match (>= m clauses, sum of matched clause
+        # scores), DisjunctionMax (max + tie * rest), constant_score,
+        # and the boosting demotion query — structural scorer, clause
+        # doc-set masking
+        "bm25_topk_msm": lambda s, sf: _search(
+            s,
+            sf,
+            MinShould((Term("batch"), Term("dup"), Term("merge")), 2),
+        ),
+        "bm25_topk_dismax": lambda s, sf: _search(
+            s,
+            sf,
+            DisMax((And(Term("merge"), Term("sort")), Term("dup")), 0.3),
+        ),
+        "constant_score_topk": lambda s, sf: _search(
+            s, sf, ConstantScore(Or(Term("batch"), Term("dup")), 1.5)
+        ),
+        "boosting_topk": lambda s, sf: _search(
+            s,
+            sf,
+            Boosting(Or(Term("batch"), Term("join")), Term("dup"), 0.4),
+        ),
     }
 
 
@@ -1672,6 +1710,71 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """,
+        # minimum_should_match: integer has_ flags count matched
+        # clauses; score = flat sum over all clause terms (an absent
+        # term contributes 0 = the unmatched clause's contribution)
+        "bm25_topk_msm": _bm25_sql(
+            ["batch", "dup", "merge"],
+            "(has_batch + has_dup + has_merge) >= 2",
+        ),
+        # DisjunctionMax: per-clause score sums masked by the clause's
+        # own match condition, combined max + tie * (sum - max)
+        "bm25_topk_dismax": _BASE_CTE + f"""
+, matched AS (
+  SELECT tf.doc_id,
+         sum( CASE WHEN tf.term IN ('merge', 'sort')
+              THEN ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * ({_K1} + 1)
+              / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl))
+              ELSE 0 END ) AS s0,
+         sum( CASE WHEN tf.term = 'dup'
+              THEN ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * ({_K1} + 1)
+              / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl))
+              ELSE 0 END ) AS s1,
+         max(CASE WHEN tf.term = 'merge' THEN 1 ELSE 0 END) AS has_merge,
+         max(CASE WHEN tf.term = 'sort' THEN 1 ELSE 0 END) AS has_sort,
+         max(CASE WHEN tf.term = 'dup' THEN 1 ELSE 0 END) AS has_dup
+  FROM tf
+  JOIN dfs d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ('merge', 'sort', 'dup')
+  GROUP BY tf.doc_id
+), clauses AS (
+  SELECT doc_id,
+         CASE WHEN has_merge = 1 AND has_sort = 1 THEN s0 ELSE 0 END AS c0,
+         CASE WHEN has_dup = 1 THEN s1 ELSE 0 END AS c1
+  FROM matched
+  WHERE (has_merge = 1 AND has_sort = 1) OR has_dup = 1
+)
+SELECT doc_id,
+       round(greatest(c0, c1) + 0.3 * ((c0 + c1) - greatest(c0, c1)), 6)
+         AS score
+FROM clauses
+ORDER BY greatest(c0, c1) + 0.3 * ((c0 + c1) - greatest(c0, c1)) DESC,
+         doc_id ASC
+LIMIT 10
+""",
+        # constant_score: every match scores the boost; the pinned
+        # (score desc, doc_id asc) order degenerates to doc_id asc
+        "constant_score_topk": _BASE_CTE + """
+, matched AS (
+  SELECT DISTINCT doc_id FROM tf WHERE term IN ('batch', 'dup')
+)
+SELECT doc_id, CAST(1.5 AS DOUBLE) AS score
+FROM matched ORDER BY doc_id ASC LIMIT 10
+""",
+        # boosting: positive-only scoring, docs also matching the
+        # negative term demoted by x0.4 (never excluded)
+        "boosting_topk": _bm25_sql(
+            ["batch", "join", "dup"],
+            "has_batch = 1 OR has_join = 1",
+            score_terms=["batch", "join"],
+            score_factor=(
+                "CASE WHEN matched.has_dup = 1 THEN 0.4 ELSE 1.0 END"
+            ),
+        ),
         "phrase_prefix_match": f"""
 WITH tok0 AS (
   SELECT doc_id,

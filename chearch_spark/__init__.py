@@ -21,8 +21,12 @@ from chearch_spark.build import build_index
 from chearch_spark.plans.parser import parse_query
 from chearch_spark.plans.query import (
     And,
+    Boosting,
+    ConstantScore,
     Diff,
+    DisMax,
     Fuzzy,
+    MinShould,
     Near,
     Node,
     Or,
@@ -38,9 +42,13 @@ from chearch_spark.search import Index
 
 __all__ = [
     "And",
+    "Boosting",
+    "ConstantScore",
     "Diff",
+    "DisMax",
     "Fuzzy",
     "Index",
+    "MinShould",
     "Near",
     "Node",
     "Or",

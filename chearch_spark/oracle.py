@@ -22,11 +22,16 @@ from collections import Counter
 from chearch_spark import spec
 from chearch_spark.plans.query import (
     And,
+    Boosting,
+    ConstantScore,
     Diff,
+    DisMax,
+    MinShould,
     Node,
     Or,
     Synonym,
     Term,
+    has_structured_scoring,
     scoring_terms,
     scoring_weights,
     synonym_leaves,
@@ -104,18 +109,99 @@ class OracleIndex:
             for m in node.words:
                 out |= set(self.tf.get(m, {}))
             return out
+        if isinstance(node, MinShould):
+            sets = [self.doc_set(c) for c in node.clauses]
+            return {
+                d
+                for d in set().union(*sets)
+                if sum(d in s for s in sets) >= node.m
+            }
+        if isinstance(node, DisMax):
+            return set().union(*(self.doc_set(c) for c in node.clauses))
+        if isinstance(node, ConstantScore):
+            return self.doc_set(node.query)
+        if isinstance(node, Boosting):
+            return self.doc_set(node.positive)
         raise TypeError(node)
 
-    def score(self, node: Node, doc_index: int) -> float:
+    def score(
+        self,
+        node: Node,
+        doc_index: int,
+        _weights: dict[str, float] | None = None,
+        _syn: dict | None = None,
+    ) -> float:
         """Pinned scoring: sum of BM25 contributions over the query's
         DISTINCT scoring terms present in the doc (spec §F4) — with
         query-time boosts multiplying the term's idf (the engine's
         `_weighted_idfs` seam) and Synonym leaves blended as ONE
-        pseudo-term (tf = sum of member tfs, df = max member df)."""
+        pseudo-term (tf = sum of member tfs, df = max member df).
+        Scoring COMBINATORS recurse structurally; ``_weights``/``_syn``
+        thread the ROOT tree's boost map and synonym leaves down the
+        recursion because the engine weights idfs once for the whole
+        query, not per clause."""
+        # root weights/synonyms, shared by every nested clause — the
+        # engine's single _weighted_idfs view of the whole tree
+        weights = scoring_weights(node) if _weights is None else _weights
+        syn = (
+            {s.key(): s for s in synonym_leaves(node)}
+            if _syn is None
+            else _syn
+        )
+        if isinstance(node, (And, Or, Diff)) and has_structured_scoring(
+            node
+        ):
+            # mixed tree: sides combine additively (Diff: positive side
+            # only); a structured side is masked by its own doc set, a
+            # flat side keeps the pinned flat term-sum
+            def side(c: Node) -> float:
+                if has_structured_scoring(c):
+                    return (
+                        self.score(c, doc_index, weights, syn)
+                        if doc_index in self.doc_set(c)
+                        else 0.0
+                    )
+                return self.score(c, doc_index, weights, syn)
+
+            if isinstance(node, Diff):
+                return side(node.a)
+            return side(node.a) + side(node.b)
+        if isinstance(node, MinShould):
+            total = 0.0
+            for c in node.clauses:
+                if doc_index in self.doc_set(c):
+                    total += self.score(c, doc_index, weights, syn)
+            return total
+        if isinstance(node, DisMax):
+            vals = [
+                self.score(c, doc_index, weights, syn)
+                if doc_index in self.doc_set(c)
+                else 0.0
+                for c in node.clauses
+            ]
+            mx = vals[0]
+            sm = vals[0]
+            for v in vals[1:]:
+                mx = max(mx, v)
+                sm = sm + v
+            return mx + node.tie * (sm - mx)
+        if isinstance(node, ConstantScore):
+            return (
+                node.boost if doc_index in self.doc_set(node.query) else 0.0
+            )
+        if isinstance(node, Boosting):
+            pos = (
+                self.score(node.positive, doc_index, weights, syn)
+                if doc_index in self.doc_set(node.positive)
+                else 0.0
+            )
+            return pos * (
+                node.negative_boost
+                if doc_index in self.doc_set(node.negative)
+                else 1.0
+            )
         total = 0.0
         avgdl = self.avgdl
-        weights = scoring_weights(node)
-        syn = {s.key(): s for s in synonym_leaves(node)}
         for term in scoring_terms(node):
             if term in syn:
                 leaf = syn[term]

@@ -217,9 +217,143 @@ def synonym_leaves(node: Node) -> list["Synonym"]:
         elif isinstance(n, (And, Or, Diff)):
             walk(n.b)
             walk(n.a)
+        else:
+            for c in _children(n):
+                walk(c)
 
     walk(node)
     return out
+
+
+def _children(n: Node) -> tuple[Node, ...]:
+    """Direct sub-nodes of a scoring combinator (empty for leaves) —
+    the shared recursion step for walkers that must see through
+    MinShould/DisMax/ConstantScore/Boosting."""
+    if isinstance(n, (MinShould, DisMax)):
+        return n.clauses
+    if isinstance(n, ConstantScore):
+        return (n.query,)
+    if isinstance(n, Boosting):
+        return (n.positive, n.negative)
+    return ()
+
+
+@dataclass(frozen=True)
+class MinShould(Node):
+    """Lucene ``BooleanQuery`` minimum_should_match: matches docs
+    satisfying at least ``m`` of the ``clauses``; the score is the sum
+    of the MATCHED clauses' BM25 scores (a clause the doc does not
+    match contributes exactly 0, Lucene's should-clause semantics).
+    An extension beyond the reference's binary AND/OR algebra
+    (`chasm.chpl:8-13` has no n-ary or counting opcode, SURVEY §2.5);
+    ``m == 1`` degenerates to OR, ``m == len(clauses)`` to AND."""
+
+    clauses: tuple[Node, ...]
+    m: int
+
+    def __post_init__(self):
+        object.__setattr__(self, "clauses", tuple(self.clauses))
+        if len(self.clauses) < 2:
+            raise ValueError("MinShould needs at least 2 clauses")
+        if not (1 <= int(self.m) <= len(self.clauses)):
+            raise ValueError(
+                f"m must be in [1, {len(self.clauses)}], got {self.m!r}"
+            )
+        object.__setattr__(self, "m", int(self.m))
+
+    def _terms(self):
+        for c in self.clauses:
+            yield from c._terms()
+
+
+@dataclass(frozen=True)
+class DisMax(Node):
+    """Lucene ``DisjunctionMaxQuery``: matches the UNION of the
+    clauses' doc sets; score = max(clause scores) + ``tie`` * (sum of
+    the other matched clauses' scores).  ``tie = 0`` is pure max
+    (best-field), ``tie = 1`` degenerates to the plain should-sum."""
+
+    clauses: tuple[Node, ...]
+    tie: float = 0.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "clauses", tuple(self.clauses))
+        if len(self.clauses) < 2:
+            raise ValueError("DisMax needs at least 2 clauses")
+        t = float(self.tie)
+        if not (0.0 <= t <= 1.0):
+            raise ValueError(f"tie_breaker must be in [0, 1], got {self.tie!r}")
+        object.__setattr__(self, "tie", t)
+
+    def _terms(self):
+        for c in self.clauses:
+            yield from c._terms()
+
+
+@dataclass(frozen=True)
+class ConstantScore(Node):
+    """Lucene ``ConstantScoreQuery`` / ES ``constant_score``: matches
+    ``query``'s doc set but every hit scores exactly ``boost`` —
+    the inner tree's BM25 statistics (and any boosts inside it) are
+    discarded.  Ranking within a constant-score result set is the
+    pinned tie-break (doc_id asc)."""
+
+    query: Node
+    boost: float = 1.0
+
+    def __post_init__(self):
+        b = float(self.boost)
+        if not (b > 0.0 and b != float("inf")):
+            raise ValueError(
+                f"constant score boost must be finite and > 0, got "
+                f"{self.boost!r}"
+            )
+        object.__setattr__(self, "boost", b)
+
+    def _terms(self):
+        yield from self.query._terms()
+
+
+@dataclass(frozen=True)
+class Boosting(Node):
+    """ES ``boosting`` query: matches exactly ``positive``'s doc set;
+    docs that ALSO match ``negative`` keep their positive score
+    multiplied by ``negative_boost`` (demoted, never excluded — the
+    soft version of Diff)."""
+
+    positive: Node
+    negative: Node
+    negative_boost: float = 0.5
+
+    def __post_init__(self):
+        nb = float(self.negative_boost)
+        if not (0.0 < nb <= 1.0):
+            raise ValueError(
+                f"negative_boost must be in (0, 1], got "
+                f"{self.negative_boost!r}"
+            )
+        object.__setattr__(self, "negative_boost", nb)
+
+    def _terms(self):
+        # negative terms are real query terms: the kernel must decode
+        # their postings to test demotion membership (the Diff pattern)
+        yield from self.positive._terms()
+        yield from self.negative._terms()
+
+
+def has_structured_scoring(node: Node) -> bool:
+    """True when the tree contains a scoring COMBINATOR (MinShould /
+    DisMax / ConstantScore / Boosting) — the flat sum-over-
+    scoring-terms path is wrong for these (a non-matching clause must
+    contribute 0 / max replaces sum / the score is a constant), so
+    the kernels route to the structural scorer."""
+    if isinstance(node, (MinShould, DisMax, ConstantScore, Boosting)):
+        return True
+    if isinstance(node, (And, Or, Diff)):
+        return has_structured_scoring(node.a) or has_structured_scoring(
+            node.b
+        )
+    return False
 
 
 @dataclass(frozen=True)
@@ -314,6 +448,19 @@ def scoring_terms(node: Node) -> list[str]:
         return [node.key()]  # the blended pseudo-term, not the members
     if isinstance(node, (Prefix, Fuzzy, Wildcard, PhrasePrefix, Regexp)):
         return []  # resolved during expansion, before scoring
+    if isinstance(node, (MinShould, DisMax)):
+        seen2: list[str] = []
+        for c in node.clauses:
+            for t in scoring_terms(c):
+                if t not in seen2:
+                    seen2.append(t)
+        return seen2
+    if isinstance(node, ConstantScore):
+        # the score is a constant, but the inner terms still drive
+        # snippet highlighting / significant-terms foregrounds
+        return scoring_terms(node.query)
+    if isinstance(node, Boosting):
+        return scoring_terms(node.positive)
     raise TypeError(node)
 
 
@@ -336,6 +483,13 @@ def scoring_weights(node: Node) -> dict[str, float]:
             walk(n.a)
         elif isinstance(n, Diff):
             walk(n.a)
+        elif isinstance(n, (MinShould, DisMax)):
+            for c in n.clauses:
+                walk(c)
+        elif isinstance(n, Boosting):
+            # the negative side only demotes; ConstantScore discards
+            # its inner boosts entirely (the score is the constant)
+            walk(n.positive)
 
     walk(node)
     return {t: w for t, w in out.items() if w != 1.0}
@@ -364,7 +518,7 @@ def to_postfix(node: Node) -> list[tuple]:
         elif isinstance(
             n,
             (Diff, Prefix, Fuzzy, Wildcard, Phrase, PhrasePrefix, Near,
-             Synonym, Regexp),
+             Synonym, Regexp, MinShould, DisMax, ConstantScore, Boosting),
         ):
             raise ValueError(
                 f"{type(n).__name__} is an engine extension with no "
@@ -405,7 +559,7 @@ def has_positional(node: Node) -> bool:
         return True
     if isinstance(node, (And, Or, Diff)):
         return has_positional(node.a) or has_positional(node.b)
-    return False
+    return any(has_positional(c) for c in _children(node))
 
 
 def positional_terms(node: Node) -> set[str]:
@@ -419,7 +573,10 @@ def positional_terms(node: Node) -> set[str]:
         return {node.a, node.b}
     if isinstance(node, (And, Or, Diff)):
         return positional_terms(node.a) | positional_terms(node.b)
-    return set()
+    out: set[str] = set()
+    for c in _children(node):
+        out |= positional_terms(c)
+    return out
 
 
 def all_terms_required(node: Node) -> bool:

@@ -43,8 +43,12 @@ from chearch_spark.operators.wand import (
 from chearch_spark.plans.query import (
     MAX_PREFIX_EXPANSION,
     And,
+    Boosting,
+    ConstantScore,
     Diff,
+    DisMax,
     Fuzzy,
+    MinShould,
     Near,
     Node,
     Or,
@@ -59,6 +63,7 @@ from chearch_spark.plans.query import (
     conjunctive_terms,
     disjunctive_terms,
     has_positional,
+    has_structured_scoring,
     positional_terms,
     scoring_terms,
     scoring_weights,
@@ -126,6 +131,22 @@ def _normalize(node: Node) -> Node:
         return Or(_normalize(node.a), _normalize(node.b))
     if isinstance(node, Diff):
         return Diff(_normalize(node.a), _normalize(node.b))
+    if isinstance(node, MinShould):
+        return MinShould(
+            tuple(_normalize(c) for c in node.clauses), node.m
+        )
+    if isinstance(node, DisMax):
+        return DisMax(
+            tuple(_normalize(c) for c in node.clauses), node.tie
+        )
+    if isinstance(node, ConstantScore):
+        return ConstantScore(_normalize(node.query), node.boost)
+    if isinstance(node, Boosting):
+        return Boosting(
+            _normalize(node.positive),
+            _normalize(node.negative),
+            node.negative_boost,
+        )
     if isinstance(node, Prefix):
         p = node.prefix.lower()
         if not p or spec.tokenize(p) != [p]:
@@ -956,6 +977,24 @@ class Index:
             return Or(self._expand(node.a), self._expand(node.b))
         if isinstance(node, Diff):
             return Diff(self._expand(node.a), self._expand(node.b))
+        if isinstance(node, MinShould):
+            # a clause expanding to _IMPOSSIBLE simply never matches —
+            # the m-of-n count is over the ORIGINAL clause list
+            return MinShould(
+                tuple(self._expand(c) for c in node.clauses), node.m
+            )
+        if isinstance(node, DisMax):
+            return DisMax(
+                tuple(self._expand(c) for c in node.clauses), node.tie
+            )
+        if isinstance(node, ConstantScore):
+            return ConstantScore(self._expand(node.query), node.boost)
+        if isinstance(node, Boosting):
+            return Boosting(
+                self._expand(node.positive),
+                self._expand(node.negative),
+                node.negative_boost,
+            )
         return node
 
     def _prep(self, query: Node | str) -> Node:
@@ -1533,6 +1572,7 @@ class Index:
         syn_by_key = {s.key(): s for s in synonym_leaves(node)}
         stats = self._cached_stats(terms)
         out: dict[str, dict] = {}
+        contrib_by_key: dict[str, float] = {}
         total = 0.0
         for t in scoring_terms(node):
             if t in syn_by_key:
@@ -1559,8 +1599,22 @@ class Index:
                 "weighted_idf": idf,
                 "contribution": contrib,
             }
+            contrib_by_key[t] = contrib
             # same accumulation order as the kernel's scoring loop
             total += contrib
+        if has_structured_scoring(node):
+            # scoring combinators: the total follows the tree, not the
+            # flat sum — mirror _structural_scores scalar-side in the
+            # same accumulation order so it stays bit-exact vs search()
+            if has_positional(node):
+                raise ValueError(
+                    "explain_score does not support Phrase/Near inside "
+                    "scoring combinators (clause membership needs the "
+                    "positions kernel)"
+                )
+            total = _explain_structural_total(
+                node, tf_by_term, contrib_by_key
+            )
         return {
             "doc_id": doc_id,
             "doc_len": int(dl),
@@ -2163,6 +2217,18 @@ class Index:
                 return b(n.a)
             if isinstance(n, Synonym):
                 return sum(df_of(t) for t in n.words)  # union <= sum
+            if isinstance(n, MinShould):
+                # pigeonhole: a doc matching >= m of the n clauses
+                # matches at least one of ANY (n - m + 1) of them, so
+                # the (n - m + 1) SMALLEST clause bounds cover the set
+                bounds = sorted(b(c) for c in n.clauses)
+                return sum(bounds[: len(n.clauses) - n.m + 1])
+            if isinstance(n, DisMax):
+                return sum(b(c) for c in n.clauses)
+            if isinstance(n, ConstantScore):
+                return b(n.query)
+            if isinstance(n, Boosting):
+                return b(n.positive)
             raise TypeError(n)
 
         return b(node)
@@ -3308,7 +3374,190 @@ def _eval_docset(node: Node, postings: dict, occ: dict | None = None):
             _eval_docset(node.b, postings, occ),
             assume_unique=True,
         )
+    if isinstance(node, MinShould):
+        # m-of-n count: each clause docset is unique, so the multiset
+        # concat's per-doc multiplicity == number of matched clauses
+        sets = [_eval_docset(c, postings, occ) for c in node.clauses]
+        if not sets:
+            return np.empty(0, np.int64)
+        docs, counts = np.unique(np.concatenate(sets), return_counts=True)
+        return docs[counts >= node.m].astype(np.int64)
+    if isinstance(node, DisMax):
+        out = np.empty(0, np.int64)
+        for c in node.clauses:
+            out = np.union1d(out, _eval_docset(c, postings, occ))
+        return out
+    if isinstance(node, ConstantScore):
+        return _eval_docset(node.query, postings, occ)
+    if isinstance(node, Boosting):
+        return _eval_docset(node.positive, postings, occ)
     raise TypeError(node)
+
+
+def _flat_term_scores(terms, cand, postings, idfs, denom_norm):
+    """Sum of per-term BM25 contributions over the candidate doc_index
+    array (the pinned flat scoring semantics, spec §F4): a term absent
+    from a doc contributes exactly 0.0.  ``denom_norm`` is the
+    length-normalized BM25 denominator, precomputed per candidate."""
+    scores = np.zeros(len(cand), dtype=np.float64)
+    for term in terms:
+        p = postings.get(term)
+        if p is None or term not in idfs:
+            continue
+        docs, tfs = p
+        ix = np.searchsorted(docs, cand)
+        ix_c = np.minimum(ix, len(docs) - 1)
+        hit = docs[ix_c] == cand
+        tf = np.where(hit, tfs[ix_c], 0).astype(np.float64)
+        scores += np.where(
+            hit,
+            idfs[term] * tf * (spec.BM25_K1 + 1.0) / (tf + denom_norm),
+            0.0,
+        )
+    return scores
+
+
+def _structural_scores(node, cand, postings, idfs, denom_norm, occ):
+    """Score a tree containing scoring COMBINATORS over a fixed
+    candidate array.  Each clause contributes only where the doc is in
+    the clause's OWN doc set (Lucene's should/dismax semantics: a
+    non-matching clause scores exactly 0):
+
+    * MinShould — sum of matched clauses (``cand`` is already the
+      >= m-count doc set);
+    * DisMax — max of matched clauses + tie * (sum − max);
+    * ConstantScore — the constant, for members of the inner doc set;
+    * Boosting — positive score × negative_boost where the negative
+      tree also matches.
+
+    Accumulation order is pinned (clause order, then scoring_terms
+    order inside a flat clause) so :meth:`Index.explain_score` can
+    mirror the float ops scalar-side bit-exactly."""
+
+    def clause(c):
+        s = (
+            _structural_scores(c, cand, postings, idfs, denom_norm, occ)
+            if has_structured_scoring(c)
+            else _flat_term_scores(
+                scoring_terms(c), cand, postings, idfs, denom_norm
+            )
+        )
+        member = np.isin(cand, _eval_docset(c, postings, occ))
+        return np.where(member, s, 0.0)
+
+    def side(c):
+        # And/Or composition around a combinator: a STRUCTURED side is
+        # masked by its own doc set (a MinShould below its m-count
+        # must contribute 0); a FLAT side keeps the pinned flat
+        # semantics (sum over its terms present in the doc, unmasked —
+        # identical to what the flat path scores for pure trees)
+        if has_structured_scoring(c):
+            return clause(c)
+        return _flat_term_scores(
+            scoring_terms(c), cand, postings, idfs, denom_norm
+        )
+
+    if isinstance(node, (And, Or)):
+        return side(node.a) + side(node.b)
+    if isinstance(node, Diff):
+        return side(node.a)
+    if isinstance(node, MinShould):
+        total = np.zeros(len(cand), dtype=np.float64)
+        for c in node.clauses:
+            total = total + clause(c)
+        return total
+    if isinstance(node, DisMax):
+        vals = [clause(c) for c in node.clauses]
+        mx = vals[0]
+        sm = vals[0]
+        for v in vals[1:]:
+            mx = np.maximum(mx, v)
+            sm = sm + v
+        return mx + node.tie * (sm - mx)
+    if isinstance(node, ConstantScore):
+        member = np.isin(cand, _eval_docset(node.query, postings, occ))
+        return np.where(member, node.boost, 0.0)
+    if isinstance(node, Boosting):
+        pos = clause(node.positive)
+        neg = np.isin(cand, _eval_docset(node.negative, postings, occ))
+        return pos * np.where(neg, node.negative_boost, 1.0)
+    # a flat tree reached through a combinator's clause() recursion
+    # never lands here (clause() routes it to _flat_term_scores); a
+    # top-level flat tree never enters this function at all
+    raise TypeError(node)
+
+
+def _explain_structural_total(
+    node: Node, tf_by_term: dict[str, int], contrib_by_key: dict[str, float]
+) -> float:
+    """Scalar mirror of :func:`_structural_scores` for ONE document
+    (the explain_score path): clause membership is derived from the
+    doc's term tfs, per-term contributions come precomputed from the
+    explain loop (the identical float expression the kernel uses), and
+    the accumulation order matches the kernel op-for-op so the total
+    is bit-exact vs :meth:`Index.search`.  Positional leaves are
+    rejected by the caller (membership would need positions)."""
+
+    def member(n: Node) -> bool:
+        if isinstance(n, Term):
+            return tf_by_term.get(n.term, 0) > 0
+        if isinstance(n, Synonym):
+            return any(tf_by_term.get(m, 0) > 0 for m in n.words)
+        if isinstance(n, And):
+            return member(n.a) and member(n.b)
+        if isinstance(n, Or):
+            return member(n.a) or member(n.b)
+        if isinstance(n, Diff):
+            return member(n.a) and not member(n.b)
+        if isinstance(n, MinShould):
+            return sum(member(c) for c in n.clauses) >= n.m
+        if isinstance(n, DisMax):
+            return any(member(c) for c in n.clauses)
+        if isinstance(n, ConstantScore):
+            return member(n.query)
+        if isinstance(n, Boosting):
+            return member(n.positive)
+        raise TypeError(n)
+
+    def clause(c: Node) -> float:
+        s = walk(c)
+        return s if member(c) else 0.0
+
+    def walk(n: Node) -> float:
+        if isinstance(n, (And, Or, Diff)) and has_structured_scoring(n):
+            def side(c: Node) -> float:
+                return clause(c) if has_structured_scoring(c) else walk(c)
+
+            if isinstance(n, Diff):
+                return side(n.a)
+            return side(n.a) + side(n.b)
+        if isinstance(n, MinShould):
+            total = 0.0
+            for c in n.clauses:
+                total = total + clause(c)
+            return total
+        if isinstance(n, DisMax):
+            vals = [clause(c) for c in n.clauses]
+            mx = vals[0]
+            sm = vals[0]
+            for v in vals[1:]:
+                mx = max(mx, v)
+                sm = sm + v
+            return mx + n.tie * (sm - mx)
+        if isinstance(n, ConstantScore):
+            return n.boost if member(n.query) else 0.0
+        if isinstance(n, Boosting):
+            pos = clause(n.positive)
+            return pos * (
+                n.negative_boost if member(n.negative) else 1.0
+            )
+        # flat subtree: the kernel's _flat_term_scores accumulation
+        flat = 0.0
+        for t in scoring_terms(n):
+            flat += contrib_by_key.get(t, 0.0)
+        return flat
+
+    return walk(node)
 
 
 def _keep_included(postings: dict, blocks: dict, meta_ids, occ, inc):
@@ -3443,22 +3692,15 @@ def _score_decoded(
         cand = _eval_docset(node, postings, occ)
     if cand is None or len(cand) == 0:
         return empty
-    scores = np.zeros(len(cand), dtype=np.float64)
     dl = doc_lens[cand].astype(np.float64)
     denom_norm = spec.BM25_K1 * (1.0 - spec.BM25_B + spec.BM25_B * dl / avgdl)
-    for term in scoring_terms(node):
-        p = postings.get(term)
-        if p is None or term not in idfs:
-            continue
-        docs, tfs = p
-        ix = np.searchsorted(docs, cand)
-        ix_c = np.minimum(ix, len(docs) - 1)
-        hit = docs[ix_c] == cand
-        tf = np.where(hit, tfs[ix_c], 0).astype(np.float64)
-        scores += np.where(
-            hit,
-            idfs[term] * tf * (spec.BM25_K1 + 1.0) / (tf + denom_norm),
-            0.0,
+    if has_structured_scoring(node):
+        scores = _structural_scores(
+            node, cand, postings, idfs, denom_norm, occ
+        )
+    else:
+        scores = _flat_term_scores(
+            scoring_terms(node), cand, postings, idfs, denom_norm
         )
     if after is not None:
         # cursor window: keep docs STRICTLY after (score desc, doc_id

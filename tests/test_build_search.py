@@ -1533,3 +1533,268 @@ def test_regexp_semantics(index):
     s1 = _collect(index.search("/s.rt/ OR dup", k=10))
     assert index.local_search("/s.rt/ OR dup", k=10) == s1
     assert index.match_docs(Regexp("zzqx[0-9]+")).count() == 0
+
+
+# -- scoring combinators (MinShould / DisMax / ConstantScore / Boosting) --
+
+def _structured_queries():
+    from chearch_spark.plans.query import (
+        Boosting,
+        ConstantScore,
+        DisMax,
+        MinShould,
+        Synonym,
+    )
+
+    return {
+        "msm_2of3": MinShould(
+            (Term("batch"), Term("dup"), Term("merge")), 2
+        ),
+        "msm_3of4": MinShould(
+            (Term("merge"), Term("sort"), Term("join"), Term("dup")), 3
+        ),
+        "msm_boosted_syn": MinShould(
+            (Term("batch", 2.0), Synonym(("merge", "sort")), Term("dup")),
+            2,
+        ),
+        "dismax_tie0": DisMax((Term("batch"), Term("join")), 0.0),
+        "dismax_mixed": DisMax(
+            (And(Term("merge"), Term("sort")), Term("dup")), 0.3
+        ),
+        "const_or": ConstantScore(Or(Term("batch"), Term("dup")), 1.5),
+        "boosting": Boosting(
+            Or(Term("batch"), Term("join")), Term("dup"), 0.4
+        ),
+        "nested": Boosting(
+            DisMax((Term("merge"), Term("sort")), 0.5),
+            Or(Term("dup"), Term("batch")),
+            0.7,
+        ),
+    }
+
+
+@pytest.mark.parametrize("qname", sorted(_structured_queries()))
+def test_structured_scoring_rank_identical(index, oracle, qname):
+    """Scoring combinators rank- and score-identical vs the oracle's
+    structural scorer, on the distributed AND driver-local paths, with
+    match_docs agreeing on the doc set."""
+    q = _structured_queries()[qname]
+    got = _collect(index.search(q, k=10))
+    want = oracle.search(q, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+    assert index.local_search(q, k=10) == got
+    md = sorted(r.doc_id for r in index.match_docs(q).collect())
+    assert md == sorted(oracle.doc_ids[d] for d in oracle.doc_set(q))
+
+
+def test_structured_scoring_degenerate_identities(index):
+    """m=1 == OR, m=n == AND (same docs AND scores); tie=1 DisMax over
+    term clauses == the flat OR sum; ConstantScore hits all score the
+    boost in doc_id order; Boosting demotes exactly the negative
+    matches of the positive result."""
+    from chearch_spark.plans.query import (
+        Boosting,
+        ConstantScore,
+        DisMax,
+        MinShould,
+    )
+
+    terms = (Term("merge"), Term("sort"), Term("dup"))
+    assert _collect(
+        index.search(MinShould(terms, 1), k=10)
+    ) == _collect(index.search(Term("merge") | Term("sort") | Term("dup"), k=10))
+    assert _collect(
+        index.search(MinShould(terms, 3), k=10)
+    ) == _collect(index.search(Term("merge") & Term("sort") & Term("dup"), k=10))
+    dm = _collect(index.search(DisMax((Term("merge"), Term("dup")), 1.0), k=10))
+    flat = _collect(index.search(Term("merge") | Term("dup"), k=10))
+    assert [d for d, _ in dm] == [d for d, _ in flat]
+    for (_, a), (_, b) in zip(dm, flat):
+        assert a == pytest.approx(b, rel=1e-12)
+    cs = _collect(index.search(ConstantScore(Term("batch"), 2.5), k=10))
+    assert all(s == 2.5 for _, s in cs)
+    assert [d for d, _ in cs] == sorted(d for d, _ in cs)
+    # boosting: docs outside the negative set score exactly like the
+    # positive query; docs inside are multiplied by negative_boost
+    pos = dict(
+        _collect(index.search(Or(Term("batch"), Term("join")), k=100000))
+    )
+    neg = {r.doc_id for r in index.match_docs(Term("dup")).collect()}
+    bq = _collect(
+        index.search(
+            Boosting(Or(Term("batch"), Term("join")), Term("dup"), 0.4),
+            k=100000,
+        )
+    )
+    for d, s in bq:
+        expect = pos[d] * 0.4 if d in neg else pos[d]
+        assert s == pytest.approx(expect, rel=1e-12)
+
+
+def test_structured_scoring_validation_and_wire():
+    """Constructor validation + no CHASM opcode for combinators."""
+    from chearch_spark.plans.query import (
+        Boosting,
+        ConstantScore,
+        DisMax,
+        MinShould,
+        to_postfix,
+    )
+
+    with pytest.raises(ValueError):
+        MinShould((Term("a"),), 1)  # needs >= 2 clauses
+    with pytest.raises(ValueError):
+        MinShould((Term("a"), Term("b")), 0)
+    with pytest.raises(ValueError):
+        MinShould((Term("a"), Term("b")), 3)
+    with pytest.raises(ValueError):
+        DisMax((Term("a"), Term("b")), 1.5)
+    with pytest.raises(ValueError):
+        ConstantScore(Term("a"), 0.0)
+    with pytest.raises(ValueError):
+        Boosting(Term("a"), Term("b"), 0.0)
+    with pytest.raises(ValueError):
+        Boosting(Term("a"), Term("b"), 1.2)
+    for bad in (
+        MinShould((Term("a"), Term("b")), 2),
+        DisMax((Term("a"), Term("b")), 0.5),
+        ConstantScore(Term("a")),
+        Boosting(Term("a"), Term("b")),
+    ):
+        with pytest.raises(ValueError):
+            to_postfix(bad)
+
+
+def test_structured_explain_bit_exact(index):
+    """explain_score totals are BIT-exact vs search() scores for
+    combinator trees (the scalar mirror of _structural_scores), and
+    positional leaves inside combinators are rejected with a clear
+    error."""
+    from chearch_spark.plans.query import DisMax, MinShould, Phrase
+
+    for qname, q in sorted(_structured_queries().items()):
+        if qname == "nested":
+            continue  # covered below to keep the spark round-trips low
+        got = _collect(index.search(q, k=3))
+        for d, s in got:
+            assert index.explain_score(q, d)["total"] == s, (qname, d)
+    q = _structured_queries()["nested"]
+    d, s = _collect(index.search(q, k=1))[0]
+    assert index.explain_score(q, d)["total"] == s
+    with pytest.raises(ValueError, match="positions kernel"):
+        index.explain_score(
+            DisMax((Phrase(("merge", "sort")), Term("dup")), 0.3), 1
+        )
+
+
+def test_structured_positional_clause(index, spark):
+    """A Phrase clause inside DisMax/MinShould evaluates through the
+    positions kernel: the doc set is the union/count over the REAL
+    phrase doc set (not the bag-of-words AND), and where only the
+    phrase clause matches, the score equals the phrase's flat score."""
+    from chearch_spark.plans.query import DisMax, MinShould, Phrase
+
+    ph = Phrase(("merge", "sort"))
+    ph_docs = {r.doc_id for r in index.match_docs(ph).collect()}
+    dup_docs = {r.doc_id for r in index.match_docs(Term("dup")).collect()}
+    dm = DisMax((ph, Term("dup")), 0.0)
+    assert {
+        r.doc_id for r in index.match_docs(dm).collect()
+    } == ph_docs | dup_docs
+    ms = MinShould((ph, Term("dup"), Term("batch")), 2)
+    batch_docs = {
+        r.doc_id for r in index.match_docs(Term("batch")).collect()
+    }
+    expect = {
+        d
+        for d in ph_docs | dup_docs | batch_docs
+        if (d in ph_docs) + (d in dup_docs) + (d in batch_docs) >= 2
+    }
+    assert {r.doc_id for r in index.match_docs(ms).collect()} == expect
+    ph_scores = dict(_collect(index.search(ph, k=500)))
+    for d, s in _collect(index.search(dm, k=500)):
+        if d in ph_docs and d not in dup_docs:
+            assert s == pytest.approx(ph_scores[d], rel=1e-12)
+
+
+def test_structured_search_many_parity(index):
+    """Combinator queries inside a search_many batch answer identically
+    to their individual search() calls (shared-scan kernel path)."""
+    qs = {k: v for k, v in sorted(_structured_queries().items())[:4]}
+    batch = index.search_many(qs, k=10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query, []).append((r.doc_id, r.score))
+    for name, q in qs.items():
+        assert by_q.get(name, []) == _collect(index.search(q, k=10)), name
+
+
+def test_random_structured_trees_rank_identical(index, oracle):
+    """Property sweep: 25 seeded random trees mixing ALL scoring
+    combinators with boosted/synonym leaves under And/Or/Diff must
+    rank- and score-identical vs the oracle."""
+    import random
+
+    from chearch_spark.plans.query import (
+        Boosting,
+        ConstantScore,
+        Diff,
+        DisMax,
+        MinShould,
+        Synonym,
+    )
+
+    rng = random.Random(20260818)
+    vocab = sorted(oracle.tf, key=lambda t: -len(oracle.tf[t]))[:12]
+    vocab.append("zz_missing_zz")
+
+    def leaf():
+        t = rng.choice(vocab)
+        r = rng.random()
+        if r < 0.25:
+            return Term(t, rng.choice([0.5, 1.5, 2.0]))
+        if r < 0.45:
+            u = rng.choice(vocab)
+            if u != t:
+                return Synonym((t, u))
+        return Term(t)
+
+    def tree(depth):
+        if depth == 0 or rng.random() < 0.3:
+            return leaf()
+        r = rng.random()
+        if r < 0.18:
+            n = rng.randint(2, 4)
+            return MinShould(
+                tuple(tree(depth - 1) for _ in range(n)), rng.randint(1, n)
+            )
+        if r < 0.36:
+            return DisMax(
+                tuple(tree(depth - 1) for _ in range(rng.randint(2, 3))),
+                rng.choice([0.0, 0.3, 1.0]),
+            )
+        if r < 0.46:
+            return ConstantScore(tree(depth - 1), rng.choice([0.7, 1.5]))
+        if r < 0.56:
+            return Boosting(
+                tree(depth - 1), tree(depth - 1), rng.choice([0.4, 0.9])
+            )
+        a, b = tree(depth - 1), tree(depth - 1)
+        return rng.choice(
+            [lambda: a & b, lambda: a | b, lambda: Diff(a, b)]
+        )()
+
+    n_structured = 0
+    for i in range(25):
+        q = tree(2)
+        got = _collect(index.search(q, k=10))
+        want = oracle.search(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], (i, q)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), (i, q)
+        from chearch_spark.plans.query import has_structured_scoring
+
+        n_structured += has_structured_scoring(q)
+    assert n_structured >= 10  # the sweep actually exercises combinators
