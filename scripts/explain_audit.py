@@ -82,6 +82,27 @@ def main() -> None:
             ("single global gather", "TakeOrderedAndProject"),
         ],
     )
+    from chearch_spark.plans.query import DisMax, MinShould
+
+    audit(
+        "scoring combinators (MinShould / DisMax)",
+        ix.search(
+            DisMax(
+                (
+                    MinShould((Term("batch"), Term("dup"), Term("merge")), 2),
+                    Term("sort"),
+                ),
+                0.3,
+            ),
+            k=10,
+        ),
+        [
+            # the structural scorer changes NOTHING about the plan: the
+            # same pruned scan feeds one kernel and one global gather
+            ("clause-term pushdown into parquet", "PushedFilters: [In(term"),
+            ("single global gather", "TakeOrderedAndProject"),
+        ],
+    )
     audit(
         "multi-query batch (search_many)",
         ix.search_many(
