@@ -577,6 +577,51 @@ def _cached_lifecycle_index(spark, sf_dir, key_prefix, dir_prefix, steps):
     return _INDEX_CACHE[key]
 
 
+def _get_federation(spark, sf_dir):
+    """Two half-corpus member indexes (doc_id parity split) queried as
+    one federation — the gate's engine side for `federated_topk`; the
+    oracle is the PLAIN merged-corpus BM25 SQL, so the DuckDB compare
+    proves the combined-stats scoring equals a single logical index."""
+    from chearch_spark.build import build_index
+    from chearch_spark.federation import MultiIndex
+
+    key = "fed:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        import hashlib
+
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        fp = hashlib.md5(
+            f"{key}|{st.st_size}|{st.st_mtime_ns}".encode()
+        ).hexdigest()[:16]
+        out = os.path.join(tempfile.gettempdir(), f"chearch_entry_fed_v1_{fp}")
+        # atomic publication (the _cached_lifecycle_index pattern):
+        # complete == the LAST member's stats.json exists in the
+        # published dir
+        if not os.path.exists(os.path.join(out, "b", "stats.json")):
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            )
+            build_dir = f"{out}.build.{os.getpid()}"
+            build_index(
+                spark, docs.filter("pmod(doc_id, 2) = 0"),
+                f"{build_dir}/a", num_segments=4,
+            )
+            build_index(
+                spark, docs.filter("pmod(doc_id, 2) = 1"),
+                f"{build_dir}/b", num_segments=4,
+            )
+            try:
+                os.rename(build_dir, out)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(build_dir, ignore_errors=True)
+                if not os.path.exists(os.path.join(out, "b", "stats.json")):
+                    raise  # not a lost race — surface the real error
+        _INDEX_CACHE[key] = MultiIndex(spark, [f"{out}/a", f"{out}/b"])
+    return _INDEX_CACHE[key]
+
+
 def _ingest_3_batches(spark, sf_dir, build_dir):
     from chearch_spark.streaming.ingest import finalize_index, ingest_batch
 
@@ -1399,7 +1444,23 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
             sf,
             Boosting(Or(Term("batch"), Term("join")), Term("dup"), 0.4),
         ),
+        # Federated multi-index search (r6, ES dfs_query_then_fetch
+        # over an alias): two half-corpus members scored against the
+        # COMBINED stats — the oracle is the plain merged-corpus BM25,
+        # so a green row proves member layout cannot move a score
+        "federated_topk": lambda s, sf: _fed_search(
+            s, sf, (Term("merge") & Term("sort")) | Term("dup")
+        ),
     }
+
+
+def _fed_search(spark, sf_dir, node, k=10):
+    from pyspark.sql import functions as F
+
+    fed = _get_federation(spark, sf_dir)
+    return fed.search(node, k=k).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
 
 
 def pytest_only_oracle_sql() -> dict[str, str]:
@@ -1765,6 +1826,14 @@ LIMIT 10
 SELECT doc_id, CAST(1.5 AS DOUBLE) AS score
 FROM matched ORDER BY doc_id ASC LIMIT 10
 """,
+        # federated search: the oracle is the PLAIN single-corpus BM25
+        # (identical to bm25_topk_nested's) — the engine side answers
+        # from two disjoint member indexes with combined stats, so a
+        # green row IS the dfs_query_then_fetch exactness proof
+        "federated_topk": _bm25_sql(
+            ["merge", "sort", "dup"],
+            "(has_merge = 1 AND has_sort = 1) OR has_dup = 1",
+        ),
         # boosting: positive-only scoring, docs also matching the
         # negative term demoted by x0.4 (never excluded)
         "boosting_topk": _bm25_sql(

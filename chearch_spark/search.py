@@ -1386,6 +1386,7 @@ class Index:
         with_seg: bool = False,
         include_h=None,
         after: tuple[float, int] | None = None,
+        stats_override: tuple[dict, float] | None = None,
     ):
         """Per-segment scored matches of a PREPPED query tree — the
         shared kernel half of :meth:`search` and
@@ -1396,10 +1397,17 @@ class Index:
         before the filter could drop the filtered winners).
         ``include_h`` is an include-set handle (ndarray or Spark
         broadcast of allowed external doc ids) applied inside the
-        kernel before the local top-k."""
+        kernel before the local top-k.  ``stats_override`` =
+        (idfs, avgdl) replaces this index's global stats — the
+        federation seam (:class:`chearch_spark.federation.MultiIndex`
+        scores every member against the COMBINED corpus stats, the
+        exact dfs_query_then_fetch semantics)."""
         terms = node.terms()
-        idfs = self._weighted_idfs(node, terms)
-        avgdl = self.avgdl
+        if stats_override is not None:
+            idfs, avgdl = stats_override
+        else:
+            idfs = self._weighted_idfs(node, terms)
+            avgdl = self.avgdl
         tomb_h = self._tomb_handle()
         cols = ["seg_id", "term", "df", "doc_ids", "tfs", "blocks"]
         if has_positional(node):

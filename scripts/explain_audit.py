@@ -103,6 +103,33 @@ def main() -> None:
             ("single global gather", "TakeOrderedAndProject"),
         ],
     )
+    from chearch_spark.federation import MultiIndex
+
+    fed_root = tempfile.mkdtemp(prefix="chearch_audit_fed_")
+    for name, pred in (("a", "pmod(doc_id, 2) = 0"), ("b", "pmod(doc_id, 2) = 1")):
+        build_index(
+            spark, docs.filter(pred), f"{fed_root}/{name}", num_segments=4
+        )
+    fed = MultiIndex(spark, [f"{fed_root}/a", f"{fed_root}/b"])
+    p = plan_of(fed.search((Term("merge") & Term("sort")) | Term("dup"), k=10))
+    # count in the FORMATTED section only — plan_of appends the simple
+    # plan, which repeats each scan's PushedFilters once more
+    assert p.split("--- simple ---")[0].count(
+        "PushedFilters: [In(term"
+    ) == 2, "federation: a member scan lost its term pushdown"
+    assert "Join" not in p, "federation: unexpected join"
+    sections.append(
+        (
+            "federated search (MultiIndex, 2 members)",
+            p,
+            [
+                ("per-member term pushdown (2 pruned scans)", "In(term"),
+                ("plan-level union, single gather", "TakeOrderedAndProject"),
+            ],
+        )
+    )
+    print("OK  federated search (MultiIndex, 2 members): per-member pushdown, one gather")
+
     audit(
         "multi-query batch (search_many)",
         ix.search_many(
