@@ -1451,6 +1451,13 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "federated_topk": lambda s, sf: _fed_search(
             s, sf, (Term("merge") & Term("sort")) | Term("dup")
         ),
+        # Spell suggestions (r6, ES term suggester, suggest_mode=
+        # missing): unknown tokens corrected from the index's OWN
+        # vocabulary within one edit, ranked (df desc, term asc);
+        # known tokens ('sort') produce no rows
+        "spell_suggest": lambda s, sf: _get_index(s, sf).spell_suggest(
+            "mergr sort dupp", k=3
+        ),
     }
 
 
@@ -1825,6 +1832,26 @@ LIMIT 10
 )
 SELECT doc_id, CAST(1.5 AS DOUBLE) AS score
 FROM matched ORDER BY doc_id ASC LIMIT 10
+""",
+        # spell suggestions: unknown tokens (NOT IN the dictionary)
+        # joined to terms within levenshtein 1, top-3 by (df desc,
+        # term asc) per token
+        "spell_suggest": _BASE_CTE + """
+, qtok AS (SELECT * FROM (VALUES ('mergr'), ('sort'), ('dupp')) q(token))
+, missing AS (
+  SELECT token FROM qtok WHERE token NOT IN (SELECT term FROM dfs)
+), cand AS (
+  SELECT m.token AS token, d.term AS suggestion, d.df AS df
+  FROM missing m JOIN dfs d ON levenshtein(d.term, m.token) <= 1
+)
+SELECT token,
+       CAST(row_number() OVER w AS INT) AS rank,
+       suggestion,
+       CAST(df AS BIGINT) AS df
+FROM cand
+WINDOW w AS (PARTITION BY token ORDER BY df DESC, suggestion ASC)
+QUALIFY row_number() OVER w <= 3
+ORDER BY token, rank
 """,
         # federated search: the oracle is the PLAIN single-corpus BM25
         # (identical to bm25_topk_nested's) — the engine side answers

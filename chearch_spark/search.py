@@ -861,22 +861,17 @@ class Index:
             ),
         )
 
-    def _fuzzy_expansion_terms(
-        self, query: str, max_expansions: int | None = None
-    ) -> list[str]:
-        """Ranked, capped expansion list for a Fuzzy leaf: (dist asc,
-        df desc, term asc), cap ``MAX_FUZZY_EXPANSIONS``.
+    def _fuzzy_candidates(self, query: str) -> list[tuple[str, int, int]]:
+        """(term, df, dist) rows within one edit of ``query`` — the
+        shared probe under Fuzzy expansion and the spell suggester.
 
         Small dictionaries (sum of part-file bytes under
-        ``FUZZY_DRIVER_DICT_BYTES``) expand DRIVER-SIDE — a pyarrow
+        ``FUZZY_DRIVER_DICT_BYTES``) probe DRIVER-SIDE — a pyarrow
         (term, df) read plus the two-pointer distance-1 check, no
         Spark job, keeping local_search latency in the ms range.
         Bigger dictionaries use the distributed probe
         (:meth:`fuzzy_terms`).  A parity test pins the two paths to
         identical expansions."""
-        from chearch_spark.operators.fuzzy import MAX_FUZZY_EXPANSIONS
-
-        cap = max_expansions or MAX_FUZZY_EXPANSIONS
         q = query.lower()
         files = self._dict_files_all()
         if not files:
@@ -888,7 +883,7 @@ class Index:
             table = ds.dataset(files, format="parquet").to_table(
                 columns=["term", "df"]
             )
-            rows = [
+            return [
                 (t, int(df), 0 if t == q else 1)
                 for t, df in zip(
                     table.column("term").to_pylist(),
@@ -896,13 +891,71 @@ class Index:
                 )
                 if _within_one_edit(t, q)
             ]
-        else:
-            rows = [
-                (r.term, r.df, r.dist)
-                for r in self.fuzzy_terms(q).collect()
-            ]
+        return [
+            (r.term, int(r.df), int(r.dist))
+            for r in self.fuzzy_terms(q).collect()
+        ]
+
+    def _fuzzy_expansion_terms(
+        self, query: str, max_expansions: int | None = None
+    ) -> list[str]:
+        """Ranked, capped expansion list for a Fuzzy leaf: (dist asc,
+        df desc, term asc), cap ``MAX_FUZZY_EXPANSIONS``."""
+        from chearch_spark.operators.fuzzy import MAX_FUZZY_EXPANSIONS
+
+        cap = max_expansions or MAX_FUZZY_EXPANSIONS
+        rows = self._fuzzy_candidates(query)
         ranked = sorted(rows, key=lambda r: (r[2], -r[1], r[0]))[:cap]
         return [t for t, _df, _d in ranked]
+
+    def spell_suggest(self, query: str, k: int = 3):
+        """ES/Solr term suggester (``suggest_mode=missing``): for each
+        query token ABSENT from the dictionary, the top-``k``
+        corrections within one edit, ranked (df desc, term asc) —
+        "did you mean" over the index's own vocabulary, not a side
+        lexicon.  Known tokens produce no rows (they need no
+        correction); a missing token with no near term produces no
+        rows either.  Returns (token, rank, suggestion, df).
+
+        The probe is vocabulary-sized, never corpus-sized: one
+        dictionary stats read for the known-token check (the same
+        O(1)-file probe a query pays) plus the shared fuzzy candidate
+        scan per unknown token."""
+        toks: list[str] = []
+        for t in spec.tokenize(query):
+            if t not in toks:
+                toks.append(t)
+        stats = self._cached_stats(toks)
+        rows = []
+        for t in toks:
+            if t in stats:
+                continue
+            cands = [
+                (term, df)
+                for term, df, dist in self._fuzzy_candidates(t)
+                if dist > 0
+            ]
+            cands.sort(key=lambda r: (-r[1], r[0]))
+            for rank, (term, df) in enumerate(cands[:k], 1):
+                rows.append((t, rank, term, int(df)))
+        return self.spark.createDataFrame(
+            rows, "token string, rank int, suggestion string, df long"
+        )
+
+    def did_you_mean(self, query: str) -> str | None:
+        """Whole-query correction: every unknown token replaced by its
+        best suggestion (top spell_suggest row), known tokens kept.
+        None when nothing needed correcting — the ES convention where
+        an absent suggestion means the query was already well-formed.
+        Unknown tokens with NO near term stay as typed (correcting the
+        rest still helps)."""
+        fix = {
+            r["token"]: r["suggestion"]
+            for r in self.spell_suggest(query, k=1).collect()
+        }
+        if not fix:
+            return None
+        return " ".join(fix.get(t, t) for t in spec.tokenize(query))
 
     def fuzzy_search(
         self,

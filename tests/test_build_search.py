@@ -1798,3 +1798,33 @@ def test_random_structured_trees_rank_identical(index, oracle):
 
         n_structured += has_structured_scoring(q)
     assert n_structured >= 10  # the sweep actually exercises combinators
+
+
+def test_spell_suggest_semantics(index, oracle):
+    """ES term suggester (suggest_mode=missing): only unknown tokens
+    get suggestions, ranked by (df desc, term asc) among terms one
+    edit away; did_you_mean substitutes the best suggestion per
+    unknown token and returns None when nothing needed fixing."""
+    rows = index.spell_suggest("mergr sort", k=3).collect()
+    assert rows and all(r.token == "mergr" for r in rows)  # 'sort' known
+    # rank-1 = the df-maximal one-edit neighbor, straight from the oracle
+    from chearch_spark.search import _within_one_edit
+
+    cands = sorted(
+        (
+            (t, len(d))
+            for t, d in oracle.tf.items()
+            if t != "mergr" and _within_one_edit(t, "mergr")
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert [(r.suggestion, r.df) for r in rows] == cands[:3]
+    assert rows[0].rank == 1
+    dfs = [r.df for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    corrected = index.did_you_mean("mergr sort")
+    assert corrected == f"{rows[0].suggestion} sort"
+    assert index.did_you_mean("merge sort") is None
+    # an unknown token with no near neighbor stays as typed
+    assert index.spell_suggest("zzqxv", k=3).count() == 0
+    assert index.did_you_mean("zzqxv merge") is None
