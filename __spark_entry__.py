@@ -307,6 +307,49 @@ GROUP BY d.{c}"""
 """
 
 
+def _facet_cardinality_sql(
+    terms: list[str], require: str, cols: list[str], val_col: str
+) -> str:
+    """DuckDB mirror of Index.facet_cardinality (exact form): distinct
+    metric values per facet value over the match set."""
+    ds = _docset_sql(terms, require)
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS facet, CAST(d.{c} AS VARCHAR) AS value,
+       CAST(count(DISTINCT d.{val_col}) AS BIGINT) AS n_distinct
+FROM documents d JOIN ds ON ds.doc_id = d.doc_id
+GROUP BY d.{c}"""
+        for c in cols
+    )
+    return f"""WITH ds AS (SELECT doc_id FROM ({ds}))
+{branches}
+"""
+
+
+def _facet_percentiles_sql(
+    terms: list[str],
+    require: str,
+    cols: list[str],
+    val_col: str,
+    pcts: tuple = (0.25, 0.5, 0.75),
+) -> str:
+    """DuckDB mirror of Index.facet_percentiles (exact form):
+    quantile_cont uses the same (n-1)*p linear interpolation as
+    Spark's percentile aggregate, so values match to the rounding."""
+    ds = _docset_sql(terms, require)
+    plist = "[" + ", ".join(str(float(p)) for p in pcts) + "]"
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS facet, CAST(d.{c} AS VARCHAR) AS value,
+       unnest({plist}) AS pct,
+       round(unnest(quantile_cont(d.{val_col}, {plist})), 6) AS val
+FROM documents d JOIN ds ON ds.doc_id = d.doc_id
+GROUP BY d.{c}"""
+        for c in cols
+    )
+    return f"""WITH ds AS (SELECT doc_id FROM ({ds}))
+{branches}
+"""
+
+
 def _mlt_sql(doc_id: int, k: int, max_terms: int, max_df_frac: float) -> str:
     """DuckDB mirror of Index.more_like_this: interesting terms =
     source-doc tokens ranked by tf*idf (ties term asc, hot terms with
@@ -1458,7 +1501,32 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "spell_suggest": lambda s, sf: _get_index(s, sf).spell_suggest(
             "mergr sort dupp", k=3
         ),
+        # Cardinality + percentile facets (r6, ES cardinality /
+        # percentiles aggregations): exact forms gated; the approx
+        # forms (HLL++ / approx_percentile) are the documented 100 TB
+        # paths, sanity-pinned in pytest
+        "facet_cardinality": lambda s, sf: _get_index(
+            s, sf
+        ).facet_cardinality(
+            Term("merge") | Term("dup"), _docs(s, sf), ["lang", "source"],
+            "n_chars",
+        ),
+        "facet_percentiles": lambda s, sf: _facet_pct_query(s, sf),
     }
+
+
+def _facet_pct_query(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from chearch_spark.plans.query import Term
+
+    out = _get_index(spark, sf_dir).facet_percentiles(
+        Term("merge") | Term("dup"), _docs(spark, sf_dir),
+        ["lang", "source"], "n_chars",
+    )
+    return out.select(
+        "facet", "value", "pct", F.round("val", 6).alias("val")
+    )
 
 
 def _fed_search(spark, sf_dir, node, k=10):
@@ -1833,6 +1901,18 @@ LIMIT 10
 SELECT doc_id, CAST(1.5 AS DOUBLE) AS score
 FROM matched ORDER BY doc_id ASC LIMIT 10
 """,
+        "facet_cardinality": _facet_cardinality_sql(
+            ["merge", "dup"],
+            "has_merge = 1 OR has_dup = 1",
+            ["lang", "source"],
+            "n_chars",
+        ),
+        "facet_percentiles": _facet_percentiles_sql(
+            ["merge", "dup"],
+            "has_merge = 1 OR has_dup = 1",
+            ["lang", "source"],
+            "n_chars",
+        ),
         # spell suggestions: unknown tokens (NOT IN the dictionary)
         # joined to terms within levenshtein 1, top-3 by (df desc,
         # term asc) per token

@@ -2663,6 +2663,113 @@ class Index:
             .agg(F.count("*").cast("long").alias("n_docs"))
         )
 
+    def facet_cardinality(
+        self,
+        query: Node | str,
+        meta: "DataFrame",
+        cols: list[str],
+        val_col: str,
+        id_col: str = "doc_id",
+        broadcast_threshold: int | None = None,
+        approx: bool = False,
+        rsd: float = 0.05,
+    ):
+        """Cardinality facets (the Elasticsearch ``cardinality``
+        aggregation): per facet value, the number of DISTINCT
+        ``val_col`` values over the documents matching ``query`` —
+        (facet, value, n_distinct).  NULL metric values are ignored,
+        like SQL COUNT(DISTINCT).
+
+        ``approx=False`` (default, the oracle-gated baseline) is exact
+        two-phase distinct: map-side partial dedup on (facet, value,
+        v), so the shuffle carries each distinct triple once — bounded
+        by distinct-value cardinality, not match count.  ``approx=
+        True`` is the 100 TB path: HyperLogLog++ sketches
+        (``approx_count_distinct``, relative error ``rsd``) of fixed
+        size per group, mergeable map-side — the right trade when the
+        per-group distinct sets themselves are shuffle-dominating.
+        Same size-adaptive semi-join front half as the facet family."""
+        from pyspark.sql import functions as F
+
+        joined = self._facet_matched(query, meta, id_col, broadcast_threshold)
+        agg = (
+            F.approx_count_distinct("__v", rsd)
+            if approx
+            else F.count_distinct("__v")
+        )
+        return (
+            joined.select(
+                F.explode(_facet_pairs(cols)).alias("fv"),
+                F.col(val_col).alias("__v"),
+            )
+            .select("fv.facet", "fv.value", "__v")
+            .groupBy("facet", "value")
+            .agg(agg.cast("long").alias("n_distinct"))
+        )
+
+    def facet_percentiles(
+        self,
+        query: Node | str,
+        meta: "DataFrame",
+        cols: list[str],
+        val_col: str,
+        pcts: tuple = (0.25, 0.5, 0.75),
+        id_col: str = "doc_id",
+        broadcast_threshold: int | None = None,
+        approx: bool = False,
+        accuracy: int = 10000,
+    ):
+        """Percentile facets (the Elasticsearch ``percentiles``
+        aggregation): per facet value, exact linear-interpolation
+        percentiles of ``val_col`` over the matching documents —
+        (facet, value, pct, val).  Exact percentile sorts each group's
+        values (correct and cheap at facet-group granularity; the
+        group count, not the corpus, bounds the state).  ``approx=
+        True`` switches to ``approx_percentile`` (t-digest-style
+        bounded sketch, ``accuracy`` buckets) for groups whose value
+        lists would not fit an executor — the documented scale path,
+        not oracle-gated (sketches are engine-specific).
+
+        The exact form's interpolation is the classic
+        ``(n-1) * p`` rank with linear blending — the same definition
+        DuckDB's ``quantile_cont`` uses, which is what makes the
+        cross-engine gate possible."""
+        from pyspark.sql import functions as F
+
+        ps = [float(p) for p in pcts]
+        if not ps or not all(0.0 <= p <= 1.0 for p in ps):
+            raise ValueError(f"percentiles must be in [0, 1], got {pcts!r}")
+        joined = self._facet_matched(query, meta, id_col, broadcast_threshold)
+        parr = F.array(*[F.lit(p) for p in ps])
+        fn = F.approx_percentile if approx else F.percentile
+        grouped = (
+            joined.select(
+                F.explode(_facet_pairs(cols)).alias("fv"),
+                F.col(val_col).cast("double").alias("__v"),
+            )
+            .select("fv.facet", "fv.value", "__v")
+            .groupBy("facet", "value")
+            .agg(
+                (
+                    fn("__v", parr, F.lit(int(accuracy)))
+                    if approx
+                    else fn("__v", parr)
+                ).alias("vals")
+            )
+        )
+        return grouped.select(
+            "facet",
+            "value",
+            F.explode(
+                F.arrays_zip(parr.alias("pct"), F.col("vals").alias("val"))
+            ).alias("pv"),
+        ).select(
+            "facet",
+            "value",
+            F.col("pv.pct").alias("pct"),
+            F.col("pv.val").cast("double").alias("val"),
+        )
+
     def count(self, query: Node | str) -> int:
         """Exact hit count without scoring (the Elasticsearch
         ``_count`` surface): the size of the query's doc set.  Runs

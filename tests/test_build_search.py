@@ -1828,3 +1828,46 @@ def test_spell_suggest_semantics(index, oracle):
     # an unknown token with no near neighbor stays as typed
     assert index.spell_suggest("zzqxv", k=3).count() == 0
     assert index.did_you_mean("zzqxv merge") is None
+
+
+def test_facet_cardinality_and_percentiles(spark, index, corpus_pdf):
+    """ES cardinality / percentiles aggregations over the match set:
+    exact forms agree with a pandas recount; approx forms return the
+    same groups with plausible values (HLL rsd, t-digest accuracy)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = Term("merge") | Term("dup")
+    match = {r.doc_id for r in index.match_docs(q).collect()}
+    meta = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    sub = meta[meta.doc_id.isin(match)]
+
+    card = index.facet_cardinality(q, docs, ["lang"], "n_chars")
+    got = {
+        (r.value, r.n_distinct)
+        for r in card.filter("facet = 'lang'").collect()
+    }
+    want = {
+        (str(lang), int(g.n_chars.nunique()))
+        for lang, g in sub.groupby("lang")
+    }
+    assert got == want
+
+    pct = index.facet_percentiles(q, docs, ["lang"], "n_chars", (0.5,))
+    for r in pct.collect():
+        g = sub[sub.lang == r.value].n_chars
+        assert r.val == pytest.approx(float(g.quantile(0.5)))
+
+    # approx paths: same group keys, values within loose bounds
+    acard = {
+        r.value: r.n_distinct
+        for r in index.facet_cardinality(
+            q, docs, ["lang"], "n_chars", approx=True
+        ).collect()
+    }
+    exact = dict(got)
+    assert set(acard) == set(exact)
+    for v, n in acard.items():
+        assert abs(n - exact[v]) <= max(3, 0.2 * exact[v])
+    apct = index.facet_percentiles(
+        q, docs, ["lang"], "n_chars", (0.5,), approx=True
+    )
+    assert {r.value for r in apct.collect()} == set(exact)
