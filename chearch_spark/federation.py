@@ -134,6 +134,63 @@ class MultiIndex:
         union = reduce(lambda a, b: a.unionByName(b), locals_)
         return union.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_many(self, queries: dict, k: int = spec.DEFAULT_K):
+        """Federated batch retrieval (ES msearch over an alias): MANY
+        queries against MANY members in ONE job — each member runs its
+        single union-term-pruned scan + one kernel scoring every query
+        (the search_many shape), all members score against the
+        COMBINED stats, and one window takes the per-query top-k over
+        the union.  Per-query results identical to federated
+        :meth:`search` and to a merged single index's search_many.
+
+        Returns (query string, doc_id long, score double, rank int)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        shared = {
+            name: self._prep_shared(q) for name, q in queries.items()
+        }
+        # per-member expansion of each query against its own dictionary
+        nodes_by_member = [
+            {name: ix._expand(n) for name, n in shared.items()}
+            for ix in self.indexes
+        ]
+        union_terms = sorted(
+            {
+                t
+                for nodes in nodes_by_member
+                for n in nodes.values()
+                for t in n.terms()
+            }
+        )
+        stats = self.term_stats(union_terms)
+        locals_ = [
+            ix._local_many(
+                nodes,
+                k,
+                stats_override=(
+                    {
+                        name: self._combined_idfs(n, stats)
+                        for name, n in nodes.items()
+                    },
+                    self.avgdl,
+                ),
+            )
+            for ix, nodes in zip(self.indexes, nodes_by_member)
+        ]
+        local = reduce(lambda a, b: a.unionByName(b), locals_)
+        w = Window.partitionBy("query").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query", "doc_id", "score", F.col("rank").cast("int")
+            )
+            .orderBy("query", "rank")
+        )
+
     def match_docs(self, query: Node | str):
         """All matching doc ids across members (boolean retrieval,
         union-all: a doc id present in two members — a re-ingest —

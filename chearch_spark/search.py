@@ -2113,21 +2113,50 @@ class Index:
         nodes = {
             name: self._prep(q) for name, q in queries.items()
         }
+        local = self._local_many(nodes, k)
+        w = Window.partitionBy("query").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query", "doc_id", "score", F.col("rank").cast("int")
+            )
+            .orderBy("query", "rank")
+        )
+
+    def _local_many(
+        self,
+        nodes: dict,
+        k: int,
+        stats_override: tuple[dict, float] | None = None,
+    ):
+        """Pre-window half of :meth:`search_many`: per-(segment, query)
+        local top-k rows (query, doc_id, score) from ONE shared
+        union-term scan.  ``stats_override`` = ({query: idfs}, avgdl)
+        replaces this index's global stats — the federation seam
+        (every member of a MultiIndex batch scores against the
+        COMBINED view, and the window runs once over the union)."""
         union_terms = sorted({t for n in nodes.values() for t in n.terms()})
-        stats = self._cached_stats(union_terms)
-        idfs = {
-            t: spec.idf(self.n_docs, stats[t][0])
-            for t in union_terms
-            if t in stats
-        }
-        # per-query boost weighting: two queries in one batch may
-        # boost the same term differently, so each scores against its
-        # own (tiny, terms-sized) weighted view of the shared idfs
-        idfs_by_q = {
-            name: self._apply_query_weights(n, stats, idfs)
-            for name, n in nodes.items()
-        }
-        avgdl = self.avgdl
+        if stats_override is not None:
+            idfs_by_q, avgdl = stats_override
+        else:
+            stats = self._cached_stats(union_terms)
+            idfs = {
+                t: spec.idf(self.n_docs, stats[t][0])
+                for t in union_terms
+                if t in stats
+            }
+            # per-query boost weighting: two queries in one batch may
+            # boost the same term differently, so each scores against
+            # its own (tiny, terms-sized) weighted view of the shared
+            # idfs
+            idfs_by_q = {
+                name: self._apply_query_weights(n, stats, idfs)
+                for name, n in nodes.items()
+            }
+            avgdl = self.avgdl
         # prune to segments some query may touch: ONE probe on the
         # OR-fold of the union terms (a superset of the per-query
         # union; per-query probing would cost one probe — potentially
@@ -2177,19 +2206,8 @@ class Index:
                 }
             )
 
-        local = scan.groupBy("seg_id").applyInPandas(
+        return scan.groupBy("seg_id").applyInPandas(
             _kernel, "query string, doc_id long, score double"
-        )
-        w = Window.partitionBy("query").orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
-        return (
-            local.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(
-                "query", "doc_id", "score", F.col("rank").cast("int")
-            )
-            .orderBy("query", "rank")
         )
 
     def _weighted_idfs(

@@ -171,3 +171,56 @@ def test_federated_plan_shape(fed_and_merged):
     assert plan.count("TakeOrderedAndProject (") == 1
     assert "+- Union" in plan
     assert "Join" not in plan
+
+
+def test_federated_search_many_equals_merged(fed_and_merged):
+    """Batch federation (ES msearch over an alias): per-query results
+    identical to the merged index's search_many — one scan per member,
+    one window over the union."""
+    fed, merged = fed_and_merged
+    batch = {
+        "nested": QUERIES["nested"],
+        "boost": QUERIES["boost"],
+        "msm": QUERIES["msm"],
+        "prefix": QUERIES["prefix"],
+    }
+    got = fed.search_many(batch, k=10).collect()
+    want = merged.search_many(batch, k=10).collect()
+    assert sorted(
+        [(r.query, r.rank, r.doc_id, r.score) for r in got],
+        key=lambda t: t[:2],
+    ) == sorted(
+        [(r.query, r.rank, r.doc_id, r.score) for r in want],
+        key=lambda t: t[:2],
+    )
+
+
+def test_hot_cold_federation(spark, corpus_pdf, tmp_path_factory):
+    """The lambda-serving shape: a COLD batch-built member + a HOT
+    stream-ingested member federate into exactly the merged corpus —
+    queries over the alias see freshly streamed docs with correct
+    combined statistics."""
+    from chearch_spark.streaming.ingest import finalize_index, ingest_batch
+
+    root = str(tmp_path_factory.mktemp("fed_hotcold"))
+    cold_pdf = corpus_pdf[corpus_pdf.doc_id % 3 != 0]
+    hot_pdf = corpus_pdf[corpus_pdf.doc_id % 3 == 0]
+    build_index(
+        spark, spark.createDataFrame(cold_pdf), f"{root}/cold",
+        num_segments=3,
+    )
+    hot = spark.createDataFrame(hot_pdf)
+    for b in range(2):
+        ingest_batch(
+            hot.filter(f"pmod(doc_id, 2) = {b}"), f"{root}/hot",
+            batch_id=b, num_segments=2,
+        )
+    finalize_index(spark, f"{root}/hot")
+    build_index(
+        spark, spark.createDataFrame(corpus_pdf), f"{root}/all",
+        num_segments=4,
+    )
+    fed = MultiIndex(spark, [f"{root}/cold", f"{root}/hot"])
+    merged = Index(spark, f"{root}/all")
+    for q in (QUERIES["nested"], QUERIES["msm"], QUERIES["phrase"]):
+        assert _rows(fed.search(q, k=10)) == _rows(merged.search(q, k=10))
