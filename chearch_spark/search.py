@@ -1191,6 +1191,101 @@ class Index:
             self._all_segs = sorted(segs)
         return self._all_segs
 
+    def segments(self):
+        """Per-segment observability rows (the Elasticsearch
+        ``_segments`` surface): (seg_id, source, n_docs, n_terms,
+        bytes, docmap_bytes) for every LIVE segment — ``source`` is
+        'batch' (initial build), 'stream' (micro-batch ingest) or
+        'compacted' (a compaction output), resolved from the manifest
+        kinds.  Counts come from parquet FOOTER metadata (num_rows),
+        not data reads, so the cost is two footer opens per live
+        segment — an admin call, same order as one query's fan-out;
+        deep validation is ``scripts/verify_index.py`` (fsck).
+
+        n_terms = posting-group rows minus the per-segment meta row."""
+        import glob as glob_
+
+        import pyarrow.parquet as pq
+
+        source: dict[int, str] = {}
+        for mp in sorted(
+            glob_.glob(os.path.join(self.path, "manifest-batch-*.json"))
+        ):
+            with open(mp) as f:
+                for r in json.load(f).get("segments", []):
+                    source[int(r["seg_id"])] = "stream"
+        for mp in sorted(
+            glob_.glob(os.path.join(self.path, "manifest-compact-*.json"))
+        ):
+            with open(mp) as f:
+                for r in json.load(f).get("segments", []):
+                    source[int(r["seg_id"])] = "compacted"
+        # filename-encoded ids with kind-specific zero padding (batch
+        # 5 digits, stream/compact 9) — list once, never format
+        seg_files = {
+            int(fn[len("segment-"):-len(".parquet")]): os.path.join(
+                self.seg_dir, fn
+            )
+            for fn in os.listdir(self.seg_dir)
+            if fn.startswith("segment-") and fn.endswith(".parquet")
+        }
+        rows = []
+        for sid in self._all_seg_ids():
+            seg_f = seg_files[sid]
+            dm_f = self._docmap_file_of(sid)
+            rows.append(
+                (
+                    sid,
+                    source.get(sid, "batch"),
+                    int(pq.read_metadata(dm_f).num_rows),
+                    int(pq.read_metadata(seg_f).num_rows) - 1,
+                    int(os.path.getsize(seg_f)),
+                    int(os.path.getsize(dm_f)),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "seg_id int, source string, n_docs long, n_terms long, "
+            "bytes long, docmap_bytes long",
+        )
+
+    def index_stats(self) -> dict:
+        """Index-level observability (the Elasticsearch ``_stats``
+        surface), all from manifests + file metadata — no data scan:
+        doc/token/segment totals, pending deletes (tombstones not yet
+        GC'd — compaction purges their postings but the files persist
+        until ``gc_tombstones``), distinct dictionary terms (parquet
+        footer row counts), and on-disk byte totals per store."""
+        import pyarrow.parquet as pq
+
+        def dir_bytes(sub: str) -> int:
+            p = os.path.join(self.path, sub)
+            if not os.path.isdir(p):
+                return 0
+            return sum(
+                os.path.getsize(os.path.join(p, fn))
+                for fn in os.listdir(p)
+                if not fn.startswith((".", "_"))
+            )
+
+        dict_terms = sum(
+            pq.read_metadata(f).num_rows for f in self._dict_files_all()
+        )
+        bytes_by_store = {
+            sub: dir_bytes(sub)
+            for sub in ("segments", "docmap", "dictionary", "blooms")
+        }
+        return {
+            "n_docs": self.n_docs,
+            "total_tokens": int(self.stats["total_tokens"]),
+            "avgdl": self.avgdl,
+            "live_segments": len(self._all_seg_ids()),
+            "replaced_segments": len(self._replaced_seg_ids()),
+            "pending_deletes": int(len(self._tombstones())),
+            "dict_terms": int(dict_terms),
+            "bytes": {**bytes_by_store, "total": sum(bytes_by_store.values())},
+        }
+
     def candidate_segments(
         self, node: Node, allow_spark: bool = True
     ) -> list[int] | None:

@@ -1201,3 +1201,61 @@ def test_answer_query_stream(spark, tmp_path_factory):
     assert zero[0].rank is None and zero[0].doc_id is None
     # one micro-batch per file (maxFilesPerTrigger=1)
     assert {r.batch_id for r in res} == {0, 1}
+
+
+def test_segments_and_index_stats_observability(spark, tmp_path):
+    """ES _segments/_stats parity: per-segment rows with provenance
+    tags through the full lifecycle (batch build -> stream ingest ->
+    delete -> compaction), doc counts from parquet footers summing to
+    the corpus, and index-level byte/term totals."""
+    import pandas as pd
+
+    from chearch_spark.build import build_index
+    from chearch_spark.search import Index
+    from chearch_spark.streaming.compact import compact_stream_segments
+    from chearch_spark.streaming.ingest import finalize_index, ingest_batch
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+    out = str(tmp_path / "obs_ix")
+    cold = pdf[pdf.doc_id % 3 != 0]
+    hot = pdf[pdf.doc_id % 3 == 0]
+    build_index(spark, spark.createDataFrame(cold), out, num_segments=3)
+    ix = Index(spark, out)
+    segs = ix.segments().collect()
+    assert {r.source for r in segs} == {"batch"}
+    assert sum(r.n_docs for r in segs) == len(cold)
+    assert all(r.n_terms > 0 and r.bytes > 0 for r in segs)
+
+    ingest_batch(spark.createDataFrame(hot), out, batch_id=0, num_segments=2)
+    finalize_index(spark, out)
+    ix.refresh()
+    segs = {r.seg_id: r for r in ix.segments().collect()}
+    assert {r.source for r in segs.values()} == {"batch", "stream"}
+    assert sum(r.n_docs for r in segs.values()) == len(pdf)
+
+    victims = [int(hot.doc_id.iloc[0]), int(cold.doc_id.iloc[0])]
+    ix.delete(victims)
+    st = ix.index_stats()
+    assert st["pending_deletes"] == 2
+    assert st["n_docs"] == len(pdf)
+    assert st["live_segments"] == len(segs)
+    assert st["dict_terms"] > 0
+    assert st["bytes"]["total"] == sum(
+        st["bytes"][k] for k in ("segments", "docmap", "dictionary", "blooms")
+    )
+    assert st["bytes"]["segments"] == sum(r.bytes for r in segs.values())
+
+    compact_stream_segments(spark, out, num_segments=2, include_batch=True)
+    ix.refresh()
+    segs2 = ix.segments().collect()
+    assert {r.source for r in segs2} == {"compacted"}
+    from chearch_spark.tombstones import gc_tombstones
+
+    gc_tombstones(spark, out)
+    ix.refresh()
+    st2 = ix.index_stats()
+    assert st2["pending_deletes"] == 0  # purged by compaction, GC'd
+    assert sum(r.n_docs for r in segs2) == len(pdf) - 2
+    assert st2["replaced_segments"] >= len(segs)
