@@ -1512,7 +1512,35 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
             "n_chars",
         ),
         "facet_percentiles": lambda s, sf: _facet_pct_query(s, sf),
+        # Percolation (r6, ES percolator): a registry of stored
+        # queries matched against the documents table in ONE codegen
+        # projection — zero shuffles, zero kernels; the saved-search /
+        # alerting primitive
+        "percolate": lambda s, sf: __import__(
+            "chearch_spark.operators.percolate", fromlist=["percolate"]
+        ).percolate(_docs(s, sf), _PERCOLATE_REGISTRY),
     }
+
+
+def _percolate_registry():
+    from chearch_spark.plans.query import (
+        Diff,
+        MinShould,
+        Synonym,
+        Term,
+    )
+
+    return {
+        "a_and": Term("merge") & Term("sort"),
+        "a_term": Term("dup"),
+        "a_diff": Diff(Term("batch"), Term("the")),
+        "a_msm": MinShould((Term("merge"), Term("sort"), Term("dup")), 2),
+        "a_syn": Synonym(("merge", "join")),
+        "a_string": "batch AND (dup OR sort)",
+    }
+
+
+_PERCOLATE_REGISTRY = _percolate_registry()
 
 
 def _facet_pct_query(spark, sf_dir):
@@ -1913,6 +1941,10 @@ FROM matched ORDER BY doc_id ASC LIMIT 10
             ["lang", "source"],
             "n_chars",
         ),
+        "percolate": __import__(
+            "chearch_spark.operators.percolate",
+            fromlist=["percolate_sql"],
+        ).percolate_sql(_PERCOLATE_REGISTRY),
         # spell suggestions: unknown tokens (NOT IN the dictionary)
         # joined to terms within levenshtein 1, top-3 by (df desc,
         # term asc) per token

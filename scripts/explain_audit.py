@@ -169,6 +169,30 @@ def main() -> None:
             ("map-side partial agg", "partial_count"),
         ],
     )
+    # percolation: registry-of-queries projection — assert NO shuffle
+    # and NO Python kernel (pure whole-stage-codegen matching)
+    from chearch_spark.operators.percolate import percolate
+
+    p = plan_of(
+        percolate(
+            docs,
+            {"q1": Term("merge") & Term("sort"), "q2": Term("dup")},
+        )
+    )
+    assert "Exchange" not in p, "percolate: unexpected shuffle"
+    assert "FlatMapGroupsInPandas" not in p, "percolate: unexpected kernel"
+    sections.append(
+        (
+            "percolation (reverse search, registry projection)",
+            p,
+            [
+                ("no Exchange / no kernel (verified absent)", "—"),
+                ("generator emits per-hit rows", "Generate"),
+            ],
+        )
+    )
+    print("OK  percolation (reverse search): no shuffle, no kernel, Generate")
+
     # quality_scores: per-row projection — assert NO shuffle at all
     p = plan_of(T.quality_scores(docs))
     assert "Exchange" not in p, "quality_scores: unexpected shuffle"
