@@ -1512,6 +1512,15 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
             "n_chars",
         ),
         "facet_percentiles": lambda s, sf: _facet_pct_query(s, sf),
+        # Benchmark decontamination (r6, GPT-3 13-gram rule): corpus
+        # docs sharing any n-token window with a deterministic eval
+        # subset (doc_id % 37 = 0) are flagged; n=5 suits the short
+        # synthetic docs, real corpora use the paper's 13
+        "decontaminate": lambda s, sf: D.decontaminate(
+            _docs(s, sf),
+            _docs(s, sf).filter("doc_id % 37 = 0"),
+            n=5,
+        ),
         # Percolation (r6, ES percolator): a registry of stored
         # queries matched against the documents table in ONE codegen
         # projection — zero shuffles, zero kernels; the saved-search /
@@ -1941,6 +1950,7 @@ FROM matched ORDER BY doc_id ASC LIMIT 10
             ["lang", "source"],
             "n_chars",
         ),
+        "decontaminate": D.decontaminate_sql(n=5),
         "percolate": __import__(
             "chearch_spark.operators.percolate",
             fromlist=["percolate_sql"],

@@ -891,3 +891,113 @@ SELECT d.doc_id,
             ELSE 0.0 END AS dup_fraction
 FROM {table} d LEFT JOIN per ON per.doc_id = d.doc_id
 """
+
+
+# --- benchmark decontamination (Brown et al. 2020, Appendix C) -----------
+
+DECONTAM_N = 13  # GPT-3's 13-gram rule; synthetic tests use smaller
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_df: DataFrame,
+    n: int = DECONTAM_N,
+    stride: int = 1,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 "13-gram" rule, Brown et
+    al. 2020 Appendix C): flag training documents that share ANY
+    n-token window with a held-out evaluation set — (doc_id,
+    n_windows, n_hits, hit_fraction, contaminated).  The keep set is
+    ``filter(~contaminated)``; ``n_hits``/``hit_fraction`` support the
+    trim-instead-of-drop variant (Lee et al. 2022 §6.2).
+
+    Scale shape (100 TB): eval sets are MB-sized while corpora are
+    TB-sized, so the benchmark side reduces to DISTINCT window hashes
+    and BROADCASTS; the corpus side is one token-window projection +
+    broadcast left join + map-side-combined per-doc groupBy — the
+    corpus text never shuffles, only (doc_id, count) pairs do.  Docs
+    shorter than n windows score 0 over 0 (never contaminated)."""
+    from pyspark.sql import functions as F
+
+    bench = bench_df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col(bench_text_col).alias("text"),
+    )
+    bw = (
+        _window_hashes(bench, n, stride, "text")
+        .select("wh")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    w = _window_hashes(df, n, stride, text_col)
+    per = (
+        w.join(F.broadcast(bw), "wh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.round(F.col("n_hits") / F.col("n_windows"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("hit_fraction"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(
+    n: int = DECONTAM_N,
+    stride: int = 1,
+    table: str = "documents",
+    text_col: str = "text",
+    bench_where: str = "doc_id % 37 = 0",
+) -> str:
+    """DuckDB mirror of :func:`decontaminate` with the benchmark drawn
+    from the same table by ``bench_where`` (the gate's deterministic
+    eval set — guaranteed hits, both engines see identical rows)."""
+    toks = TOKENS_SQL.format(t=text_col)
+    wh = md5_long_sql(
+        f"array_to_string(list_slice(toks, i + 1, i + {n}), ' ')"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+), w AS (
+  SELECT tok.doc_id, {wh} AS wh
+  FROM tok, unnest(range(0, len(toks) - {n} + 1, {stride})) AS u(i)
+), bw AS (
+  SELECT DISTINCT w.wh FROM w WHERE w.doc_id IN (
+    SELECT doc_id FROM {table} WHERE {bench_where}
+  )
+), per AS (
+  SELECT w.doc_id,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN bw.wh IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM w LEFT JOIN bw ON bw.wh = w.wh
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_windows, 0) AS n_windows,
+       coalesce(per.n_hits, 0) AS n_hits,
+       CASE WHEN coalesce(per.n_windows, 0) > 0
+            THEN round(CAST(per.n_hits AS DOUBLE) / per.n_windows, 6)
+            ELSE 0.0 END AS hit_fraction,
+       coalesce(per.n_hits, 0) > 0 AS contaminated
+FROM {table} d LEFT JOIN per ON per.doc_id = d.doc_id
+"""

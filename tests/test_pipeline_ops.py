@@ -1324,3 +1324,56 @@ def test_sample_hash_semantics(spark, corpus):
     assert 0.20 * 2000 <= len(a) <= 0.30 * 2000
     assert a != b  # different salts draw different sets
     assert a <= ids(sample_hash(big, 0.5))
+
+
+def test_decontaminate_planted(spark):
+    """GPT-3-style n-gram decontamination: a training doc sharing an
+    exact 5-token window with the eval set is flagged; sharing only a
+    4-token run is not; short docs (< n tokens) never flag; the keep
+    set is the complement of the contaminated set."""
+    from chearch_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares 'quick brown fox jumps over' (5 consecutive)
+            (1, "intro words then quick brown fox jumps over and more"),
+            # only 4 consecutive shared ('brown fox jumps over' split)
+            (2, "quick brown fox jumps NOT over anything shared here"),
+            (3, "completely unrelated text about sorting algorithms"),
+            (4, "tiny doc"),  # < n tokens: 0 windows
+            # the eval text verbatim: every window hits
+            (5, "the quick brown fox jumps over the lazy dog tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in decontaminate(train, bench, n=5).collect()
+    }
+    assert out[1].contaminated and out[1].n_hits >= 1
+    assert not out[2].contaminated
+    assert not out[3].contaminated
+    assert out[4].n_windows == 0 and not out[4].contaminated
+    assert out[5].contaminated and out[5].hit_fraction == 1.0
+    keep = {d for d, r in out.items() if not r.contaminated}
+    assert keep == {2, 3, 4}
+
+
+def test_decontaminate_plan_broadcasts_bench(spark):
+    """The benchmark window-hash side must BROADCAST (eval sets are
+    tiny vs the corpus); the corpus text never shuffles — only the
+    per-doc count pairs do."""
+    from chearch_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    df = decontaminate(docs, docs.filter("doc_id % 37 = 0"), n=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
