@@ -212,6 +212,25 @@ def main() -> None:
             # sequence packing: two-pass distributed prefix sum
             # (timing includes its bounds + bucket-base driver jobs)
             "p_pack": lambda: pack_sequences(docs, 512).count(),
+            # percolation: 6-query registry in one codegen projection
+            "p_percolate": lambda: __import__(
+                "chearch_spark.operators.percolate",
+                fromlist=["percolate"],
+            ).percolate(
+                docs,
+                {
+                    "a1": Term("merge") & Term("sort"),
+                    "a2": Term("dup"),
+                    "a3": Term("batch") - Term("the"),
+                    "a4": "batch AND (dup OR sort)",
+                    "a5": Term("join") | Term("stream"),
+                    "a6": Term("sort") & (Term("dup") | Term("merge")),
+                },
+            ).count(),
+            # decontamination: corpus windows vs the broadcast eval set
+            "p_decontaminate": lambda: D.decontaminate(
+                docs, docs.filter("doc_id % 37 = 0"), n=5
+            ).count(),
         }
         # persisted IVFADC+R serving (r6): codes-only probed-cell scan
         # + exact sidecar rerank of the 4k shortlist.  The build is

@@ -193,6 +193,25 @@ def main() -> None:
     )
     print("OK  percolation (reverse search): no shuffle, no kernel, Generate")
 
+    # decontamination: the benchmark window-hash side must broadcast
+    from chearch_spark.operators.dedup import decontaminate
+
+    p = plan_of(decontaminate(docs, docs.filter("doc_id % 37 = 0"), n=5))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoop" in p, (
+        "decontaminate: benchmark side lost its broadcast"
+    )
+    sections.append(
+        (
+            "benchmark decontamination (n-gram window overlap)",
+            p,
+            [
+                ("benchmark hashes broadcast", "Broadcast"),
+                ("map-side partial per-doc counts", "partial_count"),
+            ],
+        )
+    )
+    print("OK  benchmark decontamination: broadcast bench side, partial counts")
+
     # quality_scores: per-row projection — assert NO shuffle at all
     p = plan_of(T.quality_scores(docs))
     assert "Exchange" not in p, "quality_scores: unexpected shuffle"
