@@ -1191,6 +1191,58 @@ class Index:
             self._all_segs = sorted(segs)
         return self._all_segs
 
+    def profile(self, query: Node | str, k: int = spec.DEFAULT_K) -> dict:
+        """Query profiling (the Elasticsearch ``_profile`` flavor):
+        driver-side diagnostics for one search — which scoring fast
+        path the kernel will take, how many dictionary terms the query
+        expanded to, how hard segment pruning worked, the match-count
+        upper bound the probe implies, and per-stage wall timings
+        (prep / stats probe / pruning / execution).  ``execute`` cost
+        includes the collect; everything before it is the driver-side
+        planning work a query pays before any Spark job."""
+        import time
+
+        t0 = time.time()
+        node = self._prep(query)
+        t_prep = time.time()
+        terms = node.terms()
+        stats = self._cached_stats(terms)
+        t_probe = time.time()
+        cand = self.candidate_segments(node)
+        t_prune = time.time()
+        rows = self.search(node, k=k).collect()
+        t_exec = time.time()
+        if disjunctive_terms(node) is not None:
+            plan = "wand_or"
+        elif conjunctive_terms(node) is not None:
+            plan = "conjunctive_pruned"
+        elif has_structured_scoring(node):
+            plan = "structural"
+        elif has_positional(node):
+            plan = "positional"
+        else:
+            plan = "docset_algebra"
+        total = len(self._all_seg_ids())
+        scanned = total if cand is None else len(cand)
+        return {
+            "terms": terms,
+            "n_terms": len(terms),
+            "plan": plan,
+            "segments_total": total,
+            "segments_scanned": scanned,
+            "segments_pruned": total - scanned,
+            "match_upper_bound": self._match_upper_bound(node),
+            "terms_in_dictionary": len(stats),
+            "k": k,
+            "n_hits": len(rows),
+            "timings_ms": {
+                "prep": round((t_prep - t0) * 1000, 3),
+                "stats_probe": round((t_probe - t_prep) * 1000, 3),
+                "segment_pruning": round((t_prune - t_probe) * 1000, 3),
+                "execute": round((t_exec - t_prune) * 1000, 3),
+            },
+        }
+
     def segments(self):
         """Per-segment observability rows (the Elasticsearch
         ``_segments`` surface): (seg_id, source, n_docs, n_terms,

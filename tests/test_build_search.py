@@ -1871,3 +1871,34 @@ def test_facet_cardinality_and_percentiles(spark, index, corpus_pdf):
         q, docs, ["lang"], "n_chars", (0.5,), approx=True
     )
     assert {r.value for r in apct.collect()} == set(exact)
+
+
+def test_profile_diagnostics(index):
+    """ES _profile flavor: plan classification, expansion and pruning
+    counts, and the n_hits/upper-bound sandwich for each plan family."""
+    from chearch_spark.plans.query import MinShould, Phrase, Prefix
+
+    p = index.profile(Term("merge") | Term("dup"))
+    assert p["plan"] == "wand_or" and p["n_terms"] == 2
+    assert 0 < p["n_hits"] <= min(p["k"], p["match_upper_bound"])
+    assert p["segments_scanned"] <= p["segments_total"]
+    assert set(p["timings_ms"]) == {
+        "prep", "stats_probe", "segment_pruning", "execute"
+    }
+    assert index.profile(Term("merge") & Term("sort"))["plan"] == (
+        "conjunctive_pruned"
+    )
+    assert index.profile(
+        MinShould((Term("merge"), Term("sort"), Term("dup")), 2)
+    )["plan"] == "structural"
+    assert index.profile(Phrase(("merge", "sort")))["plan"] == "positional"
+    assert index.profile(Term("merge") - Term("sort"))["plan"] == (
+        "docset_algebra"
+    )
+    # expansion visible: a prefix profile reports the expanded terms
+    pp = index.profile(Prefix("mer"))
+    assert pp["n_terms"] >= 1 and pp["terms_in_dictionary"] == pp["n_terms"]
+    # a missing term prunes everything via the exact directory
+    pm = index.profile(Term("zz_missing_zz"))
+    assert pm["n_hits"] == 0 and pm["match_upper_bound"] == 0
+    assert pm["segments_scanned"] == 0
