@@ -1512,6 +1512,15 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
             "n_chars",
         ),
         "facet_percentiles": lambda s, sf: _facet_pct_query(s, sf),
+        # PII scan/redaction (r6): per-doc typed hit counts and the
+        # tag-substituted text — cross-engine regex-dialect parity
+        # over the real corpus (planted-PII semantics live in pytest)
+        "pii_scan": lambda s, sf: __import__(
+            "chearch_spark.operators.pipeline", fromlist=["pii_scan"]
+        ).pii_scan(_docs(s, sf)),
+        "pii_redact": lambda s, sf: __import__(
+            "chearch_spark.operators.pipeline", fromlist=["redact_pii"]
+        ).redact_pii(_docs(s, sf)).select("doc_id", "text"),
         # Benchmark decontamination (r6, GPT-3 13-gram rule): corpus
         # docs sharing any n-token window with a deterministic eval
         # subset (doc_id % 37 = 0) are flagged; n=5 suits the short
@@ -1950,6 +1959,13 @@ FROM matched ORDER BY doc_id ASC LIMIT 10
             ["lang", "source"],
             "n_chars",
         ),
+        "pii_scan": __import__(
+            "chearch_spark.operators.pipeline", fromlist=["pii_scan_sql"]
+        ).pii_scan_sql(),
+        "pii_redact": __import__(
+            "chearch_spark.operators.pipeline",
+            fromlist=["redact_pii_sql"],
+        ).redact_pii_sql(),
         "decontaminate": D.decontaminate_sql(n=5),
         "percolate": __import__(
             "chearch_spark.operators.percolate",

@@ -1377,3 +1377,54 @@ def test_decontaminate_plan_broadcasts_bench(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_pii_scan_and_redact(spark):
+    """Privacy pass: typed counts and tag substitution for planted
+    emails / IPv4s / phones; clean docs untouched; NULL text pinned
+    to empty; engine == DuckDB on the same rows (regex dialect
+    parity for the pinned cross-engine pattern subset)."""
+    import duckdb
+    import pandas as pd
+
+    from chearch_spark.operators.pipeline import (
+        pii_scan,
+        pii_scan_sql,
+        redact_pii,
+        redact_pii_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "contact john.doe+x@example.co.uk or 192.168.1.10",
+                "call 555-123-4567 or 555.987.6543 now",
+                "clean text about merge sort",
+                None,
+                "a@b.io end",
+                "v1.2.3 is a version, not an ip; 12-34-5678 not a phone",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = pii_scan(docs).orderBy("doc_id").toPandas()
+    assert got.n_email.tolist() == [1, 0, 0, 0, 1, 0]
+    assert got.n_ipv4.tolist() == [1, 0, 0, 0, 0, 0]
+    assert got.n_phone.tolist() == [0, 2, 0, 0, 0, 0]
+    assert got.has_pii.tolist() == [True, True, False, False, True, False]
+    red = redact_pii(docs).orderBy("doc_id").toPandas()
+    assert red.text[0] == "contact <EMAIL> or <IPV4>"
+    assert red.text[1] == "call <PHONE> or <PHONE> now"
+    assert red.text[2] == "clean text about merge sort"
+    assert red.text[3] == ""  # NULL pinned to empty
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.sql(pii_scan_sql()).df().sort_values("doc_id")
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    wantr = con.sql(redact_pii_sql()).df().sort_values("doc_id")
+    assert (
+        red[["doc_id", "text"]]
+        .reset_index(drop=True)
+        .equals(wantr.reset_index(drop=True))
+    )
