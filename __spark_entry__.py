@@ -1512,6 +1512,11 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
             "n_chars",
         ),
         "facet_percentiles": lambda s, sf: _facet_pct_query(s, sf),
+        # Collocations (r6, Church & Hanks PMI): the statistical
+        # phrases a shingle/phrase layer would be built from
+        "collocations": lambda s, sf: __import__(
+            "chearch_spark.functions.text", fromlist=["collocations"]
+        ).collocations(_docs(s, sf), min_count=5, k=20),
         # PII scan/redaction (r6): per-doc typed hit counts and the
         # tag-substituted text — cross-engine regex-dialect parity
         # over the real corpus (planted-PII semantics live in pytest)
@@ -1959,6 +1964,10 @@ FROM matched ORDER BY doc_id ASC LIMIT 10
             ["lang", "source"],
             "n_chars",
         ),
+        "collocations": __import__(
+            "chearch_spark.functions.text",
+            fromlist=["collocations_sql"],
+        ).collocations_sql(min_count=5, k=20),
         "pii_scan": __import__(
             "chearch_spark.operators.pipeline", fromlist=["pii_scan_sql"]
         ).pii_scan_sql(),

@@ -473,3 +473,134 @@ SELECT toked.doc_id, CAST(pos.pos AS INTEGER) AS pos,
          ' ') AS snippet
 FROM toked JOIN pos ON pos.doc_id = toked.doc_id
 """
+
+
+# --- collocations (statistical phrase detection) -------------------------
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """PMI-ranked adjacent bigrams (collocation detection, Church &
+    Hanks 1990) — (w1, w2, n_pair, n_w1, n_w2, pmi): the statistical
+    phrases a tokenizer-level phrase list or an index-time shingle
+    layer would be built from.  ``pmi = ln((n_pair·N_uni·N_uni) /
+    (N_bi·n_w1·n_w2))`` computed as ONE double expression over exact
+    integer counts (aggregation-order-independent — the cross-engine
+    discipline), ranked (pmi desc, w1 asc, w2 asc), noise-floored by
+    ``min_count``.
+
+    Scale shape: two map-side-combined groupBys (bigrams, unigrams) —
+    shuffle bounded by vocabulary and bigram-type cardinality, never
+    corpus size; the unigram relation joins twice on single-term keys
+    (broadcastable at realistic vocabularies)."""
+    toks = df.select(tokens_col(F.col(text_col)).alias("toks"))
+    bi = toks.select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), b.alias("w2")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n_w"))
+    )
+    n_uni = uni.agg(F.sum("n_w")).collect()[0][0] or 0
+    pair = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_count))
+    )
+    n_bi = bi.count()
+    if n_uni == 0 or n_bi == 0:
+        return pair.select(
+            "w1", "w2", "n_pair",
+            F.lit(0).cast("long").alias("n_w1"),
+            F.lit(0).cast("long").alias("n_w2"),
+            F.lit(0.0).alias("pmi"),
+        ).limit(0)
+    u1 = uni.select(
+        F.col("w").alias("w1"), F.col("n_w").alias("n_w1")
+    )
+    u2 = uni.select(
+        F.col("w").alias("w2"), F.col("n_w").alias("n_w2")
+    )
+    out = (
+        pair.join(u1, "w1")
+        .join(u2, "w2")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (
+                        F.col("n_pair").cast("double")
+                        * F.lit(float(n_uni))
+                        * F.lit(float(n_uni))
+                    )
+                    / (
+                        F.lit(float(n_bi))
+                        * F.col("n_w1").cast("double")
+                        * F.col("n_w2").cast("double")
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        out.select("w1", "w2", "n_pair", "n_w1", "n_w2", "pmi")
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(int(k))
+    )
+
+
+def collocations_sql(
+    min_count: int = 5,
+    k: int = 20,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`collocations` (identical double
+    association and rounding)."""
+    toks = TOKENS_SQL.format(t=text_col)
+    return f"""
+WITH tok AS (
+  SELECT {toks} AS toks FROM {table}
+), bi AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM tok, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+), uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_w
+  FROM (SELECT unnest(toks) AS w FROM tok)
+  GROUP BY w
+), totals AS (
+  SELECT CAST((SELECT sum(n_w) FROM uni) AS DOUBLE) AS n_uni,
+         CAST((SELECT count(*) FROM bi) AS DOUBLE) AS n_bi
+), pair AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM bi GROUP BY w1, w2
+  HAVING count(*) >= {int(min_count)}
+)
+SELECT p.w1, p.w2, p.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+       round(ln((CAST(p.n_pair AS DOUBLE) * t.n_uni * t.n_uni)
+                / (t.n_bi * CAST(u1.n_w AS DOUBLE)
+                   * CAST(u2.n_w AS DOUBLE))), 6) AS pmi
+FROM pair p
+JOIN uni u1 ON u1.w = p.w1
+JOIN uni u2 ON u2.w = p.w2
+CROSS JOIN totals t
+ORDER BY pmi DESC, p.w1 ASC, p.w2 ASC
+LIMIT {int(k)}
+"""

@@ -1428,3 +1428,35 @@ def test_pii_scan_and_redact(spark):
         .reset_index(drop=True)
         .equals(wantr.reset_index(drop=True))
     )
+
+
+def test_collocations_planted(spark):
+    """PMI collocations: an always-adjacent planted pair ranks above a
+    frequent-but-independent pair; min_count floors noise; single-token
+    docs contribute no bigrams."""
+    import duckdb
+    import pandas as pd
+
+    from chearch_spark.functions.text import collocations, collocations_sql
+
+    rows = []
+    # 'neural network' always adjacent (10x); filler words appear often
+    # but in varying contexts
+    for i in range(10):
+        rows.append((i, f"neural network filler{i % 3} the data the"))
+    # filler words also occur OUTSIDE their post-'network' slot, so
+    # (network, fillerX) is diluted while (neural, network) stays
+    # perfectly adjacent
+    for j in range(5):
+        rows.append((50 + j, "filler0 data filler1 the filler2 data"))
+    rows.append((100, "solo"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = collocations(
+        spark.createDataFrame(pdf), min_count=3, k=10
+    ).toPandas()
+    assert out.iloc[0].w1 == "neural" and out.iloc[0].w2 == "network"
+    assert (out.n_pair >= 3).all()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.sql(collocations_sql(min_count=3, k=10)).df()
+    assert out.reset_index(drop=True).equals(want.reset_index(drop=True))
