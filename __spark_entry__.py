@@ -1512,6 +1512,20 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
             "n_chars",
         ),
         "facet_percentiles": lambda s, sf: _facet_pct_query(s, sf),
+        # bool query (r6, THE ES query shape): must scores + filter
+        # restricts without scoring + should adds score only — the
+        # oracle scores must+should terms over the must∩filter doc set
+        "bool_query_topk": lambda s, sf: _search(
+            s,
+            sf,
+            __import__(
+                "chearch_spark.plans.query", fromlist=["bool_query"]
+            ).bool_query(
+                must=[Term("merge")],
+                filter_=[Term("sort")],
+                should=[Term("dup")],
+            ),
+        ),
         # Collocations (r6, Church & Hanks PMI): the statistical
         # phrases a shingle/phrase layer would be built from
         "collocations": lambda s, sf: __import__(
@@ -1963,6 +1977,11 @@ FROM matched ORDER BY doc_id ASC LIMIT 10
             "has_merge = 1 OR has_dup = 1",
             ["lang", "source"],
             "n_chars",
+        ),
+        "bool_query_topk": _bm25_sql(
+            ["merge", "sort", "dup"],
+            "has_merge = 1 AND has_sort = 1",
+            score_terms=["merge", "dup"],
         ),
         "collocations": __import__(
             "chearch_spark.functions.text",

@@ -25,6 +25,7 @@ from chearch_spark.plans.query import (
     ConstantScore,
     Diff,
     DisMax,
+    Filter,
     Fuzzy,
     MinShould,
     Near,
@@ -37,6 +38,7 @@ from chearch_spark.plans.query import (
     Synonym,
     Term,
     Wildcard,
+    bool_query,
 )
 from chearch_spark.search import Index
 
@@ -46,6 +48,7 @@ __all__ = [
     "ConstantScore",
     "Diff",
     "DisMax",
+    "Filter",
     "Fuzzy",
     "Index",
     "MinShould",
@@ -59,6 +62,7 @@ __all__ = [
     "Synonym",
     "Term",
     "Wildcard",
+    "bool_query",
     "build_index",
     "parse_query",
 ]

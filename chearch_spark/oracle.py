@@ -26,6 +26,7 @@ from chearch_spark.plans.query import (
     ConstantScore,
     Diff,
     DisMax,
+    Filter,
     MinShould,
     Node,
     Or,
@@ -122,6 +123,8 @@ class OracleIndex:
             return self.doc_set(node.query)
         if isinstance(node, Boosting):
             return self.doc_set(node.positive)
+        if isinstance(node, Filter):
+            return self.doc_set(node.query)
         raise TypeError(node)
 
     def score(

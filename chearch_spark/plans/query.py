@@ -235,6 +235,8 @@ def _children(n: Node) -> tuple[Node, ...]:
         return (n.query,)
     if isinstance(n, Boosting):
         return (n.positive, n.negative)
+    if isinstance(n, Filter):
+        return (n.query,)
     return ()
 
 
@@ -339,6 +341,94 @@ class Boosting(Node):
         # their postings to test demotion membership (the Diff pattern)
         yield from self.positive._terms()
         yield from self.negative._terms()
+
+
+@dataclass(frozen=True)
+class Filter(Node):
+    """Lucene/ES bool-query FILTER clause: restricts the doc set to
+    ``query``'s matches but contributes exactly 0 to the score (its
+    terms are excluded from scoring entirely — cached-filter
+    semantics, not a 0-boost).  As a root query it matches with all
+    scores 0.0, ranking by the doc_id tie-break (the ES filter-only
+    bool behavior)."""
+
+    query: Node
+
+    def _terms(self):
+        # terms still drive the scan + segment pruning — only
+        # SCORING skips them
+        yield from self.query._terms()
+
+
+def bool_query(
+    must=(),
+    should=(),
+    filter_=(),
+    must_not=(),
+    minimum_should_match: int = 0,
+) -> Node:
+    """The Elasticsearch ``bool`` query, composed onto the algebra:
+
+    * ``must`` — AND-required, scoring;
+    * ``filter`` — AND-required, NON-scoring (``Filter`` wrap);
+    * ``should`` — scoring; REQUIRED only when there is no must/filter
+      (Lucene's implicit minimum_should_match=1) or when
+      ``minimum_should_match`` > 0 (a MinShould count);
+    * ``must_not`` — excluded (Diff).
+
+    Scoring-only shoulds (must/filter present, msm=0) use the
+    identity ``Or(core, And(core, S))`` — doc set is exactly core's,
+    while the flat scorer's sum-over-present-terms picks up the
+    should terms, which is Lucene's "optional clauses only add score".
+    """
+    must, should = list(must), list(should)
+    filter_, must_not = list(filter_), list(must_not)
+    if not (must or should or filter_):
+        raise ValueError(
+            "bool_query needs at least one positive clause (a pure "
+            "must_not has no bounded universe to subtract from)"
+        )
+    if minimum_should_match and minimum_should_match > len(should):
+        raise ValueError(
+            f"minimum_should_match={minimum_should_match} exceeds the "
+            f"{len(should)} should clauses"
+        )
+
+    def fold_and(cs):
+        out = cs[0]
+        for c in cs[1:]:
+            out = And(c, out)
+        return out
+
+    def fold_or(cs):
+        out = cs[0]
+        for c in cs[1:]:
+            out = Or(out, c)
+        return out
+
+    core = None
+    if must:
+        core = fold_and(must)
+    if filter_:
+        f = Filter(fold_and(filter_))
+        core = f if core is None else And(core, f)
+    if should:
+        m = minimum_should_match
+        if core is None:
+            m = max(1, m)  # pure-should bool requires >= 1 match
+        if m == 0:
+            s = fold_or(should)
+            core = Or(core, And(core, s))
+        else:
+            s = (
+                should[0]
+                if len(should) == 1
+                else MinShould(tuple(should), m)
+            )
+            core = s if core is None else And(core, s)
+    if must_not:
+        core = Diff(core, fold_or(must_not))
+    return core
 
 
 def has_structured_scoring(node: Node) -> bool:
@@ -448,6 +538,8 @@ def scoring_terms(node: Node) -> list[str]:
         return [node.key()]  # the blended pseudo-term, not the members
     if isinstance(node, (Prefix, Fuzzy, Wildcard, PhrasePrefix, Regexp)):
         return []  # resolved during expansion, before scoring
+    if isinstance(node, Filter):
+        return []  # filter clauses never score
     if isinstance(node, (MinShould, DisMax)):
         seen2: list[str] = []
         for c in node.clauses:
@@ -518,7 +610,8 @@ def to_postfix(node: Node) -> list[tuple]:
         elif isinstance(
             n,
             (Diff, Prefix, Fuzzy, Wildcard, Phrase, PhrasePrefix, Near,
-             Synonym, Regexp, MinShould, DisMax, ConstantScore, Boosting),
+             Synonym, Regexp, MinShould, DisMax, ConstantScore, Boosting,
+             Filter),
         ):
             raise ValueError(
                 f"{type(n).__name__} is an engine extension with no "
@@ -592,6 +685,9 @@ def all_terms_required(node: Node) -> bool:
         return True
     if isinstance(node, And):
         return all_terms_required(node.a) and all_terms_required(node.b)
+    if isinstance(node, Filter):
+        # a filter doc must still CONTAIN the filtered terms
+        return all_terms_required(node.query)
     return False
 
 

@@ -47,6 +47,7 @@ from chearch_spark.plans.query import (
     ConstantScore,
     Diff,
     DisMax,
+    Filter,
     Fuzzy,
     MinShould,
     Near,
@@ -147,6 +148,8 @@ def _normalize(node: Node) -> Node:
             _normalize(node.negative),
             node.negative_boost,
         )
+    if isinstance(node, Filter):
+        return Filter(_normalize(node.query))
     if isinstance(node, Prefix):
         p = node.prefix.lower()
         if not p or spec.tokenize(p) != [p]:
@@ -1048,6 +1051,8 @@ class Index:
                 self._expand(node.negative),
                 node.negative_boost,
             )
+        if isinstance(node, Filter):
+            return Filter(self._expand(node.query))
         return node
 
     def _prep(self, query: Node | str) -> Node:
@@ -2455,6 +2460,8 @@ class Index:
                 return b(n.query)
             if isinstance(n, Boosting):
                 return b(n.positive)
+            if isinstance(n, Filter):
+                return b(n.query)
             raise TypeError(n)
 
         return b(node)
@@ -3724,6 +3731,8 @@ def _eval_docset(node: Node, postings: dict, occ: dict | None = None):
         return _eval_docset(node.query, postings, occ)
     if isinstance(node, Boosting):
         return _eval_docset(node.positive, postings, occ)
+    if isinstance(node, Filter):
+        return _eval_docset(node.query, postings, occ)
     raise TypeError(node)
 
 
@@ -3850,6 +3859,8 @@ def _explain_structural_total(
             return member(n.query)
         if isinstance(n, Boosting):
             return member(n.positive)
+        if isinstance(n, Filter):
+            return member(n.query)
         raise TypeError(n)
 
     def clause(c: Node) -> float:

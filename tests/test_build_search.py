@@ -1902,3 +1902,74 @@ def test_profile_diagnostics(index):
     pm = index.profile(Term("zz_missing_zz"))
     assert pm["n_hits"] == 0 and pm["match_upper_bound"] == 0
     assert pm["segments_scanned"] == 0
+
+
+def test_filter_clause_and_bool_query(index, oracle):
+    """ES bool query semantics: filter restricts without scoring (a
+    filtered hit scores exactly like the unfiltered must), scoring-only
+    shoulds add score but never docs, msm counts shoulds, must_not
+    excludes; engine == oracle throughout; filter-only root scores 0
+    in doc_id order."""
+    from chearch_spark.plans.query import Filter, bool_query
+
+    # filter does not touch scores: bool(must=merge, filter=sort)
+    # docset = merge AND sort, each hit scored as plain Term('merge')
+    bq = bool_query(must=[Term("merge")], filter_=[Term("sort")])
+    got = _collect(index.search(bq, k=200))
+    m_scores = dict(_collect(index.search(Term("merge"), k=100000)))
+    sort_docs = {r.doc_id for r in index.match_docs(Term("sort")).collect()}
+    assert got and all(d in sort_docs for d, _ in got)
+    for d, s in got:
+        assert s == m_scores[d]
+    # engine == oracle for the composed forms
+    forms = [
+        bq,
+        bool_query(
+            must=[Term("merge")],
+            filter_=[Term("sort")],
+            should=[Term("dup")],
+        ),
+        bool_query(
+            should=[Term("merge"), Term("sort"), Term("dup")],
+            minimum_should_match=2,
+        ),
+        bool_query(
+            must=[Term("batch")],
+            must_not=[Term("dup")],
+        ),
+        Filter(Term("merge") | Term("dup")),
+    ]
+    for q in forms:
+        got = _collect(index.search(q, k=10))
+        want = oracle.search(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), q
+        assert index.local_search(q, k=10) == got, q
+    # scoring-only should: same DOCS as the bare must, scores >= it,
+    # and docs with the should term strictly gain
+    base = dict(_collect(index.search(Term("merge"), k=100000)))
+    boosted = dict(
+        _collect(
+            index.search(
+                bool_query(must=[Term("merge")], should=[Term("dup")]),
+                k=100000,
+            )
+        )
+    )
+    assert set(base) == set(boosted)
+    dup_docs = {r.doc_id for r in index.match_docs(Term("dup")).collect()}
+    for d in base:
+        if d in dup_docs:
+            assert boosted[d] > base[d]
+        else:
+            assert boosted[d] == base[d]
+    # filter-only root: all-zero scores, doc_id order
+    fo = _collect(index.search(Filter(Term("merge")), k=10))
+    assert all(s == 0.0 for _, s in fo)
+    assert [d for d, _ in fo] == sorted(d for d, _ in fo)
+    # validation
+    with pytest.raises(ValueError, match="positive clause"):
+        bool_query(must_not=[Term("merge")])
+    with pytest.raises(ValueError, match="exceeds"):
+        bool_query(should=[Term("a")], minimum_should_match=2)
