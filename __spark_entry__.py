@@ -1563,8 +1563,11 @@ def _percolate_registry():
     from chearch_spark.plans.query import (
         Diff,
         MinShould,
+        Near,
+        Phrase,
         Synonym,
         Term,
+        bool_query,
     )
 
     return {
@@ -1574,6 +1577,11 @@ def _percolate_registry():
         "a_msm": MinShould((Term("merge"), Term("sort"), Term("dup")), 2),
         "a_syn": Synonym(("merge", "join")),
         "a_string": "batch AND (dup OR sort)",
+        "a_phrase": Phrase(("merge", "sort")),
+        "a_near": Near("merge", "sort", 3),
+        "a_bool": bool_query(
+            must=[Term("merge")], filter_=[Term("sort")]
+        ),
     }
 
 

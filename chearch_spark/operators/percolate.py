@@ -23,11 +23,13 @@ all queries evaluate in a single whole-stage-codegen projection:
 Scoring combinators percolate as MATCH-ONLY predicates (the ES
 percolator's behavior — a percolate hit reports the query matched,
 not a corpus-relative score, since there is no corpus-wide df to
-score against): ConstantScore/Boosting match their inner/positive
-doc sets; DisMax matches its union; MinShould matches its m-of-n
-count.  Positional leaves (Phrase/Near) and dictionary-expanding
-leaves (Prefix/Fuzzy/Wildcard/Regexp) are rejected — the former need
-positions the token-set predicate does not see, the latter an index
+score against): ConstantScore/Boosting/Filter match their
+inner/positive doc sets; DisMax matches its union; MinShould its
+m-of-n count.  POSITIONAL leaves (Phrase/Near) compile to
+exists-over-positions expressions on the same token array, capped at
+the index's MAX_POSITION so reverse==forward parity extends to the
+255-position data model.  Dictionary-expanding leaves
+(Prefix/Fuzzy/Wildcard/Regexp) are rejected — they need an index
 dictionary the percolator deliberately does not have.
 """
 
@@ -36,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from chearch_spark import spec
 from chearch_spark.functions.text import TOKENS_SQL, tokens_col
 from chearch_spark.plans.query import (
     And,
@@ -43,13 +46,28 @@ from chearch_spark.plans.query import (
     ConstantScore,
     Diff,
     DisMax,
+    Filter,
     MinShould,
+    Near,
     Node,
     Or,
+    Phrase,
     Synonym,
     Term,
 )
 from chearch_spark.search import _normalize
+
+
+def _positions_of(toks: Column, word: str) -> Column:
+    """0-based positions of ``word`` in the token array, capped at the
+    index's MAX_POSITION (the 255-position data-model parity)."""
+    idx = F.when(
+        F.size(toks) > 0,
+        F.sequence(
+            F.lit(0), F.least(F.size(toks) - 1, F.lit(spec.MAX_POSITION))
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.filter(idx, lambda i: F.get(toks, i) == word)
 
 
 def _compile(node: Node, toks: Column) -> Column:
@@ -81,8 +99,40 @@ def _compile(node: Node, toks: Column) -> Column:
         return _compile(node.query, toks)
     if isinstance(node, Boosting):
         return _compile(node.positive, toks)
+    if isinstance(node, Filter):
+        return _compile(node.query, toks)
+    if isinstance(node, Phrase):
+        # exists a 0-based start i — capped so the LAST member's
+        # position stays within the index's stored-position range
+        # (MAX_POSITION), keeping reverse==forward parity with
+        # match_phrase's 255-cap data model — where every member word
+        # sits at its offset
+        k = len(node.words)
+        words = node.words
+        hi = F.least(
+            F.size(toks) - k, F.lit(spec.MAX_POSITION - (k - 1))
+        )
+        starts = F.when(hi >= 0, F.sequence(F.lit(0), hi)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+        def at(i):
+            cond = F.get(toks, i) == words[0]
+            for j in range(1, k):
+                cond = cond & (F.get(toks, i + j) == words[j])
+            return cond
+
+        return F.exists(starts, at)
+    if isinstance(node, Near):
+        w = int(node.window)
+        pa = _positions_of(toks, node.a)
+        pb = _positions_of(toks, node.b)
+        return F.exists(
+            pa,
+            lambda i: F.exists(pb, lambda j: F.abs(i - j) <= w),
+        )
     raise ValueError(
-        f"{type(node).__name__} cannot percolate: positional and "
+        f"{type(node).__name__} cannot percolate: "
         "dictionary-expanding leaves need an index; register the "
         "expanded form instead"
     )
@@ -187,6 +237,39 @@ def _term_pred_sql(node: Node, toks_expr: str) -> str:
         return _term_pred_sql(node.query, toks_expr)
     if isinstance(node, Boosting):
         return _term_pred_sql(node.positive, toks_expr)
+    if isinstance(node, Filter):
+        return _term_pred_sql(node.query, toks_expr)
+    if isinstance(node, Phrase):
+        # DuckDB lists are 1-based: engine 0-based start i maps to
+        # i+1, so the cap MAX_POSITION-(k-1) maps to the same bound +1
+        k = len(node.words)
+        cap = spec.MAX_POSITION - (k - 1) + 1
+        conds = " AND ".join(
+            f"({toks_expr})[i + {j}] = '{w}'"
+            for j, w in enumerate(node.words)
+        )
+        starts = (
+            f"range(1, greatest(0, least(len({toks_expr}) - {k - 1}, "
+            f"{cap})) + 1)"
+        )
+        return f"(len(list_filter({starts}, i -> {conds})) > 0)"
+    if isinstance(node, Near):
+        cap = spec.MAX_POSITION + 1
+
+        def pos(word: str) -> str:
+            rng = (
+                f"range(1, greatest(0, least(len({toks_expr}), "
+                f"{cap})) + 1)"
+            )
+            return (
+                f"list_filter({rng}, p -> ({toks_expr})[p] = '{word}')"
+            )
+
+        return (
+            f"(len(list_filter({pos(node.a)}, i -> "
+            f"len(list_filter({pos(node.b)}, j -> abs(i - j) <= "
+            f"{int(node.window)})) > 0)) > 0)"
+        )
     raise ValueError(f"{type(node).__name__} cannot percolate")
 
 

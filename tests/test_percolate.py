@@ -20,10 +20,12 @@ from chearch_spark.plans.query import (
     Diff,
     DisMax,
     MinShould,
+    Near,
     Phrase,
     Prefix,
     Synonym,
     Term,
+    bool_query,
 )
 from chearch_spark.search import Index
 
@@ -40,6 +42,11 @@ REGISTRY = {
     "a_boosting": Boosting(Term("batch"), Term("dup"), 0.5),
     "a_string": "batch AND (dup OR sort)",
     "a_fold": Term("merge-sort"),  # normalizes to the AND of both
+    "a_phrase": Phrase(("merge", "sort")),
+    "a_near": Near("merge", "sort", 3),
+    "a_bool": bool_query(
+        must=[Term("merge")], filter_=[Term("sort")], should=[Term("dup")]
+    ),
 }
 
 
@@ -90,8 +97,6 @@ def test_percolate_validation(docs):
     with pytest.raises(ValueError, match="at least one"):
         percolate(docs, {})
     with pytest.raises(ValueError, match="cannot percolate"):
-        percolate(docs, {"p": Phrase(("merge", "sort"))}).collect()
-    with pytest.raises(ValueError, match="cannot percolate"):
         percolate(docs, {"p": Prefix("mer")}).collect()
 
 
@@ -130,3 +135,23 @@ def test_percolate_stream_equals_batch(
     for r in spark.read.parquet(sink).collect():
         got.setdefault(r.query, set()).add(r.doc_id)
     assert got == hits_by_query
+
+
+def test_percolate_positional_position_cap(spark):
+    """Positional percolation honors the index's 255-position cap: a
+    phrase starting past MAX_POSITION is NOT a hit (match_phrase
+    cannot see it either — reverse==forward extends to the cap)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["merge sort early", "pad " * 300 + "merge sort"],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = {
+        r.doc_id
+        for r in percolate(
+            docs, {"ph": Phrase(("merge", "sort"))}
+        ).collect()
+    }
+    assert got == {1}
