@@ -191,6 +191,80 @@ class MultiIndex:
             .orderBy("query", "rank")
         )
 
+    # -- aggregations over the alias ----------------------------------------
+    def _facet_matched(self, query, meta, id_col, broadcast_threshold):
+        """Federated front half of the facet family: the UNION of the
+        members' match-doc sets semi-joins the metadata relation once,
+        with the explicit broadcast decision driven by the SUM of the
+        members' dictionary-df upper bounds (a true bound on the
+        federated match count)."""
+        from chearch_spark.search import _facet_semi_join
+
+        shared = self._prep_shared(query)
+        nodes = [ix._expand(shared) for ix in self.indexes]
+        ids = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                ix.match_docs(n)
+                for ix, n in zip(self.indexes, nodes)
+            ],
+        )
+        bound = sum(
+            ix._match_upper_bound(n)
+            for ix, n in zip(self.indexes, nodes)
+        )
+        return _facet_semi_join(meta, ids, bound, id_col, broadcast_threshold)
+
+    def facet_counts(
+        self, query, meta, cols, id_col="doc_id", broadcast_threshold=None
+    ):
+        """Faceted search over the alias (same output as the members'
+        merged corpus): one federated semi-join + one melted groupBy."""
+        from chearch_spark.search import _facet_count_agg
+
+        return _facet_count_agg(
+            self._facet_matched(query, meta, id_col, broadcast_threshold),
+            cols,
+        )
+
+    def facet_stats(
+        self,
+        query,
+        meta,
+        cols,
+        val_col,
+        id_col="doc_id",
+        broadcast_threshold=None,
+    ):
+        from chearch_spark.search import _facet_stats_agg
+
+        return _facet_stats_agg(
+            self._facet_matched(query, meta, id_col, broadcast_threshold),
+            cols,
+            val_col,
+        )
+
+    def facet_cardinality(
+        self,
+        query,
+        meta,
+        cols,
+        val_col,
+        id_col="doc_id",
+        broadcast_threshold=None,
+        approx: bool = False,
+        rsd: float = 0.05,
+    ):
+        from chearch_spark.search import _facet_cardinality_agg
+
+        return _facet_cardinality_agg(
+            self._facet_matched(query, meta, id_col, broadcast_threshold),
+            cols,
+            val_col,
+            approx,
+            rsd,
+        )
+
     def match_docs(self, query: Node | str):
         """All matching doc ids across members (boolean retrieval,
         union-all: a doc id present in two members — a re-ingest —

@@ -404,6 +404,136 @@ def _facet_pairs(cols: list[str]):
     )
 
 
+def _facet_semi_join(meta, ids, bound: int, id_col: str, threshold):
+    """The facet family's shared semi-join: metadata rows of the docs
+    in ``ids`` (a (doc_id) relation), with the broadcast-vs-shuffle
+    decision made EXPLICITLY from ``bound`` — a TRUE upper bound on
+    the id count (dictionary df stats) — never Catalyst's estimate of
+    a Python kernel's output."""
+    from pyspark.sql import functions as F
+
+    ids = ids.select(F.col("doc_id").alias("__fid"))
+    if threshold is None:
+        threshold = _FACET_BROADCAST_THRESHOLD
+    if bound <= threshold:
+        ids = F.broadcast(ids)
+    else:
+        ids = ids.hint("shuffle_hash")
+    return meta.join(ids, meta[id_col] == F.col("__fid"), "left_semi")
+
+
+def _facet_count_agg(joined, cols: list[str]):
+    from pyspark.sql import functions as F
+
+    return (
+        joined.select(F.explode(_facet_pairs(cols)).alias("fv"))
+        .select("fv.facet", "fv.value")
+        .groupBy("facet", "value")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _facet_stats_agg(joined, cols: list[str], val_col: str):
+    from pyspark.sql import functions as F
+
+    return (
+        joined.select(
+            F.explode(_facet_pairs(cols)).alias("fv"),
+            F.col(val_col).cast("long").alias("__v"),
+        )
+        .select("fv.facet", "fv.value", "__v")
+        .groupBy("facet", "value")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("__v").alias("min_v"),
+            F.max("__v").alias("max_v"),
+            F.sum("__v").alias("sum_v"),
+        )
+        .withColumn(
+            "avg_v",
+            F.col("sum_v").cast("double") / F.col("n_docs"),
+        )
+    )
+
+
+def _facet_range_agg(joined, val_col: str, start: int, width: int):
+    from pyspark.sql import functions as F
+
+    bucket = F.floor(
+        (F.col(val_col).cast("long") - F.lit(start)) / F.lit(width)
+    )
+    return (
+        joined.select(
+            (F.lit(start) + bucket * width).cast("long").alias("lo")
+        )
+        .withColumn("hi", (F.col("lo") + width).cast("long"))
+        .groupBy("lo", "hi")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _facet_cardinality_agg(
+    joined, cols: list[str], val_col: str, approx: bool, rsd: float
+):
+    from pyspark.sql import functions as F
+
+    agg = (
+        F.approx_count_distinct("__v", rsd)
+        if approx
+        else F.count_distinct("__v")
+    )
+    return (
+        joined.select(
+            F.explode(_facet_pairs(cols)).alias("fv"),
+            F.col(val_col).alias("__v"),
+        )
+        .select("fv.facet", "fv.value", "__v")
+        .groupBy("facet", "value")
+        .agg(agg.cast("long").alias("n_distinct"))
+    )
+
+
+def _facet_percentiles_agg(
+    joined,
+    cols: list[str],
+    ps: list[float],
+    val_col: str,
+    approx: bool,
+    accuracy: int,
+):
+    from pyspark.sql import functions as F
+
+    parr = F.array(*[F.lit(p) for p in ps])
+    fn = F.approx_percentile if approx else F.percentile
+    grouped = (
+        joined.select(
+            F.explode(_facet_pairs(cols)).alias("fv"),
+            F.col(val_col).cast("double").alias("__v"),
+        )
+        .select("fv.facet", "fv.value", "__v")
+        .groupBy("facet", "value")
+        .agg(
+            (
+                fn("__v", parr, F.lit(int(accuracy)))
+                if approx
+                else fn("__v", parr)
+            ).alias("vals")
+        )
+    )
+    return grouped.select(
+        "facet",
+        "value",
+        F.explode(
+            F.arrays_zip(parr.alias("pct"), F.col("vals").alias("val"))
+        ).alias("pv"),
+    ).select(
+        "facet",
+        "value",
+        F.col("pv.pct").alias("pct"),
+        F.col("pv.val").cast("double").alias("val"),
+    )
+
+
 def _resolve_tomb(t) -> np.ndarray:
     """Kernel-side unwrap of :meth:`Index._tomb_handle`'s result."""
     return t.value if hasattr(t, "value") else t
@@ -2707,15 +2837,8 @@ class Index:
         above it a shuffle hash semi-join is forced, so the join
         shape at 10^9 docs never rides on an estimate (the same
         size-adaptive pattern as ``tombstones.gc_tombstones``)."""
-        from pyspark.sql import functions as F
-
         joined = self._facet_matched(query, meta, id_col, broadcast_threshold)
-        return (
-            joined.select(F.explode(_facet_pairs(cols)).alias("fv"))
-            .select("fv.facet", "fv.value")
-            .groupBy("facet", "value")
-            .agg(F.count("*").cast("long").alias("n_docs"))
-        )
+        return _facet_count_agg(joined, cols)
 
     def _facet_matched(
         self,
@@ -2727,21 +2850,13 @@ class Index:
         """The facet family's shared front half: metadata rows of the
         documents matching ``query`` via ONE explicitly size-adaptive
         semi-join (docstring rationale in :meth:`facet_counts`)."""
-        from pyspark.sql import functions as F
-
         node = self._prep(query)
-        bound = self._match_upper_bound(node)
-        ids = self.match_docs(node).select(
-            F.col("doc_id").alias("__fid")
-        )
-        if broadcast_threshold is None:
-            broadcast_threshold = _FACET_BROADCAST_THRESHOLD
-        if bound <= broadcast_threshold:
-            ids = F.broadcast(ids)
-        else:
-            ids = ids.hint("shuffle_hash")
-        return meta.join(
-            ids, meta[id_col] == F.col("__fid"), "left_semi"
+        return _facet_semi_join(
+            meta,
+            self.match_docs(node),
+            self._match_upper_bound(node),
+            id_col,
+            broadcast_threshold,
         )
 
     def facet_stats(
@@ -2766,27 +2881,8 @@ class Index:
         integers — engine-portable (a running double sum's value
         depends on aggregation order, which a cross-engine hash gate
         cannot tolerate; sum-then-divide does not)."""
-        from pyspark.sql import functions as F
-
         joined = self._facet_matched(query, meta, id_col, broadcast_threshold)
-        return (
-            joined.select(
-                F.explode(_facet_pairs(cols)).alias("fv"),
-                F.col(val_col).cast("long").alias("__v"),
-            )
-            .select("fv.facet", "fv.value", "__v")
-            .groupBy("facet", "value")
-            .agg(
-                F.count("*").cast("long").alias("n_docs"),
-                F.min("__v").alias("min_v"),
-                F.max("__v").alias("max_v"),
-                F.sum("__v").alias("sum_v"),
-            )
-            .withColumn(
-                "avg_v",
-                F.col("sum_v").cast("double") / F.col("n_docs"),
-            )
-        )
+        return _facet_stats_agg(joined, cols, val_col)
 
     def facet_range(
         self,
@@ -2817,23 +2913,11 @@ class Index:
         floored — identical in any engine for the magnitudes a 64-bit
         column holds below 2^53 (the same portability discipline as
         ``facet_stats.avg_v``)."""
-        from pyspark.sql import functions as F
-
         start, width = int(start), int(width)
         if width <= 0:
             raise ValueError(f"facet_range width must be > 0, got {width}")
         joined = self._facet_matched(query, meta, id_col, broadcast_threshold)
-        bucket = F.floor(
-            (F.col(val_col).cast("long") - F.lit(start)) / F.lit(width)
-        )
-        return (
-            joined.select(
-                (F.lit(start) + bucket * width).cast("long").alias("lo")
-            )
-            .withColumn("hi", (F.col("lo") + width).cast("long"))
-            .groupBy("lo", "hi")
-            .agg(F.count("*").cast("long").alias("n_docs"))
-        )
+        return _facet_range_agg(joined, val_col, start, width)
 
     def facet_cardinality(
         self,
@@ -2861,23 +2945,8 @@ class Index:
         size per group, mergeable map-side — the right trade when the
         per-group distinct sets themselves are shuffle-dominating.
         Same size-adaptive semi-join front half as the facet family."""
-        from pyspark.sql import functions as F
-
         joined = self._facet_matched(query, meta, id_col, broadcast_threshold)
-        agg = (
-            F.approx_count_distinct("__v", rsd)
-            if approx
-            else F.count_distinct("__v")
-        )
-        return (
-            joined.select(
-                F.explode(_facet_pairs(cols)).alias("fv"),
-                F.col(val_col).alias("__v"),
-            )
-            .select("fv.facet", "fv.value", "__v")
-            .groupBy("facet", "value")
-            .agg(agg.cast("long").alias("n_distinct"))
-        )
+        return _facet_cardinality_agg(joined, cols, val_col, approx, rsd)
 
     def facet_percentiles(
         self,
@@ -2906,41 +2975,11 @@ class Index:
         ``(n-1) * p`` rank with linear blending — the same definition
         DuckDB's ``quantile_cont`` uses, which is what makes the
         cross-engine gate possible."""
-        from pyspark.sql import functions as F
-
         ps = [float(p) for p in pcts]
         if not ps or not all(0.0 <= p <= 1.0 for p in ps):
             raise ValueError(f"percentiles must be in [0, 1], got {pcts!r}")
         joined = self._facet_matched(query, meta, id_col, broadcast_threshold)
-        parr = F.array(*[F.lit(p) for p in ps])
-        fn = F.approx_percentile if approx else F.percentile
-        grouped = (
-            joined.select(
-                F.explode(_facet_pairs(cols)).alias("fv"),
-                F.col(val_col).cast("double").alias("__v"),
-            )
-            .select("fv.facet", "fv.value", "__v")
-            .groupBy("facet", "value")
-            .agg(
-                (
-                    fn("__v", parr, F.lit(int(accuracy)))
-                    if approx
-                    else fn("__v", parr)
-                ).alias("vals")
-            )
-        )
-        return grouped.select(
-            "facet",
-            "value",
-            F.explode(
-                F.arrays_zip(parr.alias("pct"), F.col("vals").alias("val"))
-            ).alias("pv"),
-        ).select(
-            "facet",
-            "value",
-            F.col("pv.pct").alias("pct"),
-            F.col("pv.val").cast("double").alias("val"),
-        )
+        return _facet_percentiles_agg(joined, cols, ps, val_col, approx, accuracy)
 
     def count(self, query: Node | str) -> int:
         """Exact hit count without scoring (the Elasticsearch

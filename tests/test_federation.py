@@ -224,3 +224,24 @@ def test_hot_cold_federation(spark, corpus_pdf, tmp_path_factory):
     merged = Index(spark, f"{root}/all")
     for q in (QUERIES["nested"], QUERIES["msm"], QUERIES["phrase"]):
         assert _rows(fed.search(q, k=10)) == _rows(merged.search(q, k=10))
+
+
+def test_federated_facets_equal_merged(spark, fed_and_merged):
+    """Aggregations over the alias: facet counts/stats/cardinality of
+    the federated match set equal the merged index's."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fed, merged = fed_and_merged
+    q = QUERIES["nested"]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(fed.facet_counts(q, docs, ["lang", "source"])) == rows(
+        merged.facet_counts(q, docs, ["lang", "source"])
+    )
+    assert rows(
+        fed.facet_stats(q, docs, ["lang"], "n_chars")
+    ) == rows(merged.facet_stats(q, docs, ["lang"], "n_chars"))
+    assert rows(
+        fed.facet_cardinality(q, docs, ["lang"], "n_chars")
+    ) == rows(merged.facet_cardinality(q, docs, ["lang"], "n_chars"))
