@@ -1742,6 +1742,7 @@ def test_random_structured_trees_rank_identical(index, oracle):
         ConstantScore,
         Diff,
         DisMax,
+        Filter,
         MinShould,
         Synonym,
     )
@@ -1780,6 +1781,15 @@ def test_random_structured_trees_rank_identical(index, oracle):
         if r < 0.56:
             return Boosting(
                 tree(depth - 1), tree(depth - 1), rng.choice([0.4, 0.9])
+            )
+        if r < 0.62:
+            # a Filter side under And/Or: restricts or widens the doc
+            # set while contributing 0 — composition with every other
+            # combinator rides the same sweep
+            return (
+                And(tree(depth - 1), Filter(tree(depth - 1)))
+                if rng.random() < 0.5
+                else Or(tree(depth - 1), Filter(tree(depth - 1)))
             )
         a, b = tree(depth - 1), tree(depth - 1)
         return rng.choice(
