@@ -763,7 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from chearch_spark.operators import dedup as D
     from chearch_spark.operators import fuzzy as _FZ
     from chearch_spark.operators import pipeline as P
-    from chearch_spark.plans.query import Term
+    from chearch_spark.plans.query import MinShould, Term, bool_query
     from chearch_spark.sources import multimodal as M
     from chearch_spark.streaming import events as EV
     from chearch_spark.streaming import sessions as SES
@@ -892,21 +892,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_lookup_deleted": term_lookup_deleted,
         "bm25_topk_deleted": bm25_topk_deleted,
         "bool_and": bool_and,
-        "bool_or": bool_or,
         "term_stats": term_stats,
         "corpus_stats": corpus_stats,
-        "bm25_topk_and": bm25_topk_and,
         "bm25_topk_or": bm25_topk_or,
         "bm25_batch": bm25_batch,
         "bm25_topk_meta": bm25_topk_meta,
         "bm25_topk_diff": bm25_topk_diff,
-        "term_prefix": term_prefix,
         # --- r6 rotation: overflow entries promoted for driver
         # evidence (BASELINE.md documents the swap; the rotated-out
         # multi-green entries keep the identical gate in
         # pytest_only_queries) ----------------------------------------
         "facet_counts": lambda s, sf: _get_index(s, sf).facet_counts(
             Term("merge") | Term("dup"), _docs(s, sf), ["lang", "source"]
+        ),
+        # --- r6 session-3 rotation: six new surfaces promoted for
+        # driver-recorded evidence; the six rotated-out multi-green
+        # entries (bool_or, bm25_topk_and, term_prefix, fingerprints,
+        # ngram_jaccard, ann_lsh_recall) keep the identical DuckDB
+        # gate in pytest_only_queries ---------------------------------
+        "bm25_topk_msm": lambda s, sf: _search(
+            s, sf, MinShould((Term("batch"), Term("dup"), Term("merge")), 2)
+        ),
+        "bool_query_topk": lambda s, sf: _search(
+            s,
+            sf,
+            bool_query(
+                must=[Term("merge")],
+                filter_=[Term("sort")],
+                should=[Term("dup")],
+            ),
+        ),
+        "federated_topk": lambda s, sf: _fed_search(
+            s, sf, (Term("merge") & Term("sort")) | Term("dup")
+        ),
+        "percolate": lambda s, sf: __import__(
+            "chearch_spark.operators.percolate", fromlist=["percolate"]
+        ).percolate(_docs(s, sf), _PERCOLATE_REGISTRY),
+        "decontaminate": lambda s, sf: D.decontaminate(
+            _docs(s, sf),
+            _docs(s, sf).filter("doc_id % 37 = 0"),
+            n=5,
+        ),
+        "spell_suggest": lambda s, sf: _get_index(s, sf).spell_suggest(
+            "mergr sort dupp", k=3
         ),
         "fuzzy_terms": lambda s, sf: _FZ.fuzzy_terms(_docs(s, sf), "merg"),
         "snippets": lambda s, sf: T.snippets(
@@ -930,7 +958,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, sf)
         ),
         "lang_id": lambda s, sf: T.lang_id(_docs(s, sf)),
-        "fingerprints": lambda s, sf: T.fingerprints(_docs(s, sf)),
         # --- deduplication -------------------------------------------
         "exact_dups": lambda s, sf: D.exact_duplicates(_docs(s, sf)),
         # minhash_signatures lives in pytest_only_queries(): the driver
@@ -950,9 +977,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same composition with the Gopher-style repetition cap active
         "pipeline_clean_rep": lambda s, sf: P.clean_keep(
             _docs(s, sf), max_repetition=0.2
-        ),
-        "ngram_jaccard": lambda s, sf: D.ngram_jaccard_pairs(
-            _docs(s, sf), tau=0.5
         ),
         "simhash_signatures": lambda s, sf: D.simhash_signatures(
             _docs(s, sf)
@@ -980,9 +1004,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ANN quality instrumentation: per-query recall of the LSH path
         # vs the exact top-k, computed in-plan (deterministic -> oracled)
-        "ann_lsh_recall": lambda s, sf: A.lsh_recall(
-            _emb(s, sf), _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
-        ),
         "ann_ivf_recall": lambda s, sf: A.ivf_recall(
             _emb(s, sf), _ANN_QUERY_IDS, k=10
         ),
@@ -1017,21 +1038,16 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": T.quality_scores_sql(),
         "repetition_scores": T.repetition_scores_sql(),
         "lang_id": T.lang_id_sql(),
-        "fingerprints": T.fingerprints_sql(),
         "exact_dups": D.exact_duplicates_sql(),
         "minhash_neardup": D.minhash_lsh_pairs_sql(tau=0.5),
         "minhash_dedup_keep": D.minhash_dedup_keep_sql(tau=0.5),
         "pipeline_clean_keep": P.clean_keep_sql(),
         "pipeline_clean_rep": P.clean_keep_sql(max_repetition=0.2),
-        "ngram_jaccard": D.ngram_jaccard_pairs_sql(tau=0.5),
         "simhash_signatures": D.simhash_signatures_sql(),
         "simhash_neardup": D.simhash_pairs_sql(max_hamming=3),
         "embedding_neardup": D.embedding_topk_pairs_sql(k=50),
         "embedding_dedup_keep": D.embedding_dedup_keep_sql(tau=0.45),
         "ann_topk": A.cosine_topk_sql(_ANN_QUERY_IDS, k=10),
-        "ann_lsh_recall": A.lsh_recall_sql(
-            _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
-        ),
         "ann_ivf_recall": A.ivf_recall_sql(_ANN_QUERY_IDS, k=10),
         "ann_lsh_topk": A.lsh_ann_topk_sql(
             _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
@@ -1063,9 +1079,6 @@ def oracle_sql() -> dict[str, str]:
         "bool_and": _docset_sql(
             ["merge", "sort"], "has_merge = 1 AND has_sort = 1"
         ),
-        "bool_or": _docset_sql(
-            ["merge", "dup"], "has_merge = 1 OR has_dup = 1"
-        ),
         "term_stats": _BASE_CTE
         + """
 SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
@@ -1078,13 +1091,55 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
        round((SELECT CAST(sum(dl) AS BIGINT) FROM dl) * 1.0
              / (SELECT count(*) FROM documents), 6) AS avgdl
 """,
-        "bm25_topk_and": _bm25_sql(
-            ["merge", "sort"], "has_merge = 1 AND has_sort = 1"
-        ),
         "bm25_topk_or": _bm25_sql(
             ["merge", "sort", "dup"],
             "has_merge = 1 OR has_sort = 1 OR has_dup = 1",
         ),
+        # minimum_should_match: integer has_ flags count matched
+        # clauses; score = flat sum over all clause terms (an absent
+        # term contributes 0 = the unmatched clause's contribution)
+        "bm25_topk_msm": _bm25_sql(
+            ["batch", "dup", "merge"],
+            "(has_batch + has_dup + has_merge) >= 2",
+        ),
+        "bool_query_topk": _bm25_sql(
+            ["merge", "sort", "dup"],
+            "has_merge = 1 AND has_sort = 1",
+            score_terms=["merge", "dup"],
+        ),
+        # federated search: the oracle is the PLAIN single-corpus BM25
+        # (identical to bm25_topk_nested's) — the engine side answers
+        # from two disjoint member indexes with combined stats, so a
+        # green row IS the dfs_query_then_fetch exactness proof
+        "federated_topk": _bm25_sql(
+            ["merge", "sort", "dup"],
+            "(has_merge = 1 AND has_sort = 1) OR has_dup = 1",
+        ),
+        "percolate": __import__(
+            "chearch_spark.operators.percolate",
+            fromlist=["percolate_sql"],
+        ).percolate_sql(_PERCOLATE_REGISTRY),
+        "decontaminate": D.decontaminate_sql(n=5),
+        # spell suggestions: unknown tokens (NOT IN the dictionary)
+        # joined to terms within levenshtein 1, top-3 by (df desc,
+        # term asc) per token
+        "spell_suggest": _BASE_CTE + """
+, qtok AS (SELECT * FROM (VALUES ('mergr'), ('sort'), ('dupp')) q(token))
+, missing AS (
+  SELECT token FROM qtok WHERE token NOT IN (SELECT term FROM dfs)
+), cand AS (
+  SELECT m.token AS token, d.term AS suggestion, d.df AS df
+  FROM missing m JOIN dfs d ON levenshtein(d.term, m.token) <= 1
+)
+SELECT token,
+       CAST(row_number() OVER w AS INT) AS rank,
+       suggestion,
+       CAST(df AS BIGINT) AS df
+FROM cand
+WINDOW w AS (PARTITION BY token ORDER BY df DESC, suggestion ASC)
+QUALIFY row_number() OVER w <= 3
+ORDER BY token, rank
+""",
         # r6 rotation: promoted overflow entries (same SQL the pytest
         # gate used in r5)
         "facet_counts": _facet_sql(
@@ -1104,10 +1159,6 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
             "has_merge = 1 AND NOT (has_sort = 1 AND has_dup = 1)",
             score_terms=["merge"],
         ),
-        "term_prefix": _BASE_CTE
-        + """
-SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'mer%'
-""",
         # positions capped at 255 (8-bit textLocation parity) — mirror
         # the cap so the oracle sees exactly what the index stores
         "phrase_match": f"""
@@ -1469,11 +1520,6 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         # scores), DisjunctionMax (max + tie * rest), constant_score,
         # and the boosting demotion query — structural scorer, clause
         # doc-set masking
-        "bm25_topk_msm": lambda s, sf: _search(
-            s,
-            sf,
-            MinShould((Term("batch"), Term("dup"), Term("merge")), 2),
-        ),
         "bm25_topk_dismax": lambda s, sf: _search(
             s,
             sf,
@@ -1487,20 +1533,6 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
             sf,
             Boosting(Or(Term("batch"), Term("join")), Term("dup"), 0.4),
         ),
-        # Federated multi-index search (r6, ES dfs_query_then_fetch
-        # over an alias): two half-corpus members scored against the
-        # COMBINED stats — the oracle is the plain merged-corpus BM25,
-        # so a green row proves member layout cannot move a score
-        "federated_topk": lambda s, sf: _fed_search(
-            s, sf, (Term("merge") & Term("sort")) | Term("dup")
-        ),
-        # Spell suggestions (r6, ES term suggester, suggest_mode=
-        # missing): unknown tokens corrected from the index's OWN
-        # vocabulary within one edit, ranked (df desc, term asc);
-        # known tokens ('sort') produce no rows
-        "spell_suggest": lambda s, sf: _get_index(s, sf).spell_suggest(
-            "mergr sort dupp", k=3
-        ),
         # Cardinality + percentile facets (r6, ES cardinality /
         # percentiles aggregations): exact forms gated; the approx
         # forms (HLL++ / approx_percentile) are the documented 100 TB
@@ -1512,20 +1544,6 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
             "n_chars",
         ),
         "facet_percentiles": lambda s, sf: _facet_pct_query(s, sf),
-        # bool query (r6, THE ES query shape): must scores + filter
-        # restricts without scoring + should adds score only — the
-        # oracle scores must+should terms over the must∩filter doc set
-        "bool_query_topk": lambda s, sf: _search(
-            s,
-            sf,
-            __import__(
-                "chearch_spark.plans.query", fromlist=["bool_query"]
-            ).bool_query(
-                must=[Term("merge")],
-                filter_=[Term("sort")],
-                should=[Term("dup")],
-            ),
-        ),
         # Collocations (r6, Church & Hanks PMI): the statistical
         # phrases a shingle/phrase layer would be built from
         "collocations": lambda s, sf: __import__(
@@ -1540,22 +1558,30 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "pii_redact": lambda s, sf: __import__(
             "chearch_spark.operators.pipeline", fromlist=["redact_pii"]
         ).redact_pii(_docs(s, sf)).select("doc_id", "text"),
-        # Benchmark decontamination (r6, GPT-3 13-gram rule): corpus
-        # docs sharing any n-token window with a deterministic eval
-        # subset (doc_id % 37 = 0) are flagged; n=5 suits the short
-        # synthetic docs, real corpora use the paper's 13
-        "decontaminate": lambda s, sf: D.decontaminate(
-            _docs(s, sf),
-            _docs(s, sf).filter("doc_id % 37 = 0"),
-            n=5,
+        # r6 session-3 rotation: rotated OUT of the driver snapshot
+        # (their families keep driver rows); oracles unchanged
+        "bool_or": lambda s, sf: _match(
+            s, sf, Term("merge") | Term("dup")
         ),
-        # Percolation (r6, ES percolator): a registry of stored
-        # queries matched against the documents table in ONE codegen
-        # projection — zero shuffles, zero kernels; the saved-search /
-        # alerting primitive
-        "percolate": lambda s, sf: __import__(
-            "chearch_spark.operators.percolate", fromlist=["percolate"]
-        ).percolate(_docs(s, sf), _PERCOLATE_REGISTRY),
+        "bm25_topk_and": lambda s, sf: _search(
+            s, sf, Term("merge") & Term("sort")
+        ),
+        "term_prefix": lambda s, sf: _match(
+            s,
+            sf,
+            __import__(
+                "chearch_spark.plans.query", fromlist=["Prefix"]
+            ).Prefix("mer"),
+        ),
+        "fingerprints": lambda s, sf: __import__(
+            "chearch_spark.functions.text", fromlist=["fingerprints"]
+        ).fingerprints(_docs(s, sf)),
+        "ngram_jaccard": lambda s, sf: D.ngram_jaccard_pairs(
+            _docs(s, sf), tau=0.5
+        ),
+        "ann_lsh_recall": lambda s, sf: A.lsh_recall(
+            _emb(s, sf), _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
+        ),
     }
 
 
@@ -1617,6 +1643,26 @@ def pytest_only_oracle_sql() -> dict[str, str]:
 
     return {
         "minhash_signatures": D.minhash_signatures_sql(),
+        # r6 session-3 rotation: rotated-out driver entries keep
+        # their exact oracles here
+        "bool_or": _docset_sql(
+            ["merge", "dup"], "has_merge = 1 OR has_dup = 1"
+        ),
+        "bm25_topk_and": _bm25_sql(
+            ["merge", "sort"], "has_merge = 1 AND has_sort = 1"
+        ),
+        "term_prefix": _BASE_CTE
+        + """
+SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'mer%'
+""",
+        "fingerprints": __import__(
+            "chearch_spark.functions.text",
+            fromlist=["fingerprints_sql"],
+        ).fingerprints_sql(),
+        "ngram_jaccard": D.ngram_jaccard_pairs_sql(tau=0.5),
+        "ann_lsh_recall": A.lsh_recall_sql(
+            _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
+        ),
         "pq_topk": A.pq_flat_topk_sql(
             _ANN_QUERY_IDS, k=10, dim=_EMB_DIM
         ),
@@ -1919,13 +1965,6 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """,
-        # minimum_should_match: integer has_ flags count matched
-        # clauses; score = flat sum over all clause terms (an absent
-        # term contributes 0 = the unmatched clause's contribution)
-        "bm25_topk_msm": _bm25_sql(
-            ["batch", "dup", "merge"],
-            "(has_batch + has_dup + has_merge) >= 2",
-        ),
         # DisjunctionMax: per-clause score sums masked by the clause's
         # own match condition, combined max + tie * (sum - max)
         "bm25_topk_dismax": _BASE_CTE + f"""
@@ -1986,11 +2025,6 @@ FROM matched ORDER BY doc_id ASC LIMIT 10
             ["lang", "source"],
             "n_chars",
         ),
-        "bool_query_topk": _bm25_sql(
-            ["merge", "sort", "dup"],
-            "has_merge = 1 AND has_sort = 1",
-            score_terms=["merge", "dup"],
-        ),
         "collocations": __import__(
             "chearch_spark.functions.text",
             fromlist=["collocations_sql"],
@@ -2002,39 +2036,6 @@ FROM matched ORDER BY doc_id ASC LIMIT 10
             "chearch_spark.operators.pipeline",
             fromlist=["redact_pii_sql"],
         ).redact_pii_sql(),
-        "decontaminate": D.decontaminate_sql(n=5),
-        "percolate": __import__(
-            "chearch_spark.operators.percolate",
-            fromlist=["percolate_sql"],
-        ).percolate_sql(_PERCOLATE_REGISTRY),
-        # spell suggestions: unknown tokens (NOT IN the dictionary)
-        # joined to terms within levenshtein 1, top-3 by (df desc,
-        # term asc) per token
-        "spell_suggest": _BASE_CTE + """
-, qtok AS (SELECT * FROM (VALUES ('mergr'), ('sort'), ('dupp')) q(token))
-, missing AS (
-  SELECT token FROM qtok WHERE token NOT IN (SELECT term FROM dfs)
-), cand AS (
-  SELECT m.token AS token, d.term AS suggestion, d.df AS df
-  FROM missing m JOIN dfs d ON levenshtein(d.term, m.token) <= 1
-)
-SELECT token,
-       CAST(row_number() OVER w AS INT) AS rank,
-       suggestion,
-       CAST(df AS BIGINT) AS df
-FROM cand
-WINDOW w AS (PARTITION BY token ORDER BY df DESC, suggestion ASC)
-QUALIFY row_number() OVER w <= 3
-ORDER BY token, rank
-""",
-        # federated search: the oracle is the PLAIN single-corpus BM25
-        # (identical to bm25_topk_nested's) — the engine side answers
-        # from two disjoint member indexes with combined stats, so a
-        # green row IS the dfs_query_then_fetch exactness proof
-        "federated_topk": _bm25_sql(
-            ["merge", "sort", "dup"],
-            "(has_merge = 1 AND has_sort = 1) OR has_dup = 1",
-        ),
         # boosting: positive-only scoring, docs also matching the
         # negative term demoted by x0.4 (never excluded)
         "boosting_topk": _bm25_sql(
