@@ -164,7 +164,18 @@ def percolate(
     if not queries:
         raise ValueError("percolate needs at least one registered query")
     compiled = compile_queries(queries)
-    toks = tokens_col(F.col(text_col))
+    # tokenize ONCE per row: the token array is aliased in its own
+    # projection and referenced by name below — expressions containing
+    # lambda functions are excluded from codegen common-subexpression
+    # elimination, and CollapseProject keeps a non-cheap alias that is
+    # referenced many times un-inlined, so this is what stops the
+    # registry from re-tokenizing the document once per term
+    # (measured ~10x on a 6-query registry)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("__toks"),
+    )
+    toks = F.col("__toks")
     hits = F.array_compact(
         F.array(
             *[
@@ -173,9 +184,16 @@ def percolate(
             ]
         )
     )
+    # explode_OUTER + a post-generate null filter, deliberately: a
+    # plain explode makes the optimizer infer `size(hits) > 0` and
+    # push it below the token projection, re-inlining the tokenizer
+    # once per term into the filter (the HOF-CSE trap again, measured
+    # ~2x); the outer form infers nothing, and the null filter runs on
+    # the generated column
     return (
-        docs.select(F.col(id_col).alias("doc_id"), hits.alias("__hits"))
-        .select("doc_id", F.explode("__hits").alias("query"))
+        base.select("doc_id", hits.alias("__hits"))
+        .select("doc_id", F.explode_outer("__hits").alias("query"))
+        .filter(F.col("query").isNotNull())
     )
 
 
