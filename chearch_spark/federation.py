@@ -265,6 +265,54 @@ class MultiIndex:
             rsd,
         )
 
+    def facet_range(
+        self,
+        query,
+        meta,
+        val_col,
+        start: int,
+        width: int,
+        id_col="doc_id",
+        broadcast_threshold=None,
+    ):
+        from chearch_spark.search import _facet_range_agg
+
+        start, width = int(start), int(width)
+        if width <= 0:
+            raise ValueError(f"facet_range width must be > 0, got {width}")
+        return _facet_range_agg(
+            self._facet_matched(query, meta, id_col, broadcast_threshold),
+            val_col,
+            start,
+            width,
+        )
+
+    def facet_percentiles(
+        self,
+        query,
+        meta,
+        cols,
+        val_col,
+        pcts: tuple = (0.25, 0.5, 0.75),
+        id_col="doc_id",
+        broadcast_threshold=None,
+        approx: bool = False,
+        accuracy: int = 10000,
+    ):
+        from chearch_spark.search import _facet_percentiles_agg
+
+        ps = [float(p) for p in pcts]
+        if not ps or not all(0.0 <= p <= 1.0 for p in ps):
+            raise ValueError(f"percentiles must be in [0, 1], got {pcts!r}")
+        return _facet_percentiles_agg(
+            self._facet_matched(query, meta, id_col, broadcast_threshold),
+            cols,
+            ps,
+            val_col,
+            approx,
+            accuracy,
+        )
+
     def match_docs(self, query: Node | str):
         """All matching doc ids across members (boolean retrieval,
         union-all: a doc id present in two members — a re-ingest —

@@ -181,6 +181,14 @@ def main() -> None:
     )
     assert "Exchange" not in p, "percolate: unexpected shuffle"
     assert "FlatMapGroupsInPandas" not in p, "percolate: unexpected kernel"
+    # the HOF-CSE discipline: exactly ONE tokenizer evaluation per row
+    # (lambda expressions are excluded from codegen CSE, so any extra
+    # split( in the simple plan means a per-term re-tokenize crept in)
+    simple = p.split("--- simple ---")[1]
+    assert simple.count("split(") == 1, (
+        f"percolate: {simple.count('split(')} tokenizer evaluations in "
+        "the plan (expected 1 — the aliased-projection fix regressed)"
+    )
     sections.append(
         (
             "percolation (reverse search, registry projection)",

@@ -245,3 +245,11 @@ def test_federated_facets_equal_merged(spark, fed_and_merged):
     assert rows(
         fed.facet_cardinality(q, docs, ["lang"], "n_chars")
     ) == rows(merged.facet_cardinality(q, docs, ["lang"], "n_chars"))
+    assert rows(
+        fed.facet_range(q, docs, "n_chars", 0, 100)
+    ) == rows(merged.facet_range(q, docs, "n_chars", 0, 100))
+    assert rows(
+        fed.facet_percentiles(q, docs, ["lang"], "n_chars", (0.5,))
+    ) == rows(
+        merged.facet_percentiles(q, docs, ["lang"], "n_chars", (0.5,))
+    )
