@@ -1865,20 +1865,31 @@ FROM tf WHERE term IN ('merge', 'dup')
          ) AS hit_rank
   FROM matched m JOIN documents doc ON doc.doc_id = m.doc_id
 ), hh AS (
-  SELECT * FROM h WHERE hit_rank <= 2
-), g AS (
-  SELECT grp,
-         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS group_rank
-  FROM hh WHERE hit_rank = 1
+  -- group rank via WINDOWS over the per-group best, NEVER a join
+  -- back on the group key (NULL groups must survive — NULL never
+  -- equals NULL in a join; the engine is explicitly NULL-group-safe)
+  SELECT *,
+         first_value(score) OVER gw AS best_score,
+         first_value(doc_id) OVER gw AS best_doc
+  FROM h WHERE hit_rank <= 2
+  WINDOW gw AS (
+    PARTITION BY grp ORDER BY hit_rank
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  )
+), ranked AS (
+  SELECT *,
+         dense_rank() OVER (ORDER BY best_score DESC, best_doc ASC)
+           AS group_rank
+  FROM hh
 )
-SELECT hh.grp AS "group",
-       CAST(g.group_rank AS INT) AS group_rank,
-       CAST(hh.hit_rank AS INT) AS hit_rank,
-       hh.doc_id,
-       round(hh.score, 6) AS score
-FROM hh JOIN g ON g.grp = hh.grp
-WHERE g.group_rank <= 3
-ORDER BY g.group_rank, hh.hit_rank
+SELECT grp AS "group",
+       CAST(group_rank AS INT) AS group_rank,
+       CAST(hit_rank AS INT) AS hit_rank,
+       doc_id,
+       round(score, 6) AS score
+FROM ranked
+WHERE group_rank <= 3
+ORDER BY group_rank, hit_rank
 """,
         "rescored_search": _BASE_CTE + f"""
 , bmatched AS (

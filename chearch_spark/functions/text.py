@@ -511,18 +511,26 @@ def collocations(
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("p")
     ).select("p.w1", "p.w2")
+    # cache the two SMALL aggregates (vocabulary- / bigram-type-sized)
+    # so the corpus text tokenizes exactly twice (once per groupBy) —
+    # the totals and the two unigram joins then read the caches
+    # instead of re-deriving `toks` from scratch (was 4 corpus passes)
     uni = (
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("n_w"))
+        .cache()
     )
     n_uni = uni.agg(F.sum("n_w")).collect()[0][0] or 0
-    pair = (
+    pair_all = (
         bi.groupBy("w1", "w2")
         .agg(F.count("*").cast("long").alias("n_pair"))
-        .filter(F.col("n_pair") >= int(min_count))
+        .cache()
     )
-    n_bi = bi.count()
+    n_bi = (
+        pair_all.agg(F.sum("n_pair")).collect()[0][0] or 0
+    )
+    pair = pair_all.filter(F.col("n_pair") >= int(min_count))
     if n_uni == 0 or n_bi == 0:
         return pair.select(
             "w1", "w2", "n_pair",

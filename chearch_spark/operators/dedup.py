@@ -925,8 +925,12 @@ def decontaminate(
         F.monotonically_increasing_id().alias("doc_id"),
         F.col(bench_text_col).alias("text"),
     )
+    # the BENCHMARK side always enumerates at stride 1 regardless of
+    # the corpus stride: a strided bench would miss shared n-grams at
+    # unaligned offsets (a corpus window must hit ANY bench position),
+    # and the bench side is broadcast-small anyway
     bw = (
-        _window_hashes(bench, n, stride, "text")
+        _window_hashes(bench, n, 1, "text")
         .select("wh")
         .distinct()
         .withColumn("__hit", F.lit(1))
@@ -981,7 +985,10 @@ WITH tok AS (
   SELECT tok.doc_id, {wh} AS wh
   FROM tok, unnest(range(0, len(toks) - {n} + 1, {stride})) AS u(i)
 ), bw AS (
-  SELECT DISTINCT w.wh FROM w WHERE w.doc_id IN (
+  -- bench side at stride 1 ALWAYS (mirror of the engine rule)
+  SELECT DISTINCT {wh} AS wh
+  FROM tok, unnest(range(0, len(toks) - {n} + 1, 1)) AS u(i)
+  WHERE tok.doc_id IN (
     SELECT doc_id FROM {table} WHERE {bench_where}
   )
 ), per AS (

@@ -212,7 +212,30 @@ class _Parser:
                 "score their member terms unweighted)"
             )
         window = int(m.group(1)) if m.group(1) else DEFAULT_NEAR_WINDOW
-        return Near(node.term, right.term, window)
+        out = Near(node.term, right.term, window)
+        # a SECOND infix NEAR would otherwise lex as the literal term
+        # 'near' (or 'NEAR/3' -> the tokens 'near' AND '3'), silently
+        # turning a chained-proximity query into a nonsense AND —
+        # refuse loudly instead (chaining is genuinely unsupported:
+        # Near is a binary leaf)
+        t2 = self.peek()
+        if t2 is not None and _NEAR_RE.fullmatch(t2):
+            nxt2 = (
+                self.toks[self.i + 1]
+                if self.i + 1 < len(self.toks)
+                else None
+            )
+            if nxt2 is not None and nxt2 not in (")", "-") and not (
+                not nxt2.startswith('"')
+                and nxt2 != "("
+                and nxt2.upper() in ("AND", "OR", "NOT")
+            ):
+                raise QueryParseError(
+                    "chained NEAR is not supported (NEAR is a binary "
+                    "operator); split into explicit clauses, e.g. "
+                    "'(a NEAR/3 b) AND (b NEAR/3 c)'"
+                )
+        return out
 
     def atom(self) -> Node:
         t = self.take()

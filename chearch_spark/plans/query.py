@@ -206,8 +206,10 @@ class Synonym(Node):
 
 
 def synonym_leaves(node: Node) -> list["Synonym"]:
-    """Distinct Synonym leaves of the tree, first-occurrence order —
-    the scoring kernels pre-merge one blended posting list per leaf."""
+    """Distinct Synonym leaves of the tree in a DETERMINISTIC walk
+    order (b-side before a-side, the postfix-parity convention) — the
+    scoring kernels pre-merge one blended posting list per leaf, and
+    per-leaf work is order-independent."""
     out: list[Synonym] = []
 
     def walk(n: Node) -> None:
@@ -562,7 +564,11 @@ def scoring_weights(node: Node) -> dict[str, float]:
     with unboosted terms omitted (weight 1.0).  A term reachable
     through several leaves takes the MAX of its boosts — pinned so the
     weight map is deterministic and an unboosted duplicate leaf never
-    dilutes an explicit boost.  Phrase/Near member terms carry no
+    dilutes an explicit boost > 1.  The flip side is pinned too: a
+    sub-1.0 DEMOTION boost is overridden by an unboosted duplicate of
+    the same term (max(0.5, implicit 1.0) = 1.0) — to demote robustly
+    use the Boosting query, whose factor applies per document, not per
+    term weight.  Phrase/Near member terms carry no
     boost syntax and weigh 1.0; Diff's negative side never scores, so
     its boosts are ignored like its terms."""
     out: dict[str, float] = {}

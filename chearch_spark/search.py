@@ -937,11 +937,13 @@ class Index:
                 t for t in table.column("term").to_pylist() if rx.fullmatch(t)
             )
         else:
-            files = sorted(
-                os.path.join(self.dict_dir, f)
-                for f in os.listdir(self.dict_dir)
-                if f.endswith(".parquet")
-            )
+            # the bounds-sidecar listing, NOT a raw os.listdir: an
+            # explicitly-listed dot-prefixed in-progress tmp part
+            # (concurrent finalize) would be read by pyarrow despite
+            # its prefix — only published files appear in the sidecar
+            files = self._dict_files_all()
+            if not files:
+                return []
             total = sum(os.path.getsize(f) for f in files)
             if total <= FUZZY_DRIVER_DICT_BYTES:
                 table = ds.dataset(files, format="parquet").to_table(

@@ -242,6 +242,11 @@ class ChearchTCPServer(socketserver.ThreadingTCPServer):
         batched job resolves this request."""
         if self._queue is None:
             return self.answer(wire)
+        if self._stopping:
+            # the dispatcher may already have exited — an enqueued
+            # Future would never resolve and the handler would hang
+            # its client until the timeout
+            raise RuntimeError("server is stopping")
         fut: Future = Future()
         self._queue.put((wire, fut))
         return fut.result(timeout=120)
@@ -347,4 +352,17 @@ class ChearchTCPServer(socketserver.ThreadingTCPServer):
             self._thread.join(timeout=5)
         if self._dispatcher:
             self._dispatcher.join(timeout=5)
+        if self._queue is not None:
+            # fail anything still queued AFTER the dispatcher exited —
+            # an unresolved Future would block its handler (and its
+            # client) for the full 120 s result timeout
+            while True:
+                try:
+                    _wire, fut = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if not fut.done():
+                    fut.set_exception(
+                        RuntimeError("server stopped before answering")
+                    )
         self.server_close()

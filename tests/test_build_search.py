@@ -1983,3 +1983,21 @@ def test_filter_clause_and_bool_query(index, oracle):
         bool_query(must_not=[Term("merge")])
     with pytest.raises(ValueError, match="exceeds"):
         bool_query(should=[Term("a")], minimum_should_match=2)
+
+
+def test_chained_near_raises(index):
+    """A second infix NEAR must raise, not silently parse the literal
+    term 'near' (the binary-operator trap); explicit parenthesized
+    clauses remain the supported spelling, and trailing 'near' still
+    parses as an ordinary term."""
+    from chearch_spark.plans.parser import QueryParseError
+
+    with pytest.raises(QueryParseError, match="chained NEAR"):
+        index.search("merge NEAR/3 sort NEAR/3 dup")
+    ok = index.search(
+        "(merge NEAR/3 sort) AND (sort NEAR/3 dup)", k=5
+    ).collect()
+    assert isinstance(ok, list)
+    # trailing 'near' is a term, unchanged
+    a = _collect(index.search("merge NEAR/3 sort near", k=10))
+    assert isinstance(a, list)

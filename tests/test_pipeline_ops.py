@@ -1460,3 +1460,65 @@ def test_collocations_planted(spark):
     con.register("documents", pdf)
     want = con.sql(collocations_sql(min_count=3, k=10)).df()
     assert out.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_decontaminate_strided_corpus_full_bench(spark):
+    """Corpus stride > 1 must still catch overlap at UNALIGNED bench
+    offsets: the benchmark side always enumerates at stride 1."""
+    import duckdb
+    import pandas as pd
+
+    from chearch_spark.operators.dedup import decontaminate, decontaminate_sql
+
+    bench = spark.createDataFrame(
+        [(0, "zero quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    # doc 1's only window at stride 2 starts at its token 0 and maps to
+    # bench offset 1 (odd): a strided bench would never hash it
+    train_pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "quick brown fox jumps over",
+                "nothing shared here at all today",
+            ],
+        }
+    )
+    train = spark.createDataFrame(train_pdf)
+    out = {
+        r.doc_id: r
+        for r in decontaminate(train, bench, n=5, stride=2).collect()
+    }
+    assert out[1].contaminated
+    assert not out[2].contaminated
+    # SQL mirror agrees under the same stride (bench CTE is stride 1)
+    con = duckdb.connect()
+    full = pd.concat(
+        [
+            pd.DataFrame(
+                {"doc_id": [0], "text": [
+                    "zero quick brown fox jumps over the lazy dog"
+                ]}
+            ),
+            train_pdf,
+        ]
+    )
+    con.register("documents", full)
+    want = {
+        r[0]: r
+        for r in con.sql(
+            decontaminate_sql(n=5, stride=2, bench_where="doc_id = 0")
+        ).fetchall()
+    }
+    got = {
+        r.doc_id: (r.doc_id, r.n_windows, r.n_hits, r.hit_fraction,
+                   r.contaminated)
+        for r in decontaminate(
+            spark.createDataFrame(full),
+            spark.createDataFrame(full).filter("doc_id = 0"),
+            n=5,
+            stride=2,
+        ).collect()
+    }
+    assert got == want
