@@ -1380,6 +1380,73 @@ class Index:
             },
         }
 
+    def snapshot(self, dest: str) -> dict:
+        """Consistent point-in-time copy of the index (the ES
+        snapshot/restore surface): LIVE segment + docmap files (ghosts
+        a compaction already replaced are skipped), the dictionary and
+        its sidecars, blooms, all three manifest kinds, stats, and any
+        PENDING tombstones — staged into a per-PID temp dir and
+        published with ONE atomic rename, so a crashed snapshot never
+        leaves a half-copy that looks restorable (presence of
+        stats.json == complete, the build's own publication rule).
+        The copy restores as an independent ``Index(spark, dest)``:
+        identical results, unaffected by later source deletes or
+        compactions.  Returns {files, bytes}.
+
+        Call between finalizes: files visible at entry define the
+        snapshot (the same manifests-are-truth discipline queries use).
+        """
+        import shutil
+
+        if os.path.exists(os.path.join(dest, "stats.json")):
+            raise FileExistsError(f"snapshot destination {dest} exists")
+        live = set(self._all_seg_ids())
+        stage = f"{dest}.snap.{os.getpid()}"
+        os.makedirs(stage, exist_ok=True)
+        n_files = 0
+        n_bytes = 0
+
+        def cp(src: str, rel: str) -> None:
+            nonlocal n_files, n_bytes
+            out = os.path.join(stage, rel)
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            shutil.copy2(src, out)
+            n_files += 1
+            n_bytes += os.path.getsize(src)
+
+        def seg_of(fn: str, prefix: str) -> int:
+            return int(fn[len(prefix):-len(".parquet")])
+
+        for fn in sorted(os.listdir(self.seg_dir)):
+            if (
+                fn.startswith("segment-")
+                and fn.endswith(".parquet")
+                and seg_of(fn, "segment-") in live
+            ):
+                cp(os.path.join(self.seg_dir, fn), f"segments/{fn}")
+        for fn in sorted(os.listdir(self.map_dir)):
+            if (
+                fn.startswith("docmap-")
+                and fn.endswith(".parquet")
+                and seg_of(fn, "docmap-") in live
+            ):
+                cp(os.path.join(self.map_dir, fn), f"docmap/{fn}")
+        for sub in ("dictionary", "blooms", "tombstones"):
+            p = os.path.join(self.path, sub)
+            if os.path.isdir(p):
+                for fn in sorted(os.listdir(p)):
+                    if not fn.startswith((".", "_")):
+                        cp(os.path.join(p, fn), f"{sub}/{fn}")
+        for fn in sorted(os.listdir(self.path)):
+            if fn.endswith(".json") and not fn.startswith((".", "_")):
+                cp(os.path.join(self.path, fn), fn)
+        try:
+            os.rename(stage, dest)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        return {"files": n_files, "bytes": n_bytes}
+
     def segments(self):
         """Per-segment observability rows (the Elasticsearch
         ``_segments`` surface): (seg_id, source, n_docs, n_terms,

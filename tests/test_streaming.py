@@ -1259,3 +1259,73 @@ def test_segments_and_index_stats_observability(spark, tmp_path):
     assert st2["pending_deletes"] == 0  # purged by compaction, GC'd
     assert sum(r.n_docs for r in segs2) == len(pdf) - 2
     assert st2["replaced_segments"] >= len(segs)
+
+
+def test_snapshot_restore_lifecycle(spark, tmp_path):
+    """ES snapshot/restore: a snapshot taken mid-lifecycle (post-ingest,
+    with a pending tombstone) restores as an independent index —
+    identical results at snapshot time, immune to later source deletes
+    and compactions, fsck-clean, ghosts excluded."""
+    import pandas as pd
+
+    from chearch_spark.build import build_index
+    from chearch_spark.plans.query import Term
+    from chearch_spark.search import Index
+    from chearch_spark.streaming.compact import compact_stream_segments
+    from chearch_spark.streaming.ingest import finalize_index, ingest_batch
+    import subprocess
+    import sys
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    src = str(tmp_path / "src_ix")
+    build_index(
+        spark,
+        spark.createDataFrame(pdf[pdf.doc_id % 3 != 0]),
+        src,
+        num_segments=3,
+    )
+    ingest_batch(
+        spark.createDataFrame(pdf[pdf.doc_id % 3 == 0]), src,
+        batch_id=0, num_segments=2,
+    )
+    finalize_index(spark, src)
+    ix = Index(spark, src)
+    victim = int(pdf.doc_id.iloc[0])
+    ix.delete([victim])
+    q = (Term("merge") & Term("sort")) | Term("dup")
+    want = [(r.doc_id, r.score) for r in ix.search(q, k=10).collect()]
+
+    dest = str(tmp_path / "snap_ix")
+    info = ix.snapshot(dest)
+    assert info["files"] > 0 and info["bytes"] > 0
+    snap = Index(spark, dest)
+    got = [(r.doc_id, r.score) for r in snap.search(q, k=10).collect()]
+    assert got == want  # bit-identical at snapshot time
+    assert snap.index_stats()["pending_deletes"] == 1  # tombstone rode along
+    fs = subprocess.run(
+        [sys.executable, "scripts/verify_index.py", dest],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert fs.returncode == 0, fs.stderr
+
+    # later source mutations don't reach the snapshot
+    more = [int(d) for d in pdf.doc_id.iloc[1:4]]
+    ix.delete(more)
+    compact_stream_segments(spark, src, num_segments=2, include_batch=True)
+    snap.refresh()
+    still = [(r.doc_id, r.score) for r in snap.search(q, k=10).collect()]
+    assert still == want
+    # ghosts excluded: snapshotting the compacted source copies only
+    # its live (compacted) segments
+    ix.refresh()
+    dest2 = str(tmp_path / "snap2_ix")
+    ix.snapshot(dest2)
+    snap2 = Index(spark, dest2)
+    assert {r.source for r in snap2.segments().collect()} == {"compacted"}
+    fs2 = subprocess.run(
+        [sys.executable, "scripts/verify_index.py", dest2],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert fs2.returncode == 0, fs2.stderr
+    with pytest.raises(FileExistsError):
+        ix.snapshot(dest)
