@@ -1558,6 +1558,17 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "pii_redact": lambda s, sf: __import__(
             "chearch_spark.operators.pipeline", fromlist=["redact_pii"]
         ).redact_pii(_docs(s, sf)).select("doc_id", "text"),
+        # Domain-mixture sampling (r6): per-source deterministic keep
+        # rates — the pretraining data-recipe weighting step; slices
+        # inherit sample_hash's nested/disjoint algebra per group
+        "sample_mixture": lambda s, sf: __import__(
+            "chearch_spark.operators.pipeline",
+            fromlist=["sample_mixture"],
+        ).sample_mixture(
+            _docs(s, sf),
+            {"src0": 1.0, "src1": 0.5},
+            default_rate=0.1,
+        ).select("doc_id"),
         # r6 session-3 rotation: rotated OUT of the driver snapshot
         # (their families keep driver rows); oracles unchanged
         "bool_or": lambda s, sf: _match(
@@ -1643,6 +1654,12 @@ def pytest_only_oracle_sql() -> dict[str, str]:
 
     return {
         "minhash_signatures": D.minhash_signatures_sql(),
+        "sample_mixture": "SELECT doc_id FROM (" + __import__(
+            "chearch_spark.operators.pipeline",
+            fromlist=["sample_mixture_sql"],
+        ).sample_mixture_sql(
+            {"src0": 1.0, "src1": 0.5}, default_rate=0.1
+        ) + ")",
         # r6 session-3 rotation: rotated-out driver entries keep
         # their exact oracles here
         "bool_or": _docset_sql(

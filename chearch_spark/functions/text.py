@@ -108,10 +108,22 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_chars, n_tokens, avg_token_len, alpha_ratio,
     stopword_ratio, quality) — all ratios double, rounded to 6."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokens_col(text)
-    n_chars = F.length(text)
+    # tokenize ONCE per row: lambda-bearing expressions are excluded
+    # from codegen CSE, so the three token consumers below reference
+    # an ALIASED column (CollapseProject keeps a non-cheap alias that
+    # is referenced several times) — the percolate HOF-CSE discipline
+    base = df.select(
+        "doc_id",
+        F.length(text).alias("__n_chars"),
+        F.length(
+            F.regexp_replace(F.lower(text), "[^a-z]", "")
+        ).alias("__alpha_chars"),
+        tokens_col(text).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    n_chars = F.col("__n_chars")
     n_tokens = F.size(toks)
-    alpha_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z]", ""))
+    alpha_chars = F.col("__alpha_chars")
     stop = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
     sum_tok_len = F.aggregate(
@@ -128,7 +140,7 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         + w["stopword_ratio"] * stop_ratio
         + w["len_score"] * len_score
     )
-    return df.select(
+    return base.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),

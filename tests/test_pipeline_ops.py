@@ -1522,3 +1522,57 @@ def test_decontaminate_strided_corpus_full_bench(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_sample_mixture_semantics(spark):
+    """Domain-mixture sampling: each group's slice equals sample_hash
+    at that group's rate; raising one rate only adds that group's
+    rows; unknown/NULL groups take the default; validation rejects
+    out-of-range rates."""
+    import pandas as pd
+    import pytest as _pt
+
+    from chearch_spark.operators.pipeline import sample_hash, sample_mixture
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(400),
+            "source": (["wiki", "web", "forum", None] * 100),
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    rates = {"wiki": 1.0, "web": 0.4}
+    kept = sample_mixture(docs, rates, default_rate=0.2)
+    by_src = {}
+    for r in kept.collect():
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    # wiki: rate 1.0 keeps everything
+    assert by_src["wiki"] == {
+        r.doc_id for r in docs.filter("source = 'wiki'").collect()
+    }
+    # web slice == sample_hash at 0.4 over the web subset
+    assert by_src.get("web", set()) == {
+        r.doc_id
+        for r in sample_hash(docs.filter("source = 'web'"), 0.4).collect()
+    }
+    # forum + NULL take the default rate
+    assert by_src.get("forum", set()) == {
+        r.doc_id
+        for r in sample_hash(docs.filter("source = 'forum'"), 0.2).collect()
+    }
+    assert by_src.get(None, set()) == {
+        r.doc_id
+        for r in sample_hash(docs.filter("source IS NULL"), 0.2).collect()
+    }
+    # monotone: raising web's rate only ADDS web rows
+    kept2 = {
+        r.doc_id
+        for r in sample_mixture(
+            docs, {"wiki": 1.0, "web": 0.8}, default_rate=0.2
+        ).collect()
+    }
+    assert {r.doc_id for r in kept.collect()} <= kept2
+    with _pt.raises(ValueError):
+        sample_mixture(docs, {"wiki": 1.5})
+    with _pt.raises(ValueError):
+        sample_mixture(docs, {"wiki": 1.0}, default_rate=-0.1)
