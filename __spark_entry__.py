@@ -1558,6 +1558,11 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "pii_redact": lambda s, sf: __import__(
             "chearch_spark.operators.pipeline", fromlist=["redact_pii"]
         ).redact_pii(_docs(s, sf)).select("doc_id", "text"),
+        # Field-sorted retrieval (r6, the ES sort surface): the match
+        # set ordered by a metadata column, no scoring at all
+        "search_sorted": lambda s, sf: _get_index(s, sf).search_sorted(
+            Term("merge") | Term("dup"), _docs(s, sf), "n_chars", k=10
+        ),
         # Domain-mixture sampling (r6): per-source deterministic keep
         # rates — the pretraining data-recipe weighting step; slices
         # inherit sample_hash's nested/disjoint algebra per group
@@ -1654,6 +1659,17 @@ def pytest_only_oracle_sql() -> dict[str, str]:
 
     return {
         "minhash_signatures": D.minhash_signatures_sql(),
+        "search_sorted": _docset_sql(
+            ["merge", "dup"], "has_merge = 1 OR has_dup = 1"
+        ).replace(
+            "SELECT doc_id FROM flags WHERE",
+            "SELECT d.doc_id AS doc_id, d.n_chars AS n_chars "
+            "FROM flags JOIN documents d ON d.doc_id = flags.doc_id "
+            "WHERE",
+        ) + """
+ORDER BY n_chars DESC NULLS LAST, doc_id ASC
+LIMIT 10
+""",
         "sample_mixture": "SELECT doc_id FROM (" + __import__(
             "chearch_spark.operators.pipeline",
             fromlist=["sample_mixture_sql"],

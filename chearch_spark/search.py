@@ -3050,6 +3050,40 @@ class Index:
         joined = self._facet_matched(query, meta, id_col, broadcast_threshold)
         return _facet_percentiles_agg(joined, cols, ps, val_col, approx, accuracy)
 
+    def search_sorted(
+        self,
+        query: Node | str,
+        meta: "DataFrame",
+        sort_col: str,
+        k: int = spec.DEFAULT_K,
+        ascending: bool = False,
+        id_col: str = "doc_id",
+        broadcast_threshold: int | None = None,
+    ):
+        """Field-sorted retrieval (the Elasticsearch ``sort`` surface,
+        e.g. newest-first): the query's doc set ordered by a metadata
+        column instead of BM25 — (doc_id, <sort_col>), ties broken
+        doc_id asc so the top-k is deterministic; NULL sort values
+        last in either direction (they carry no ordering information).
+        No scoring work runs at all — the match kernel skips BM25.
+
+        Plan: the facet family's size-adaptive semi-join restricts the
+        metadata relation to the matches, then orderBy+limit plans as
+        TakeOrderedAndProject — one exchange beyond the match scan."""
+        from pyspark.sql import functions as F
+
+        joined = self._facet_matched(query, meta, id_col, broadcast_threshold)
+        key = (
+            F.asc_nulls_last(sort_col)
+            if ascending
+            else F.desc_nulls_last(sort_col)
+        )
+        return (
+            joined.select(F.col(id_col).alias("doc_id"), sort_col)
+            .orderBy(key, F.asc("doc_id"))
+            .limit(int(k))
+        )
+
     def count(self, query: Node | str) -> int:
         """Exact hit count without scoring (the Elasticsearch
         ``_count`` surface): the size of the query's doc set.  Runs

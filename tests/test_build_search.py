@@ -2001,3 +2001,38 @@ def test_chained_near_raises(index):
     # trailing 'near' is a term, unchanged
     a = _collect(index.search("merge NEAR/3 sort near", k=10))
     assert isinstance(a, list)
+
+
+def test_search_sorted_semantics(spark, index, corpus_pdf):
+    """ES sort-by-field: the match set ordered by metadata (no
+    scoring); NULLs last in both directions; deterministic doc_id
+    tiebreak; equals the post-hoc sort of match_docs."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = Term("merge") | Term("dup")
+    match = {r.doc_id for r in index.match_docs(q).collect()}
+    meta = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    sub = meta[meta.doc_id.isin(match)]
+    want = [
+        (int(r.doc_id), int(r.n_chars))
+        for r in sub.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).head(10).itertuples()
+    ]
+    got = [
+        (r.doc_id, r.n_chars)
+        for r in index.search_sorted(q, docs, "n_chars", k=10).collect()
+    ]
+    assert got == want
+    got_asc = [
+        (r.doc_id, r.n_chars)
+        for r in index.search_sorted(
+            q, docs, "n_chars", k=10, ascending=True
+        ).collect()
+    ]
+    want_asc = [
+        (int(r.doc_id), int(r.n_chars))
+        for r in sub.sort_values(
+            ["n_chars", "doc_id"], ascending=[True, True]
+        ).head(10).itertuples()
+    ]
+    assert got_asc == want_asc
