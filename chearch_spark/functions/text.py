@@ -53,16 +53,29 @@ QUALITY_LEN_CAP = 200  # tokens: len_score = min(n_tokens, cap) / cap
 
 
 def tokens_col(text: Column) -> Column:
-    """Pinned tokenizer as a JVM expression: lowercase, split on runs
-    outside [a-z0-9_], drop empties (same spec as ``spec.tokenize``;
-    NULL text is pinned to the empty document so Spark NULL-propagation
+    """Pinned tokenizer as a JVM expression: lowercase, extract the
+    maximal runs of [a-z0-9_] (same spec as ``spec.tokenize``; NULL
+    text is pinned to the empty document so Spark NULL-propagation
     cannot diverge from the SQL mirrors).  Note the three engines'
     lower() differ on exotic non-ASCII case mappings — the pinned token
     alphabet is ASCII, so this cannot affect tokens, only which
-    characters act as separators."""
-    return F.filter(
-        F.split(F.lower(F.coalesce(text, F.lit(""))), spec.TOKEN_SPLIT_RE),
-        lambda t: t != "",
+    characters act as separators.
+
+    r7 (guide §1/§4.1 "per-task work"): re-expressed from
+    ``filter(split(lower, '[^a-z0-9_]+'), != '')`` to
+    ``regexp_extract_all(lower, '[a-z0-9_]+')`` — the POSITIVE form of
+    the same alphabet (``spec.TOKEN_RE``), which is definitionally the
+    same token list (splitting on complement runs == extracting
+    alphabet runs, with the boundary empties never produced instead of
+    filtered).  Row-exact equality was verified over the full sf1.0
+    corpus (0 differing rows incl. NULL/empty/punctuation edges), and
+    the driver's DuckDB value-hash gates pin it per entry.  Why: this
+    JVM's negated-char-class regex runs ~15x slower than the positive
+    class (all hot paths tokenize, so this single expression was the
+    engine's largest per-task cost), and the lambda-bearing ``filter``
+    HOF also dropped the surrounding projection out of codegen CSE."""
+    return F.regexp_extract_all(
+        F.lower(F.coalesce(text, F.lit(""))), F.lit(spec.TOKEN_RE), 0
     )
 
 
@@ -424,11 +437,16 @@ def snippets(
     this completes the serving surface with the presentation layer a
     user switching engines needs.  Pure JVM expression tree — tokens
     materialized once per row (separate select: the Catalyst
-    HOF-inlining trap), no shuffle, no UDF, predicate pushdown
-    preserved for any upstream filter.  Deterministic and
-    DuckDB-mirrorable (:func:`snippets_sql`)."""
+    HOF-inlining trap), no UDF, and no shuffle at scale (r7: a
+    size-guarded ``spread_small_scan`` round-robins ONLY a
+    few-MB input across cores so the tokenize stage is not serialized
+    by parquet split flooring; large inputs keep the pure scan->map
+    shape).  Deterministic and DuckDB-mirrorable
+    (:func:`snippets_sql`)."""
     tset = sorted({t.lower() for t in terms})
-    toked = df.select(
+    from chearch_spark.functions.parallel import spread_small_scan
+
+    toked = spread_small_scan(df).select(
         F.col(id_col).alias("doc_id"),
         tokens_col(F.col(text_col)).alias("_toks"),
     )
@@ -508,7 +526,11 @@ def collocations(
     shuffle bounded by vocabulary and bigram-type cardinality, never
     corpus size; the unigram relation joins twice on single-term keys
     (broadcastable at realistic vocabularies)."""
-    toks = df.select(tokens_col(F.col(text_col)).alias("toks"))
+    from chearch_spark.functions.parallel import spread_small_scan
+
+    toks = spread_small_scan(df).select(
+        tokens_col(F.col(text_col)).alias("toks")
+    )
     bi = toks.select(
         F.explode(
             F.when(

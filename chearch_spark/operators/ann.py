@@ -97,8 +97,13 @@ def cosine_topk(
     """Exact top-k by cosine for each query id:
     (query_id, vec_id, cos, rank) — rank 1..k, ties (cos desc, vec_id
     asc), self-matches excluded."""
+    from chearch_spark.functions.parallel import spread_small_scan
+
     e = with_norm(
-        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), vec_col
+        spread_small_scan(
+            emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+        ),
+        vec_col,
     )
     q = (
         e.filter(F.col("vec_id").isin(list(query_ids)))
@@ -816,13 +821,23 @@ def ivf_flat_topk(
     recall-tuned production path; its *plumbing* (probe join shape,
     cell-pruned candidate set) is identical to this one.
 
-    Scale shape: assignment costs one broadcast of n_centroids rows +
-    a corpus-sized window on vec_id (at scale, persist the assignment
-    via :func:`ivf_build` instead of recomputing); the probe join then
-    touches ~n_probe/n_centroids of the corpus per query."""
+    Scale shape (r7, guide §2.3): the assignment window no longer
+    carries the embeddings — the crossJoin projects down to
+    (vec_id, cos_c, cell) BEFORE the per-vec_id argmax window, so the
+    corpus x n_centroids exchange moves 24-byte rows instead of rows
+    that also carry a float vector per side; the chosen (vec_id, cell)
+    pairs then re-attach to the vectors by an id join (the guide §8
+    decide-on-small-rows / move-big-rows-once discipline).  The cosine
+    expressions and the ``row_number() over (cos desc, cell asc) = 1``
+    pick are unchanged, so assignments are bit-identical; the probe
+    join then touches ~n_probe/n_centroids of the corpus per query."""
     from pyspark.sql import Window
 
-    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    from chearch_spark.functions.parallel import spread_small_scan
+
+    base = spread_small_scan(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    )
     e = with_norm(base, vec_col)
     w_cent = Window.orderBy("vec_id")
     cent = (
@@ -840,12 +855,15 @@ def ivf_flat_topk(
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_c"), F.asc("cell")
     )
-    assigned = (
+    cells = (
         e.crossJoin(F.broadcast(cent))
-        .withColumn("cos_c", cos_cent)
+        .select("vec_id", cos_cent.alias("cos_c"), "cell")
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", vec_col, "norm", "cell")
+        .select("vec_id", "cell")
+    )
+    assigned = e.join(cells, "vec_id").select(
+        "vec_id", vec_col, "norm", "cell"
     )
     q = e.filter(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("query_id"),
@@ -858,7 +876,7 @@ def ivf_flat_topk(
     )
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("cos_p", cos_probe)
+        .select("query_id", cos_probe.alias("cos_p"), "cell")
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "cell")
@@ -1145,13 +1163,23 @@ def lsh_ann_topk(
     """Approximate top-k: candidates = vectors sharing ≥ 1 LSH band
     bucket with the query, ranked by exact cosine.  May return < k
     rows per query (recall < 1 by design; deterministic given the
-    pinned planes, so :func:`lsh_ann_topk_sql` mirrors it exactly)."""
-    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
-    sig = with_norm(lsh_signature(base, vec_col, dim), vec_col)
+    pinned planes, so :func:`lsh_ann_topk_sql` mirrors it exactly).
+
+    r7 (guide §2.3 / §8): the candidate dedup runs on NARROW
+    (query_id, vec_id) id pairs — the oracle's own ``SELECT DISTINCT
+    q.query_id, b.vec_id`` shape — instead of rows that also carry
+    both float vectors and norms; the (functionally dependent)
+    vectors re-attach by id join after the distinct, so the widest
+    exchange of the plan moves 16 bytes per candidate, not two
+    embeddings."""
+    from chearch_spark.functions.parallel import spread_small_scan
+
+    base = spread_small_scan(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    )
+    sig = lsh_signature(base, vec_col, dim)
     bands = sig.select(
         "vec_id",
-        vec_col,
-        "norm",
         F.explode(
             F.array(
                 *[
@@ -1162,24 +1190,29 @@ def lsh_ann_topk(
                 ]
             )
         ).alias("bb"),
-    ).select("vec_id", vec_col, "norm", "bb.band", "bb.bv")
+    ).select("vec_id", "bb.band", "bb.bv")
     q = bands.filter(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.col("norm").alias("qn"),
         F.col("band").alias("qband"),
         F.col("bv").alias("qbv"),
     )
-    cand = (
+    pairs = (
         bands.join(
             F.broadcast(q),
             (F.col("band") == F.col("qband"))
             & (F.col("bv") == F.col("qbv"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", "vec_id", vec_col, "norm", "qv", "qn")
+        .select("query_id", "vec_id")
         .distinct()
     )
+    e = with_norm(base, vec_col)
+    qe = e.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    cand = pairs.join(e, "vec_id").join(F.broadcast(qe), "query_id")
     return _rank_topk(cand, k, vec_col)
 
 

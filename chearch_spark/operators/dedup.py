@@ -62,6 +62,7 @@ from chearch_spark.functions.hashing import (
     minhash_col,
     minhash_sql,
 )
+from chearch_spark.functions.parallel import spread_small_scan
 from chearch_spark.functions.text import TOKENS_SQL, tokens_col
 
 SHINGLE_N = 3  # token 3-grams
@@ -124,7 +125,9 @@ def doc_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     once-per-row column (CollapseProject declines to merge projections
     when the expression is non-trivial and multiply referenced, but
     being explicit here is what guarantees the linear plan)."""
-    toks = df.select("doc_id", tokens_col(F.col(text_col)).alias("toks"))
+    toks = spread_small_scan(df).select(
+        "doc_id", tokens_col(F.col(text_col)).alias("toks")
+    )
     return (
         toks.select(
             "doc_id", F.explode(shingles_col(F.col("toks"))).alias("sh")
@@ -173,7 +176,9 @@ def doc_shingle_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
     (cryptographically negligible), and BOTH engines (Spark and the
     DuckDB oracle) compute the same hash, so results stay value-exact
     across engines by construction."""
-    toks = df.select("doc_id", tokens_col(F.col(text_col)).alias("toks"))
+    toks = spread_small_scan(df).select(
+        "doc_id", tokens_col(F.col(text_col)).alias("toks")
+    )
     ex = toks.select(
         "doc_id", F.explode(shingles_col(F.col("toks"))).alias("sh")
     )
@@ -396,29 +401,46 @@ def ngram_jaccard_pairs(
     shingle in f docs from contributing f² join rows — the cap is part
     of the semantics (mirrored in the oracle), not a lossy shortcut.
     Pass ``max_shingle_df=None`` for raw uncapped Jaccard (small
-    corpora / verification only)."""
+    corpora / verification only).
+
+    r7 shuffle-bytes optimization (guide §2.3): every exchange in the
+    chain — the per-doc distinct, the df-cap aggregation/join, BOTH
+    sides of the shared-shingle self-join — carries the 8-byte
+    md5-derived shingle hash (:func:`doc_shingle_hashes`, already the
+    MinHash chain's working representation) instead of the ~30-byte
+    shingle string.  Set identity via the 60-bit hash is the same
+    pinned semantics the MinHash verifier relies on (collisions
+    ~2^-60 per shingle pair, cryptographically negligible), so sdf
+    counts, set sizes and the Jaccard values are value-identical to
+    the string form the DuckDB oracle computes."""
     if tau <= 0.0:
         raise ValueError(
             "tau must be > 0 for the shared-shingle join to be complete"
         )
-    sh = doc_shingles(df, text_col)
+    # cached, the minhash_lsh_pairs precedent: sh feeds the df-cap
+    # aggregation, the sizes aggregation, and BOTH sides of the
+    # shared-shingle self-join.  r6 relied on exchange reuse instead
+    # of a cache, but the consumers push DIFFERENT filters
+    # (join-key isnotnull on some branches, none on others) below the
+    # shared exchange, so the canonicalized subtrees stop matching and
+    # the tokenize+shingle+distinct chain ran FOUR times per action
+    # (verified in the r7 plan dump).  Same unowned-cache trade-off as
+    # minhash: Spark evicts under memory pressure; long-lived sessions
+    # deduping many different corpora should clearCache() between.
+    sh = doc_shingle_hashes(df, text_col).cache()
     if max_shingle_df is not None:
         keep = (
-            sh.groupBy("sh")
+            sh.groupBy("hx")
             .agg(F.count("*").alias("sdf"))
             .filter(F.col("sdf") <= max_shingle_df)
-            .select("sh")
+            .select("hx")
         )
-        # no .cache(): the three downstream consumers reuse the join's
-        # shuffle exchange, and an unowned cache would pin corpus-sized
-        # storage for the whole session (the caller gets a plan back
-        # and has no unpersist point)
-        sh = sh.join(keep, "sh")
+        sh = sh.join(keep, "hx")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hx").alias("hx"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hx").alias("hx"))
     inter = (
-        sa.join(sb, "sh")
+        sa.join(sb, "hx")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
@@ -477,30 +499,34 @@ FROM scored WHERE jaccard >= {tau}
 
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): 48-bit tf-weighted SimHash (docs with ≥ 1
-    token).  One explode + one groupBy(doc_id) shuffle; the 48
+    token).  One explode + ONE groupBy(doc_id) shuffle; the 48
     bit-sums are codegen'd aggregate expressions.
 
-    Terms are hashed to their 60-bit md5 value BEFORE the tf groupBy,
-    so both shuffles carry (long, long) rows instead of term strings
-    (same shuffle-bytes lever as the MinHash chain); the oracle groups
-    by the same hash, so results stay value-exact — and SimHash only
-    ever consumes h, never the term string."""
-    tf = (
-        df.select(
+    Terms are hashed to their 60-bit md5 value, and SimHash only ever
+    consumes h, never the term string.  r7 shuffle removal (guide
+    §2.4): the intermediate per-(doc_id, h) tf aggregation is gone —
+    ``sum over terms of (bit ? tf : -tf)`` equals ``sum over token
+    OCCURRENCES of (bit ? 1 : -1)`` (each occurrence contributes
+    exactly 1 to its term's tf), so one groupBy(doc_id) over the
+    exploded occurrences computes the identical integer bit-sums with
+    one fewer full shuffle, and map-side partial aggregation reduces
+    the remaining exchange to ~one row per (doc, map task)."""
+    occ = (
+        spread_small_scan(df)
+        .select(
             "doc_id", F.explode(tokens_col(F.col(text_col))).alias("term")
         )
         .select("doc_id", md5_long(F.col("term")).alias("h"))
-        .groupBy("doc_id", "h")
-        .agg(F.count("*").alias("tf"))
     )
     aggs = [
         F.sum(
-            F.when((F.shiftright(F.col("h"), b) % 2) == 1, F.col("tf"))
-            .otherwise(-F.col("tf"))
+            F.when((F.shiftright(F.col("h"), b) % 2) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
         ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
-    sig = tf.groupBy("doc_id").agg(*aggs)
+    sig = occ.groupBy("doc_id").agg(*aggs)
     sim = None
     for b in range(SIMHASH_BITS):
         bit = F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
@@ -569,8 +595,12 @@ def simhash_pairs(
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bv")
     a, b = bands.alias("a"), bands.alias("b")
+    # r7 (guide §2.3): hamming is a pure function of the pair, so the
+    # ≤ max_hamming cut moves BEFORE the pair-dedup distinct — the
+    # distinct exchange now carries only the (narrow) surviving pairs
+    # instead of every band collision with both 8-byte signatures.
     ham = F.bit_count(
-        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).cast("int")
     return (
         a.join(
@@ -582,13 +612,10 @@ def simhash_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            ham.alias("hamming"),
         )
-        .distinct()
-        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -744,7 +771,7 @@ def _window_hashes(
     """(doc_id, wh) — md5-derived hash of every n-token window starting
     at 0, stride, 2*stride, ... (full windows only; docs shorter than n
     emit none)."""
-    toks = df.select(
+    toks = spread_small_scan(df).select(
         "doc_id", tokens_col(F.col(text_col)).alias("toks")
     )
     idx = F.when(

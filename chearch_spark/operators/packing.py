@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from chearch_spark.functions.text import TOKENS_SQL, tokens_col
+from chearch_spark.functions.text import TOKENS_SQL
 
 DEFAULT_PACK_BUCKETS = 256
 
@@ -69,9 +69,26 @@ def pack_sequences(
     num_buckets = int(num_buckets)
     if num_buckets <= 0:
         raise ValueError(f"num_buckets must be > 0, got {num_buckets}")
+    from chearch_spark.functions.parallel import spread_small_scan
+
+    # r7: both tokenize passes (the totals job and the returned plan)
+    # derive from `counts`; the size-guarded spread keeps them from
+    # serializing on 1-2 parquet splits for few-MB corpora
+    df = spread_small_scan(df)
+    # r7: the packer consumes only the token COUNT, never the tokens —
+    # regexp_count of the positive token alphabet counts the same
+    # maximal [a-z0-9_] runs the tokenizer extracts (row-identical to
+    # size(tokens_col), pinned by the oracle gate) without
+    # materializing a string array per row on either pass
+    from chearch_spark import spec as _spec
+
+    n_tokens = F.regexp_count(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(_spec.TOKEN_RE),
+    )
     counts = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
     )
     # bounds from the RAW id column — the id-only projection skips the
     # tokenize work, so the full-corpus tokenize runs twice (totals +

@@ -164,13 +164,18 @@ def percolate(
     if not queries:
         raise ValueError("percolate needs at least one registered query")
     compiled = compile_queries(queries)
+    from chearch_spark.functions.parallel import spread_small_scan
+
     # tokenize ONCE per row: the token array is aliased in its own
     # projection and referenced by name below — expressions containing
     # lambda functions are excluded from codegen common-subexpression
     # elimination, and CollapseProject keeps a non-cheap alias that is
     # referenced many times un-inlined, so this is what stops the
     # registry from re-tokenizing the document once per term
-    # (measured ~10x on a 6-query registry)
+    # (measured ~10x on a 6-query registry).  r7: spread_small_scan
+    # keeps the projection from serializing on 1-2 parquet splits for
+    # few-MB corpora (size-guarded — unchanged plan at scale).
+    docs = spread_small_scan(docs)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         tokens_col(F.col(text_col)).alias("__toks"),

@@ -3146,8 +3146,13 @@ class Index:
             return self.spark.createDataFrame(
                 [], "term string, fg_df long, bg_df long, score double"
             )
+        # r7: size-guarded spread — the foreground tokenize below
+        # otherwise inherits the meta scan's 1-2 parquet splits on
+        # few-MB corpora (no-op at scale)
+        from chearch_spark.functions.parallel import spread_small_scan
+
         joined = self._facet_matched(
-            query, meta, id_col, broadcast_threshold
+            query, spread_small_scan(meta), id_col, broadcast_threshold
         )
         fg = (
             joined.select(
@@ -3492,14 +3497,22 @@ class Index:
         ``partition_limit`` caps the occurrence rows emitted per
         segment, mirroring the reference's partitionLimit truncation
         (`searchindex.chpl:101-107`): the FIRST N rows in the operand
-        protocol's own emission order (newest doc first)."""
+        protocol's own emission order (newest doc first).
+
+        r7 (guide §5): the operand replay runs INSIDE a per-segment
+        kernel and the ``partition_limit`` cut happens there — exactly
+        the reference's truncate-before-gather — so the driver
+        collects at most ``partition_limit x segments`` occurrence
+        rows, never O(query postings).  (With ``partition_limit=None``
+        the caller asked for every occurrence row, and the collect is
+        the answer's own size.)"""
         node = self._prep(query)
         scan = self._segment_scan(
             node.terms(),
             ["seg_id", "term", "doc_ids", "tfs", "pos_counts", "positions"],
             segs=self.candidate_segments(node),
-        ).toPandas()
-        return self._parity_from_frame(scan, node, partition_limit)
+        )
+        return self._parity_collect(scan, {0: node}, partition_limit)[0]
 
     def parity_search_many(
         self,
@@ -3529,12 +3542,82 @@ class Index:
             all_terms,
             ["seg_id", "term", "doc_ids", "tfs", "pos_counts", "positions"],
             segs=sorted(segs_u) if segs_u is not None else None,
-        ).toPandas()
-        out = {}
-        for qid, n in nodes.items():
-            keep = set(n.terms()) | {META_TERM}
-            out[qid] = self._parity_from_frame(
-                scan[scan["term"].isin(keep)], n, partition_limit
+        )
+        # r7: ONE kernel pass replays every query per segment with the
+        # per-segment truncation applied in-kernel (see parity_search)
+        # — the driver collects ≤ limit x segments x queries rows
+        return self._parity_collect(scan, nodes, partition_limit)
+
+    def _parity_collect(
+        self,
+        scan,
+        nodes: dict,
+        partition_limit: int | None,
+    ) -> dict:
+        """Distributed operand-protocol replay (guide §5: no driver
+        data work): a per-segment ``applyInPandas`` kernel decodes the
+        segment's postings, replays each query's operand protocol and
+        emits its occurrence rows ALREADY cut to ``partition_limit``
+        (the truncation is per-segment by spec, so in-kernel
+        truncation is semantics-preserving); the driver reassembles
+        from the collected (query, seg_id, row-number) keys.  Matches
+        the reference's truncate-before-gather
+        (`searchindex.chpl:101-107`)."""
+        items = list(nodes.items())
+        for _qid, n in items:
+            if has_positional(n):
+                raise ValueError(
+                    "parity mode replays the reference's 4-op operand "
+                    "protocol; Phrase/NEAR are engine extensions — use "
+                    "search/match_docs/match_phrase/match_near"
+                )
+        tomb = self._tombstones()
+        limit = None if partition_limit is None else int(partition_limit)
+
+        def _kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            qis, segs, rns, terms_, poss, exts = [], [], [], [], [], []
+            seg_id = int(pdf["seg_id"].iloc[0])
+            for qi, (_qid, node) in enumerate(items):
+                keep = set(node.terms()) | {META_TERM}
+                sub = pdf[pdf["term"].isin(keep)]
+                if not (sub["term"] == META_TERM).any():
+                    continue
+                rows = _parity_segment_rows(sub, node, tomb)
+                if limit is not None:
+                    rows = rows[:limit]
+                for rn, (t, p, d) in enumerate(rows):
+                    qis.append(qi)
+                    segs.append(seg_id)
+                    rns.append(rn)
+                    terms_.append(t)
+                    poss.append(int(p))
+                    exts.append(int(d))
+            return pd.DataFrame(
+                {
+                    "qi": pd.array(qis, dtype="int32"),
+                    "seg_id": pd.array(segs, dtype="int64"),
+                    "rn": pd.array(rns, dtype="int64"),
+                    "term": pd.array(terms_, dtype="object"),
+                    "pos": pd.array(poss, dtype="int64"),
+                    "ext": pd.array(exts, dtype="int64"),
+                }
+            )
+
+        collected = (
+            scan.groupBy("seg_id")
+            .applyInPandas(
+                _kern,
+                "qi int, seg_id long, rn long, term string, "
+                "pos long, ext long",
+            )
+            .collect()
+        )
+        out: dict = {qid: [] for qid, _ in items}
+        for row in sorted(
+            collected, key=lambda r: (r["qi"], r["seg_id"], r["rn"])
+        ):
+            out[items[row["qi"]][0]].append(
+                (row["term"], int(row["pos"]), int(row["ext"]))
             )
         return out
 
@@ -3584,14 +3667,6 @@ class Index:
         node: Node,
         partition_limit: int | None = None,
     ) -> list[tuple[str, int, int]]:
-        from chearch_spark.oracle import (
-            _evaluate,
-            _IntersectionOperand,
-            _Operand,
-            _TermOperand,
-            _UnionOperand,
-        )
-
         if has_positional(node):
             raise ValueError(
                 "parity mode replays the reference's 4-op operand "
@@ -3601,55 +3676,7 @@ class Index:
         out: list[tuple[str, int, int]] = []
         tomb = self._tombstones()
         for _, seg in scan.groupby("seg_id", sort=True):
-            occ: dict[str, list[tuple[int, int]]] = {}
-            meta = seg[seg["term"] == META_TERM]
-            ext_ids = codec.decode_postings(meta["doc_ids"].iloc[0]).astype(
-                np.int64
-            )
-            dead_idx = (
-                set(np.flatnonzero(np.isin(ext_ids, tomb)).tolist())
-                if len(tomb)
-                else set()
-            )
-            for _, row in seg[seg["term"] != META_TERM].iterrows():
-                docs = codec.decode_postings(row["doc_ids"]).astype(np.int64)
-                counts = codec.decode_varints(row["pos_counts"]).astype(np.int64)
-                pos = codec.decode_varints(row["positions"]).astype(np.int64)
-                # un-delta within (term,doc) groups (parity tool — the
-                # per-group loop is fine off the scale path)
-                starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-                abs_pos = np.empty(len(pos), dtype=np.int64)
-                for gi in range(len(docs)):
-                    s, e = starts[gi], starts[gi] + counts[gi]
-                    abs_pos[s:e] = np.cumsum(pos[s:e])
-                occ[row["term"]] = [
-                    (int(docs[gi]), int(p))
-                    for gi in range(len(docs))
-                    if int(docs[gi]) not in dead_idx
-                    for p in abs_pos[starts[gi]: starts[gi] + counts[gi]]
-                ]
-
-            def build(n: Node) -> _Operand:
-                if isinstance(n, Term):
-                    o = occ.get(n.term)
-                    if not o:
-                        return _Operand()
-                    # newest-first: (doc_index desc, position desc)
-                    vals = [
-                        (n.term, p, d)
-                        for (d, p) in sorted(o, key=lambda x: (-x[0], -x[1]))
-                    ]
-                    return _TermOperand(vals)
-                if isinstance(n, And):
-                    return _IntersectionOperand(build(n.a), build(n.b))
-                if isinstance(n, Or):
-                    return _UnionOperand(build(n.a), build(n.b))
-                raise TypeError(n)
-
-            rows = [
-                (term, pos, int(ext_ids[d]))
-                for (term, pos, d) in _evaluate(build(node))
-            ]
+            rows = _parity_segment_rows(seg, node, tomb)
             if partition_limit is not None:
                 rows = rows[:partition_limit]
             out.extend(rows)
@@ -3658,6 +3685,72 @@ class Index:
 
 # ---------------------------------------------------------------------
 # kernel helpers (numpy; also unit-testable without Spark)
+
+
+def _parity_segment_rows(
+    seg: pd.DataFrame, node: Node, tomb: np.ndarray
+) -> list[tuple[str, int, int]]:
+    """Operand-protocol replay for ONE segment's posting rows ->
+    occurrence rows (term, position, external doc id) in the
+    protocol's own emission order (newest doc first per term leaf).
+    Module-level and closed over plain data only, so the per-segment
+    parity kernel (:meth:`Index._parity_collect`) can ship it to
+    executors; the driver-local paths reuse it unchanged."""
+    from chearch_spark.oracle import (
+        _evaluate,
+        _IntersectionOperand,
+        _Operand,
+        _TermOperand,
+        _UnionOperand,
+    )
+
+    occ: dict[str, list[tuple[int, int]]] = {}
+    meta = seg[seg["term"] == META_TERM]
+    ext_ids = codec.decode_postings(meta["doc_ids"].iloc[0]).astype(np.int64)
+    dead_idx = (
+        set(np.flatnonzero(np.isin(ext_ids, tomb)).tolist())
+        if len(tomb)
+        else set()
+    )
+    for _, row in seg[seg["term"] != META_TERM].iterrows():
+        docs = codec.decode_postings(row["doc_ids"]).astype(np.int64)
+        counts = codec.decode_varints(row["pos_counts"]).astype(np.int64)
+        pos = codec.decode_varints(row["positions"]).astype(np.int64)
+        # un-delta within (term,doc) groups (parity tool — the
+        # per-group loop is fine off the scale path)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        abs_pos = np.empty(len(pos), dtype=np.int64)
+        for gi in range(len(docs)):
+            s, e = starts[gi], starts[gi] + counts[gi]
+            abs_pos[s:e] = np.cumsum(pos[s:e])
+        occ[row["term"]] = [
+            (int(docs[gi]), int(p))
+            for gi in range(len(docs))
+            if int(docs[gi]) not in dead_idx
+            for p in abs_pos[starts[gi]: starts[gi] + counts[gi]]
+        ]
+
+    def build(n: Node) -> _Operand:
+        if isinstance(n, Term):
+            o = occ.get(n.term)
+            if not o:
+                return _Operand()
+            # newest-first: (doc_index desc, position desc)
+            vals = [
+                (n.term, p, d)
+                for (d, p) in sorted(o, key=lambda x: (-x[0], -x[1]))
+            ]
+            return _TermOperand(vals)
+        if isinstance(n, And):
+            return _IntersectionOperand(build(n.a), build(n.b))
+        if isinstance(n, Or):
+            return _UnionOperand(build(n.a), build(n.b))
+        raise TypeError(n)
+
+    return [
+        (term, pos, int(ext_ids[d]))
+        for (term, pos, d) in _evaluate(build(node))
+    ]
 
 
 def _decode_segment(pdf: pd.DataFrame):

@@ -179,27 +179,38 @@ def main() -> None:
             {"q1": Term("merge") & Term("sort"), "q2": Term("dup")},
         )
     )
-    assert "Exchange" not in p, "percolate: unexpected shuffle"
+    # r7: the size-guarded spread_small_scan may add ONE round-robin
+    # exchange on few-MB inputs (parallelizing the tokenize stage);
+    # any other exchange — i.e. any KEYED shuffle — is still a bug,
+    # and at scale the spread is a no-op so the plan stays shuffle-free
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p, (
+        "percolate: unexpected keyed shuffle"
+    )
     assert "FlatMapGroupsInPandas" not in p, "percolate: unexpected kernel"
     # the HOF-CSE discipline: exactly ONE tokenizer evaluation per row
-    # (lambda expressions are excluded from codegen CSE, so any extra
-    # split( in the simple plan means a per-term re-tokenize crept in)
+    # (any extra regexp_extract_all( in the simple plan means a
+    # per-term re-tokenize crept in; r7 moved the tokenizer from
+    # filter(split(..)) to regexp_extract_all — same alphabet,
+    # positive-class form)
     simple = p.split("--- simple ---")[1]
-    assert simple.count("split(") == 1, (
-        f"percolate: {simple.count('split(')} tokenizer evaluations in "
-        "the plan (expected 1 — the aliased-projection fix regressed)"
+    assert simple.count("regexp_extract_all(") == 1, (
+        f"percolate: {simple.count('regexp_extract_all(')} tokenizer "
+        "evaluations in the plan (expected 1 — the aliased-projection "
+        "fix regressed)"
     )
     sections.append(
         (
             "percolation (reverse search, registry projection)",
             p,
             [
-                ("no Exchange / no kernel (verified absent)", "—"),
+                ("no keyed Exchange / no kernel (verified absent; the "
+                 "only allowed exchange is the size-guarded round-robin "
+                 "spread on few-MB inputs)", "—"),
                 ("generator emits per-hit rows", "Generate"),
             ],
         )
     )
-    print("OK  percolation (reverse search): no shuffle, no kernel, Generate")
+    print("OK  percolation (reverse search): no keyed shuffle, no kernel, Generate")
 
     # decontamination: the benchmark window-hash side must broadcast
     from chearch_spark.operators.dedup import decontaminate

@@ -101,11 +101,14 @@ def test_percolate_validation(docs):
 
 
 def test_percolate_plan_no_shuffle(docs):
+    # r7: the size-guarded spread_small_scan may add ONE round-robin
+    # exchange on few-MB inputs (parallelizing the tokenize stage); any
+    # KEYED shuffle is still a bug, and at scale the spread is a no-op
     df = percolate(docs, {"q": Term("merge") & Term("sort")})
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
     assert "FlatMapGroupsInPandas" not in plan  # no kernel, pure codegen
 
 
