@@ -75,3 +75,30 @@ def spread_small_scan(df: DataFrame, cores: int | None = None) -> DataFrame:
     if est < 0 or est > cores * per_core:
         return df
     return df.repartition(cores)
+
+
+def is_small_input(df: DataFrame) -> bool:
+    """True when ``df``'s optimizer size estimate is under the SAME
+    size threshold :func:`spread_small_scan` uses (cores x
+    maxBytesPerCore).  Used to guard broadcast-join hints on relations
+    DERIVED from ``df`` whose own post-aggregation estimates Catalyst
+    gets wrong (e.g. a per-doc sizes aggregate behind a join is
+    estimated large, forcing a sort-merge join over a 10^8-row pair
+    stream): if the whole INPUT is small, any per-doc aggregate of it
+    is broadcastable; above the threshold no hint is given and the
+    planner keeps the scale-safe choice."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        per_core = int(
+            spark.conf.get(
+                "spark.chearch.spread.maxBytesPerCore",
+                str(SPREAD_MAX_BYTES_PER_CORE),
+            )
+        )
+    except Exception:
+        per_core = SPREAD_MAX_BYTES_PER_CORE
+    if per_core <= 0:
+        return False
+    est = _size_estimate(df)
+    return 0 <= est <= max(cores, 1) * per_core

@@ -62,7 +62,7 @@ from chearch_spark.functions.hashing import (
     minhash_col,
     minhash_sql,
 )
-from chearch_spark.functions.parallel import spread_small_scan
+from chearch_spark.functions.parallel import is_small_input, spread_small_scan
 from chearch_spark.functions.text import TOKENS_SQL, tokens_col
 
 SHINGLE_N = 3  # token 3-grams
@@ -447,6 +447,15 @@ def ngram_jaccard_pairs(
     )
     ca = sizes.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
     cb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    if is_small_input(df):
+        # r7 (guide §3.1): `sizes` sits behind the cap join, so
+        # Catalyst's estimate for it balloons and the planner
+        # sort-merge-joins the 10^8-row pair stream against a
+        # per-doc relation of a few hundred KB (measured 14.5s ->
+        # 9.1s at sf1.0).  The hint is guarded on the INPUT estimate:
+        # a corpus too big to bound `sizes` gets no hint and keeps the
+        # planner's scale-safe choice.
+        ca, cb = F.broadcast(ca), F.broadcast(cb)
     j = F.col("i").cast("double") / (F.col("ca") + F.col("cb") - F.col("i"))
     return (
         inter.join(ca, "doc_a")
@@ -574,7 +583,15 @@ def simhash_pairs(
     assert max_hamming < SIMHASH_BANDS, (
         "banded join is only exact for max_hamming < number of bands"
     )
-    sig = simhash_signatures(df, text_col)
+    # r7: cached — BOTH sides of the band self-join consume sig, and
+    # the broadcast build side cannot reuse the stream side's exchange,
+    # so without the cache the whole tokenize+explode+48-bit-sum chain
+    # ran twice per action (verified in the plan dump).  sig is 16
+    # bytes per doc (doc_id, simhash) — the smallest relation in the
+    # operator — so this is the cheap end of the minhash/ngram
+    # unowned-cache trade-off (Spark evicts under pressure;
+    # clearCache() between corpora in long-lived sessions).
+    sig = simhash_signatures(df, text_col).cache()
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = sig.select(
         "doc_id",

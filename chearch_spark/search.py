@@ -1328,6 +1328,51 @@ class Index:
             self._all_segs = sorted(segs)
         return self._all_segs
 
+    def _segments_unsplittable(self) -> bool:
+        """True when Spark's file-split planning can NEVER break a
+        segment file across scan partitions, i.e. every segment file
+        is no larger than ``min(spark.sql.files.openCostInBytes,
+        spark.sql.files.maxPartitionBytes)`` (``maxSplitBytes`` is
+        ``min(maxPartitionBytes, max(openCostInBytes, bytesPerCore))``,
+        so that bound is sufficient for any core count).  Cached per
+        Index; one directory scan.  Gates the shuffle-free kernel
+        dispatch in :meth:`_scored_local` (guide §2.4): when True,
+        every scan partition holds only WHOLE segments and the
+        per-query groupBy(seg_id) exchange is unnecessary."""
+        if getattr(self, "_segs_unsplit", None) is None:
+
+            def _conf_bytes(key: str, default: int) -> int:
+                try:
+                    v = str(self.spark.conf.get(key, str(default)))
+                except Exception:
+                    return default
+                v = v.strip().lower()
+                for suf, mul in (
+                    ("k", 1024), ("m", 1024**2), ("g", 1024**3),
+                    ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+                    ("b", 1),
+                ):
+                    if v.endswith(suf) and v[: -len(suf)].isdigit():
+                        return int(v[: -len(suf)]) * mul
+                return int(v) if v.isdigit() else default
+
+            cap = min(
+                _conf_bytes("spark.sql.files.openCostInBytes", 4 * 1024**2),
+                _conf_bytes(
+                    "spark.sql.files.maxPartitionBytes", 128 * 1024**2
+                ),
+            )
+            try:
+                self._segs_unsplit = all(
+                    e.stat().st_size <= cap
+                    for e in os.scandir(self.seg_dir)
+                    if e.name.startswith("segment-")
+                    and e.name.endswith(".parquet")
+                )
+            except OSError:
+                self._segs_unsplit = False
+        return self._segs_unsplit
+
     def profile(self, query: Node | str, k: int = spec.DEFAULT_K) -> dict:
         """Query profiling (the Elasticsearch ``_profile`` flavor):
         driver-side diagnostics for one search — which scoring fast
@@ -1855,7 +1900,35 @@ class Index:
 
             schema = "doc_id long, score double"
 
-        return scan.groupBy("seg_id").applyInPandas(_kernel, schema)
+        return self._per_segment(scan, _kernel, schema)
+
+    def _per_segment(self, scan, kernel, schema: str):
+        """Dispatch a per-segment pandas kernel over the pruned scan.
+
+        Default: ``groupBy(seg_id).applyInPandas`` — one exchange of
+        the posting rows, correct for any file layout.  r7 fast path
+        (guide §2.4 — remove shuffles outright): when
+        :meth:`_segments_unsplittable` proves every scan partition
+        holds only whole segment files, the SAME kernel runs
+        partition-locally via ``mapInPandas`` (concatenate the
+        partition's batches, group by seg_id in-process, apply the
+        kernel per group) — identical per-segment inputs, identical
+        outputs, zero exchanges.  The memory held is the partition's
+        pruned posting rows — the same rows a groupBy task held."""
+        if not self._segments_unsplittable():
+            return scan.groupBy("seg_id").applyInPandas(kernel, schema)
+
+        def _part(frames):
+            pdfs = list(frames)
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            for _, g in pdf.groupby("seg_id", sort=False):
+                out = kernel(g)
+                if len(out):
+                    yield out
+
+        return scan.mapInPandas(_part, schema)
 
     def search_filtered(
         self,
@@ -2557,8 +2630,8 @@ class Index:
                 }
             )
 
-        return scan.groupBy("seg_id").applyInPandas(
-            _kernel, "query string, doc_id long, score double"
+        return self._per_segment(
+            scan, _kernel, "query string, doc_id long, score double"
         )
 
     def _weighted_idfs(
@@ -3282,7 +3355,7 @@ class Index:
                 cand = cand[:partition_limit]  # sorted by doc_index asc
             return pd.DataFrame({"doc_id": meta_ids[cand].astype(np.int64)})
 
-        return scan.groupBy("seg_id").applyInPandas(_kernel, "doc_id long")
+        return self._per_segment(scan, _kernel, "doc_id long")
 
     # -- phrase matching (positions-based) ---------------------------------
     def match_phrase(self, terms: list[str]):
@@ -3356,7 +3429,7 @@ class Index:
                 hits = hits[~np.isin(hits, tomb)]
             return pd.DataFrame({"doc_id": hits})
 
-        return scan.groupBy("seg_id").applyInPandas(_kernel, "doc_id long")
+        return self._per_segment(scan, _kernel, "doc_id long")
 
     def postings_df(self, terms: list[str]):
         """Relational view of the inverted index: (term, doc_id, tf)
@@ -3404,8 +3477,8 @@ class Index:
                 }
             )
 
-        return scan.groupBy("seg_id").applyInPandas(
-            _kernel, "term string, doc_id long, tf long"
+        return self._per_segment(
+            scan, _kernel, "term string, doc_id long, tf long"
         )
 
     def match_near(self, term_a: str, term_b: str, window: int = 5):
@@ -3484,7 +3557,7 @@ class Index:
                 hits = hits[~np.isin(hits, tomb)]
             return pd.DataFrame({"doc_id": hits})
 
-        return scan.groupBy("seg_id").applyInPandas(_kernel, "doc_id long")
+        return self._per_segment(scan, _kernel, "doc_id long")
 
     # -- reference-parity occurrence mode --------------------------------
     def parity_search(

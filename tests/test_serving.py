@@ -156,6 +156,30 @@ def test_local_parity_matches_spark_parity(served_index):
         assert ix.local_parity_search(q) == ix.parity_search(q), q
 
 
+def test_parity_kernel_truncates_before_gather(served_index):
+    """r7: the partition_limit cut happens inside the per-segment
+    kernel, so the driver-side result (== what was collected) is
+    bounded by limit x segments even for a hot term — never
+    O(query postings) — while stripping the limit returns the full
+    occurrence set in the same emission order."""
+    ix = served_index.index
+    n_segs = len(ix._all_seg_ids())
+    full = ix.parity_search(Term("beta"))  # in every doc: hot term
+    assert len(full) >= 3
+    limited = ix.parity_search(Term("beta"), partition_limit=1)
+    assert len(limited) <= 1 * n_segs < len(full)
+    # the limited rows are each segment's FIRST protocol row — a
+    # prefix of the unlimited per-segment emission, so every limited
+    # row appears in the full set
+    assert set(limited) <= set(full)
+    # batched path: same bound per query, identical to per-query
+    many = ix.parity_search_many(
+        {"h": Term("beta"), "a": Term("alpha")}, partition_limit=1
+    )
+    assert many["h"] == limited
+    assert many["a"] == ix.parity_search(Term("alpha"), partition_limit=1)
+
+
 def test_distributed_serving_mode(spark, tmp_path_factory):
     """mode='distributed' — the index-exceeds-driver-RAM regime (r4
     verdict stretch): responses are byte-identical to local mode, the
