@@ -243,6 +243,7 @@ def minhash_lsh_pairs(
     # pressure; long-lived sessions running many dedup passes over
     # DIFFERENT corpora should spark.catalog.clearCache() between them.
     sh = doc_shingle_hashes(df, text_col).cache()
+    small = is_small_input(df)
     sig = minhash_signatures_from_shingles(sh)
     sig_cols = [f"m{i}" for i in range(NUM_MINHASH)]
     bands = sig.select(
@@ -262,7 +263,7 @@ def minhash_lsh_pairs(
         .distinct()
         .cache()
     )
-    return _verify_jaccard(cand, sh, tau)
+    return _verify_jaccard(cand, sh, tau, small=small)
 
 
 def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
@@ -281,7 +282,13 @@ def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
     )
 
 
-def _verify_jaccard(cand: DataFrame, sh: DataFrame, tau: float) -> DataFrame:
+def _verify_jaccard(
+    cand: DataFrame, sh: DataFrame, tau: float, small: bool = False
+) -> DataFrame:
+    # ``small``: the caller's INPUT corpus is under the spread/broadcast
+    # size threshold, so the per-doc sizes aggregate (and the candidate
+    # pair set) are safely broadcastable — r7 guide §3.1, same guard as
+    # ngram_jaccard_pairs; False keeps the planner's scale-safe choice.
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hx").alias("hx_a"))
     sb = sh.select(F.col("doc_id").alias("db"), F.col("hx").alias("hx_b"))
@@ -297,6 +304,8 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, tau: float) -> DataFrame:
     )
     ca = sizes.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
     cb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    if small:
+        ca, cb = F.broadcast(ca), F.broadcast(cb)
     j = F.col("i").cast("double") / (F.col("ca") + F.col("cb") - F.col("i"))
     return (
         cand.join(inter, ["doc_a", "doc_b"], "left")

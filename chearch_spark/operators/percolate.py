@@ -300,11 +300,13 @@ def percolate_sql(
     queries: dict[str, "Node | str"], table: str = "documents",
     text_col: str = "text",
 ) -> str:
-    """DuckDB mirror: one UNION ALL branch per registered query."""
+    """DuckDB mirror: one UNION ALL branch per registered query.
+    Registry names are escaped as SQL literals (r7, ADVICE) —
+    apostrophe-free names emit byte-identical SQL to before."""
     compiled = compile_queries(queries)
     toks = TOKENS_SQL.format(t=text_col)
     branches = "\nUNION ALL\n".join(
-        f"""SELECT doc_id, '{name}' AS query FROM {table}
+        f"""SELECT doc_id, '{name.replace("'", "''")}' AS query FROM {table}
 WHERE {_term_pred_sql(node, toks)}"""
         for name, node in sorted(compiled.items())
     )

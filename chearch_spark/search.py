@@ -1446,8 +1446,19 @@ class Index:
         if os.path.exists(os.path.join(dest, "stats.json")):
             raise FileExistsError(f"snapshot destination {dest} exists")
         live = set(self._all_seg_ids())
-        stage = f"{dest}.snap.{os.getpid()}"
-        os.makedirs(stage, exist_ok=True)
+        # fresh dot-prefixed stage dir (r7, ADVICE): a fixed
+        # {dest}.snap.{pid} name + makedirs(exist_ok=True) could
+        # publish a crashed earlier attempt's stale files after PID
+        # reuse, and an un-prefixed basename is visible to directory
+        # scanners — mkdtemp gives an unused name every time and the
+        # '.' prefix keeps the repo's atomic-write discipline
+        import tempfile as _tempfile
+
+        parent = os.path.dirname(os.path.abspath(dest)) or "."
+        os.makedirs(parent, exist_ok=True)
+        stage = _tempfile.mkdtemp(
+            prefix=f".{os.path.basename(dest)}.snap.", dir=parent
+        )
         n_files = 0
         n_bytes = 0
 

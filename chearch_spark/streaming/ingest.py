@@ -428,34 +428,64 @@ def finalize_index(spark, out_dir: str, incremental: bool = True) -> dict:
     dead = replaced_seg_ids(out_dir)
     if dead:
         seg = seg.filter(~F.col("seg_id").isin([int(s) for s in dead]))
-    # stats from the META rows only (the term == '' filter pushes into
-    # the parquet reader — row-group stats skip every posting row), one
-    # agg for totals + the live seg-id set
+    # the live seg-id set from the DIRECTORY listing (minus dead) —
+    # exactly the files the dictionary scan below reads, so dictionary
+    # coverage/fp stay consistent with dictionary CONTENT even for a
+    # pathological segment file with no META row
+    live_ids = sorted(
+        int(s) for s in _seg_files(seg_dir) if s not in dead
+    )
     is_meta = F.col("term") == META_TERM
-    meta = seg.filter(is_meta).agg(
-        F.sum("df").alias("n_docs"),
-        F.sum("cf").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_segments"),
-        F.collect_set("seg_id").alias("seg_ids"),
-    ).collect()[0]
+
+    # r7 (guide §2.6 — overlap independent jobs): the stats
+    # aggregation, the store_positions probe and the dictionary merge
+    # are three INDEPENDENT Spark jobs; running them from a small
+    # thread pool lets each job's tail back-fill the others' idle
+    # executors — finalize wall time drops from the sum to roughly the
+    # max.  Results are identical: nothing downstream of one job feeds
+    # another (the dictionary's covered ids come from the listing
+    # above, not the stats row).
+    def _stats_job():
+        # stats from the META rows only (the term == '' filter pushes
+        # into the parquet reader — row-group stats skip every posting
+        # row), one agg for totals
+        return seg.filter(is_meta).agg(
+            F.sum("df").alias("n_docs"),
+            F.sum("cf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_segments"),
+        ).collect()[0]
+
+    def _pos_job():
+        # store_positions detection: limit-1 early-exit probe, NOT a
+        # full positions-column scan (hardcoding the flag would
+        # desynchronize streamed indexes from batch-built ones)
+        return (
+            seg.filter(~is_meta)
+            .filter(F.length("positions") > 0)
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    def _dict_job():
+        write_dictionary(
+            dictionary_agg(seg.filter(~is_meta)),
+            out_dir,
+            max(spark.sparkContext.defaultParallelism // 8, 1),
+            covered_seg_ids=live_ids,
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_stats = pool.submit(_stats_job)
+        f_pos = pool.submit(_pos_job)
+        f_dict = pool.submit(_dict_job)
+        meta = f_stats.result()
+        has_pos = f_pos.result()
+        f_dict.result()
     n_docs = int(meta.n_docs or 0)
     total_tokens = int(meta.n_tokens or 0)
-    # store_positions detection: limit-1 early-exit probe, NOT a full
-    # positions-column scan (hardcoding the flag would desynchronize
-    # streamed indexes from batch-built ones)
-    has_pos = (
-        seg.filter(~is_meta)
-        .filter(F.length("positions") > 0)
-        .limit(1)
-        .count()
-        > 0
-    )
-    write_dictionary(
-        dictionary_agg(seg.filter(~is_meta)),
-        out_dir,
-        max(spark.sparkContext.defaultParallelism // 8, 1),
-        covered_seg_ids=[int(s) for s in meta.seg_ids],
-    )
     # Global content fingerprint: content_fp is an order-independent
     # modular SUM, so the global value is the sum of the per-segment
     # values already recorded in the (tiny, O(segments)) build and
@@ -464,7 +494,7 @@ def finalize_index(spark, out_dir: str, incremental: bool = True) -> dict:
     # Segments not covered by any manifest (e.g. a legacy index) are
     # fingerprinted distributively: one applyInPandas over their
     # docmap rows, collecting one row per segment.
-    seg_ids = sorted(int(s) for s in meta.seg_ids)
+    seg_ids = live_ids
     fp_by_seg = _manifest_fps(out_dir)
     missing = [s for s in seg_ids if s not in fp_by_seg]
     map_dir = os.path.join(out_dir, "docmap")

@@ -438,8 +438,13 @@ def main() -> None:
     # count kernels in the simple-plan section only (the formatted
     # section names each op twice: tree row + detail header)
     simple = p.split("--- simple ---", 1)[1]
-    assert simple.count("FlatMapGroupsInPandas") == 1, (
-        "sig_terms: main plan runs the match kernel more than once"
+    n_kernels = simple.count("FlatMapGroupsInPandas") + simple.count(
+        "MapInPandas"
+    )
+    assert n_kernels == 1, (
+        "sig_terms: main plan runs the match kernel more than once "
+        f"(saw {n_kernels}; r7's shuffle-free dispatch plans the "
+        "kernel as MapInPandas on unsplittable segment layouts)"
     )
     sections.append(
         (
