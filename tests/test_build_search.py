@@ -65,6 +65,50 @@ def test_topk_rank_identical(index, oracle, qname):
         assert gs == pytest.approx(ws, rel=1e-9)
 
 
+def test_per_segment_dispatch_paths_identical(index):
+    """r7: the shuffle-free mapInPandas kernel dispatch (small
+    unsplittable segment files) and the groupBy(seg_id) fallback (any
+    layout) must be row-identical on every kernel family — test
+    corpora are all small, so the fallback is exercised explicitly by
+    pinning the guard."""
+    assert index._segments_unsplittable() is True  # small files: fast path
+    node = (Term("merge") & Term("sort")) | Term("dup")
+
+    def snap():
+        return {
+            "search": _collect(index.search(node, k=10)),
+            "match": sorted(
+                r["doc_id"] for r in index.match_docs(node).collect()
+            ),
+            "near": sorted(
+                r["doc_id"]
+                for r in index.match_near("merge", "sort", 3).collect()
+            ),
+            "phrase": sorted(
+                r["doc_id"]
+                for r in index.match_phrase(["merge", "sort"]).collect()
+            ),
+            "postings": sorted(
+                (r["term"], r["doc_id"], r["tf"])
+                for r in index.postings_df(["merge", "sort"]).collect()
+            ),
+            "many": sorted(
+                (r["query"], r["doc_id"], r["score"])
+                for r in index.search_many(
+                    {"a": node, "b": Term("batch")}, k=5
+                ).collect()
+            ),
+        }
+
+    fast = snap()
+    index._segs_unsplit = False  # force the groupBy fallback
+    try:
+        slow = snap()
+    finally:
+        index._segs_unsplit = None  # re-derive for other tests
+    assert fast == slow
+
+
 def test_match_docs_sets(index, oracle):
     for node in [Term("batch"), Term("merge") & Term("sort"),
                  Term("merge") | Term("dup")]:
