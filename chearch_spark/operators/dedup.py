@@ -244,7 +244,13 @@ def minhash_lsh_pairs(
     # DIFFERENT corpora should spark.catalog.clearCache() between them.
     sh = doc_shingle_hashes(df, text_col).cache()
     small = is_small_input(df)
-    sig = minhash_signatures_from_shingles(sh)
+    # sig cached too (r7): BOTH sides of the band self-join derive
+    # from it, and the broadcast build side cannot reuse the stream
+    # side's aggregation — without the cache the 16-min signature agg
+    # over the shingle relation runs twice per action (the simhash
+    # finding; ~(doc_id, 16 longs) per doc, the second-smallest
+    # relation in the operator)
+    sig = minhash_signatures_from_shingles(sh).cache()
     sig_cols = [f"m{i}" for i in range(NUM_MINHASH)]
     bands = sig.select(
         "doc_id", F.explode(_band_struct(sig_cols)).alias("bb")
