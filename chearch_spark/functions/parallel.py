@@ -81,12 +81,12 @@ def is_small_input(df: DataFrame) -> bool:
     """True when ``df``'s optimizer size estimate is under the SAME
     size threshold :func:`spread_small_scan` uses (cores x
     maxBytesPerCore).  Used to guard broadcast-join hints on relations
-    DERIVED from ``df`` whose own post-aggregation estimates Catalyst
-    gets wrong (e.g. a per-doc sizes aggregate behind a join is
-    estimated large, forcing a sort-merge join over a 10^8-row pair
-    stream): if the whole INPUT is small, any per-doc aggregate of it
-    is broadcastable; above the threshold no hint is given and the
-    planner keeps the scale-safe choice."""
+    DERIVED from ``df`` whose own post-aggregation estimates drift
+    with filter/join selectivity (e.g. a per-doc sizes aggregate
+    behind a df-cap join): if the whole INPUT is small, any per-doc
+    aggregate of it is broadcastable, so the hint PINS the broadcast
+    against estimate drift; above the threshold no hint is given and
+    the planner keeps the scale-safe choice."""
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
     try:

@@ -464,12 +464,12 @@ def ngram_jaccard_pairs(
     cb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
     if is_small_input(df):
         # r7 (guide §3.1): `sizes` sits behind the cap join, so
-        # Catalyst's estimate for it balloons and the planner
-        # sort-merge-joins the 10^8-row pair stream against a
-        # per-doc relation of a few hundred KB (measured 14.5s ->
-        # 9.1s at sf1.0).  The hint is guarded on the INPUT estimate:
-        # a corpus too big to bound `sizes` gets no hint and keeps the
-        # planner's scale-safe choice.
+        # Catalyst's estimate for it drifts with the cap selectivity;
+        # the explicit hint PINS the broadcast of this few-hundred-KB
+        # per-doc relation against the 10^8-row pair stream so no
+        # estimate drift can ever sort-merge it.  Guarded on the INPUT
+        # estimate: a corpus too big to bound `sizes` gets no hint and
+        # keeps the planner's scale-safe choice.
         ca, cb = F.broadcast(ca), F.broadcast(cb)
     j = F.col("i").cast("double") / (F.col("ca") + F.col("cb") - F.col("i"))
     return (
